@@ -1,0 +1,200 @@
+"""Engine parity: the batched TPU engine must reproduce the hop-by-hop
+reference state machine (numpy oracle) for every variant.
+
+This is the central correctness claim of the rebuild: the framewise
+reformulation (engine/spectral.py) + decoded tap offsets
+(engine/config.py) == the reference per-hop loop (engine/oracle.py,
+a transcription of libzen/hps.cu:429-652).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from zen_tpu import HPRConfig, HPRIOffline, HPRRealtime, OUTPUT_ALL
+from zen_tpu.drivers.offline import hpr_separate
+from zen_tpu.engine.oracle import (
+    HPROracle,
+    oracle_offline_pass,
+    oracle_realtime_stream,
+)
+from zen_tpu.ops.median import REPLICATE, VALID, WRAP
+
+FS = 1000.0
+HOP = 8
+L = 101
+
+
+def small_cfg(**kw):
+    kw.setdefault("fs", FS)
+    kw.setdefault("hop", HOP)
+    kw.setdefault("outputs", OUTPUT_ALL)
+    kw.setdefault("fast_rfft", False)  # bit-comparable against c2c oracle
+    return HPRConfig(**kw)
+
+
+def audio_fixture(length=L, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(length) / FS
+    sig = (
+        0.7 * np.sin(2 * np.pi * 50 * t)
+        + 0.4 * (rng.random(length) > 0.97)  # clicks (percussive)
+        + 0.05 * rng.standard_normal(length)
+    )
+    return sig.astype(np.float32)
+
+
+def assert_close(got, want, rtol=5e-4):
+    got, want = np.asarray(got), np.asarray(want)
+    scale = max(np.abs(want).max(), 1e-3)
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol * scale)
+
+
+@pytest.mark.parametrize("border", [WRAP, VALID, REPLICATE])
+@pytest.mark.parametrize("variant", ["hard", "soft", "sse"])
+def test_offline_pass_matches_oracle(border, variant):
+    cfg = small_cfg(
+        causal=False,
+        border=border,
+        beta=2.0,
+        soft_mask=(variant == "soft"),
+        use_sse=(variant == "sse"),
+    )
+    audio = audio_fixture()
+    want = oracle_offline_pass(audio, cfg)
+    got = hpr_separate(audio, cfg)
+    for k in ("harmonic", "percussive", "residual"):
+        assert_close(got[k], want[k])
+
+
+@pytest.mark.parametrize("border", [WRAP, VALID, REPLICATE])
+@pytest.mark.parametrize("variant", ["hard", "soft", "sse"])
+def test_realtime_stream_matches_oracle(border, variant):
+    cfg = small_cfg(
+        causal=True,
+        border=border,
+        soft_mask=(variant == "soft"),
+        use_sse=(variant == "sse"),
+    )
+    audio = audio_fixture()
+    want = oracle_realtime_stream(audio, cfg)
+    rt = HPRRealtime(
+        fs=FS,
+        hop=HOP,
+        beta=2.0,
+        border=border,
+        use_sse=(variant == "sse"),
+        soft_mask=(variant == "soft"),
+    )
+    rt.cfg = dataclasses.replace(rt.cfg, fast_rfft=False)
+    rt.reset_buffers()
+    got = rt.process_stream(audio, block_hops=5)
+    for i, k in enumerate(("harmonic", "percussive", "residual")):
+        assert_close(got[i], want[k])
+
+
+def test_stream_block_size_invariance():
+    """B hops in one device step == B per-hop steps, exactly."""
+    audio = audio_fixture(160)
+    outs = []
+    for block in (1, 4, 20):
+        rt = HPRRealtime(fs=FS, hop=HOP, beta=2.0)
+        outs.append(rt.process_stream(audio, block_hops=block))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6, atol=1e-5)
+
+
+def test_fast_rfft_matches_exact_c2c():
+    """Hermitian half-spectrum fast path == full C2C path."""
+    audio = audio_fixture(200, seed=3)
+    for variant in ("hard", "soft", "sse"):
+        cfg_exact = small_cfg(
+            causal=False,
+            soft_mask=variant == "soft",
+            use_sse=variant == "sse",
+            fast_rfft=False,
+        )
+        cfg_fast = dataclasses.replace(cfg_exact, fast_rfft=True)
+        a = hpr_separate(audio, cfg_exact)
+        b = hpr_separate(audio, cfg_fast)
+        for k in ("harmonic", "percussive", "residual"):
+            assert_close(b[k], a[k], rtol=2e-3)
+
+
+def test_reset_buffers_determinism():
+    """Reprocessing after reset is bit-identical (hps.test.cu:348-372)."""
+    audio = audio_fixture(120, seed=5)
+    rt = HPRRealtime(fs=FS, hop=HOP)
+    a = rt.process_stream(audio)
+    rt.reset_buffers()
+    b = rt.process_stream(audio)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_output_flags_respected():
+    """Percussive-only config leaves other stems zero
+    (hps.test.cu:286-346)."""
+    from zen_tpu import OUTPUT_PERCUSSIVE
+
+    audio = audio_fixture(120)
+    rt = HPRRealtime(fs=FS, hop=HOP, outputs=OUTPUT_PERCUSSIVE)
+    out = rt.process_stream(audio)
+    assert np.abs(out[1]).max() > 0
+    assert np.abs(out[0]).max() == 0
+    assert np.abs(out[2]).max() == 0
+
+
+def test_border_mode_changes_output():
+    """wrap (copybord) vs valid differ for the causal engine
+    (hps.test.cu:230-284)."""
+    audio = audio_fixture(160, seed=7)
+    a = HPRRealtime(fs=FS, hop=HOP, border=WRAP).process_stream(audio)
+    b = HPRRealtime(fs=FS, hop=HOP, border=VALID).process_stream(audio)
+    assert np.abs(a - b).max() > 1e-3
+
+
+def test_output_not_input():
+    """Separation changes the signal (hps.test.cu:160-228)."""
+    audio = audio_fixture(160)
+    cfg = small_cfg(causal=False)
+    got = hpr_separate(audio, cfg)
+    assert np.abs(np.asarray(got["percussive"]) - audio).max() > 1e-3
+
+
+def test_hpri_offline_two_pass_matches_oracle():
+    """Full 2-pass HPR-I == oracle 2-pass cascade (hps.cu:128-221)."""
+    audio = audio_fixture(130, seed=9)
+    hop_h, hop_p = 16, 8
+    sep = HPRIOffline(FS, hop_h, hop_p, 2.0, 2.0)
+    sep.cfg_h = dataclasses.replace(sep.cfg_h, fast_rfft=False)
+    sep.cfg_p = dataclasses.replace(sep.cfg_p, fast_rfft=False)
+    h, p, r = sep.process(audio)
+
+    from zen_tpu import OUTPUT_PERCUSSIVE, OUTPUT_RESIDUAL
+
+    cfg_h = small_cfg(hop=hop_h, causal=False)
+    pass1 = oracle_offline_pass(audio, cfg_h)
+    inter = pass1["percussive"] + pass1["residual"]
+    cfg_p = small_cfg(
+        hop=hop_p, causal=False, outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL
+    )
+    pass2 = oracle_offline_pass(inter, cfg_p)
+    assert_close(h, pass1["harmonic"])
+    assert_close(p, pass2["percussive"])
+    assert_close(r, pass2["residual"])
+
+
+def test_hpri_offline_hop_divisibility():
+    from zen_tpu.errors import ZenError
+
+    with pytest.raises(ZenError):
+        HPRIOffline(FS, 16, 12)
+
+
+def test_size_preservation_non_multiple():
+    """Non-hop-multiple input sizes are preserved
+    (hps_gpu_public.test.cu:62-107)."""
+    for length in (97, 128, 129):
+        audio = audio_fixture(length)
+        h, p, r = HPRIOffline(FS, 16, 8).process(audio)
+        assert h.shape[-1] == p.shape[-1] == r.shape[-1] == length

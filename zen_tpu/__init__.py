@@ -1,0 +1,29 @@
+"""zen-tpu: a TPU-native harmonic/percussive/residual source
+separation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability set of
+sevagh/Zen (real-time capable median-filtering HPSS/HPR + SSE,
+reference mounted at /root/reference), redesigned TPU-first:
+
+* batched framewise spectral engine instead of a per-hop GPU loop
+  (engine/spectral.py) — each filtered frame computed exactly once;
+* static tap-offset filters instead of NPP ROI/anchor plumbing
+  (ops/median.py, ops/box.py), with jnp reference and Pallas fast paths;
+* streaming as a carried pytree state + jitted block step
+  (drivers/realtime.py) — no host round-trips per hop;
+* pod-scale execution via jax.sharding meshes: channel data-parallel,
+  time-block sequence-parallel with halo exchange (zen_tpu/parallel).
+"""
+
+from .engine.config import (  # noqa: F401
+    OUTPUT_ALL,
+    OUTPUT_HARMONIC,
+    OUTPUT_PERCUSSIVE,
+    OUTPUT_RESIDUAL,
+    HPRConfig,
+)
+from .errors import ZenError  # noqa: F401
+from .drivers.offline import HPRIOffline, hpr_separate  # noqa: F401
+from .drivers.realtime import HPRRealtime, block_step, init_state  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,234 @@
+"""Streaming causal HPR — the realtime path.
+
+TPU-native replacement for zen::hps::HPRRealtime (reference:
+libzen/hps.cu:282-427). The reference streams one hop per GPU
+dispatch through pinned zero-copy buffers; on TPU the idiomatic
+streaming unit is a *block of hops* per device step (the BASELINE
+north star requires no host round-trips per hop). The per-hop state
+machine is carried explicitly as a pytree:
+
+    ring       [nwin]        input ring        (hps.h:182, hps.cu:452)
+    feat_hist  [H, bins]     trailing filtered-feature frames, H =
+                             farthest-back time tap (config.time_history)
+    ola_tail   [3, hop]      second halves of the previous frame's
+                             scaled iFFTs (the rotating OLA buffers,
+                             hps.cu:435-449, reduced to their carry)
+
+``block_step`` is a pure jitted function of (state, block) with donated
+state — zero allocation per step, the analog of the reference's
+allocate-in-ctor discipline. B = 1 gives exact per-hop streaming.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.config import HPRConfig
+from ..engine.spectral import (
+    analyze,
+    compute_masks,
+    feature_transform,
+    finalize_features,
+    freq_filtered,
+    num_bins,
+    synthesize,
+    time_filtered,
+)
+from ..errors import ZenError
+
+_STEMS = ("harmonic", "percussive", "residual")
+
+
+class StreamState(NamedTuple):
+    ring: jnp.ndarray  # [nwin]
+    feat_hist: jnp.ndarray  # [H, bins]
+    ola_tail: jnp.ndarray  # [3, hop]
+
+
+def init_state(cfg: HPRConfig) -> StreamState:
+    """Zeroed state == the reference's reset_buffers (hps.h:296-321).
+    The feature history is initialized to the feature of a zero frame
+    (+inf for SSE, see spectral.prefill_value)."""
+    from ..engine.spectral import prefill_value
+
+    return StreamState(
+        ring=jnp.zeros((cfg.nwin,), jnp.float32),
+        feat_hist=jnp.full(
+            (cfg.time_history, num_bins(cfg)), prefill_value(cfg), jnp.float32
+        ),
+        ola_tail=jnp.zeros((3, cfg.hop), jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("state",)
+)
+def block_step(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
+    """Process B hops: block [B, hop] -> (new_state, outs [3, B*hop]).
+
+    Equivalent to B successive process_next_hop calls of the reference
+    causal engine (hps.cu:429-486) with the per-output copy_* reads
+    (hps.cu:342-363), batched into one device program.
+    """
+    if not cfg.causal:
+        raise ZenError("streaming drivers are causal-only")
+    b, hop = block.shape
+    # frames i = samples[(i+1)*hop : (i+3)*hop] over ring ++ block
+    samples = jnp.concatenate([state.ring, block.reshape(b * hop)])
+    blocks = samples.reshape(b + 2, hop)
+    frames = jnp.concatenate([blocks[1 : b + 1], blocks[2 : b + 2]], axis=-1)
+
+    s = analyze(frames, cfg)  # [B, bins]
+    mag = jnp.abs(s)
+    feat = feature_transform(mag, cfg)
+    feats = jnp.concatenate([state.feat_hist, feat], axis=0)  # [H+B, bins]
+
+    h_len = cfg.time_history
+    # time filter: only the B newest rows; their taps reach at most
+    # h_len frames back, all inside `feats` (earlier stream = prefill
+    # feature values, already baked into the initial feat_hist)
+    h_rows = time_filtered(feats, cfg)[h_len:]
+    p_rows = freq_filtered(feat, cfg)
+    h_rows, p_rows = finalize_features(h_rows, p_rows, cfg)
+    pm, hm, rm = compute_masks(h_rows, p_rows, cfg)
+
+    masks = {"harmonic": hm, "percussive": pm, "residual": rm}
+    outs = []
+    tails = []
+    for i, name in enumerate(_STEMS):
+        enabled = getattr(cfg, f"output_{name}") and masks[name] is not None
+        if not enabled:
+            outs.append(jnp.zeros((b * hop,), jnp.float32))
+            tails.append(state.ola_tail[i])
+            continue
+        y = synthesize(s, masks[name], cfg)  # [B, nwin]
+        prev_tails = jnp.concatenate(
+            [state.ola_tail[i][None], y[:-1, hop:]], axis=0
+        )
+        chunk = y[:, :hop] + prev_tails  # [B, hop]
+        outs.append(chunk.reshape(b * hop))
+        tails.append(y[-1, hop:])
+
+    new_state = StreamState(
+        ring=samples[-cfg.nwin :],
+        feat_hist=feats[feats.shape[0] - h_len :],
+        ola_tail=jnp.stack(tails),
+    )
+    return new_state, jnp.stack(outs)
+
+
+class HPRRealtime:
+    """Streaming causal HPR, API-compatible with the reference
+    HPRRealtime pimpl class (libzen/libzen/hps.h:74-118).
+
+    process_next_hop(hop_samples) processes one hop; copy_harmonic /
+    copy_percussive / copy_residual return that hop's stems. For TPU
+    throughput use process_block(block[B, hop]) — one device dispatch
+    for B hops — or process_stream().
+    """
+
+    def __init__(
+        self,
+        fs: float,
+        hop: int = 256,
+        beta: float = 2.0,
+        outputs: int = 0,
+        border: str = "wrap",
+        use_sse: bool = False,
+        soft_mask: bool = False,
+    ):
+        from ..engine.config import OUTPUT_ALL
+
+        self.cfg = HPRConfig(
+            fs=fs,
+            hop=hop,
+            beta=beta,
+            causal=True,
+            border=border,
+            outputs=outputs or OUTPUT_ALL,
+            use_sse=use_sse,
+            soft_mask=soft_mask,
+        )
+        self.state = init_state(self.cfg)
+        self._last = np.zeros((3, hop), np.float32)
+
+    # -- toggles (hps.cu:322-332) --
+    def use_sse_filter(self):
+        self._reconfig(use_sse=True)
+
+    def use_soft_mask(self):
+        self._reconfig(soft_mask=True)
+
+    def _reconfig(self, **kw):
+        import dataclasses
+
+        fields = {
+            f.name: getattr(self.cfg, f.name)
+            for f in dataclasses.fields(self.cfg)
+        }
+        fields.update(kw)
+        self.cfg = HPRConfig(**fields)
+        self.state = init_state(self.cfg)
+
+    def reset_buffers(self):
+        self.state = init_state(self.cfg)
+
+    def warmup(self, block_sizes=(1,)):
+        """Compile the step(s) and reset — analog of warmup()
+        (hps.cu:392-409), which exists to hide first-dispatch latency."""
+        for b in block_sizes:
+            dummy = jnp.zeros((b, self.cfg.hop), jnp.float32)
+            self.state, _ = block_step(self.cfg, self.state, dummy)
+        jax.block_until_ready(self.state.ring)
+        self.reset_buffers()
+
+    def process_next_hop(self, hop_samples):
+        block = jnp.asarray(hop_samples, jnp.float32).reshape(1, self.cfg.hop)
+        self.state, outs = block_step(self.cfg, self.state, block)
+        self._last = outs
+        return outs
+
+    def process_block(self, block):
+        """block: [B, hop] or [B*hop] -> outs [3, B*hop] (h, p, r)."""
+        block = jnp.asarray(block, jnp.float32).reshape(-1, self.cfg.hop)
+        self.state, outs = block_step(self.cfg, self.state, block)
+        self._last = outs
+        return outs
+
+    def process_stream(self, audio, block_hops: int = 64):
+        """Stream a whole [L] signal through the causal engine in
+        blocks; pads the tail with zeros (clean tail handling — the
+        reference fakert chunker drops trailing partial chunks,
+        zen/fakert.h:15-34). Returns [3, ceil(L/hop)*hop]."""
+        audio = np.asarray(audio, np.float32)
+        hop = self.cfg.hop
+        n_hops = -(-len(audio) // hop)
+        padded = np.zeros(n_hops * hop, np.float32)
+        padded[: len(audio)] = audio
+        blocks = padded.reshape(n_hops, hop)
+        outs = []
+        for start in range(0, n_hops, block_hops):
+            chunk = blocks[start : start + block_hops]
+            if chunk.shape[0] != block_hops:  # ragged tail: pad hops
+                full = np.zeros((block_hops, hop), np.float32)
+                full[: chunk.shape[0]] = chunk
+                valid = chunk.shape[0] * hop
+                out = self.process_block(jnp.asarray(full))
+                outs.append(np.asarray(out)[:, :valid])
+            else:
+                outs.append(np.asarray(self.process_block(jnp.asarray(chunk))))
+        return np.concatenate(outs, axis=1)
+
+    # -- per-hop output reads (hps.cu:342-363) --
+    def copy_harmonic(self):
+        return np.asarray(self._last[0])
+
+    def copy_percussive(self):
+        return np.asarray(self._last[1])
+
+    def copy_residual(self):
+        return np.asarray(self._last[2])

@@ -1,0 +1,174 @@
+"""Batched spectral HPR core — the TPU-idiomatic reformulation.
+
+The reference streams one hop at a time, re-filtering its whole
+stft_width x nfft sliding matrix per hop but consuming only a single
+row of it (the lag column; hps.cu:488-580). Here the algorithm is
+reformulated framewise: every STFT frame's filtered row is computed
+exactly once over the whole [T, F] spectrogram — an O(stft_width)
+algorithmic reduction over the reference before any kernel tuning —
+and everything is static-shape, batched, and jit-compiled once.
+
+Equivalence to the reference hop loop is established by the tap-offset
+decode in engine/config.py and tested against a direct hop-by-hop
+oracle (engine/oracle.py, tests/test_engine_parity.py).
+
+All functions take arrays with arbitrary leading batch dims
+([..., T, F]) so channel batching/sharding is a vmap/pjit concern of
+the drivers, not of the math.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fft as zfft
+from ..ops.box import sliding_mean
+from ..ops.median import VALID, sliding_median
+from .config import EPS, HPRConfig
+
+
+def num_bins(cfg: HPRConfig) -> int:
+    """Frequency bins carried through the pipeline."""
+    return cfg.nfft // 2 + 1 if cfg.fast_rfft else cfg.nfft
+
+
+def analyze(frames: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+    """Window + FFT: [..., T, nwin] -> complex spectra [..., T, bins].
+
+    Mirrors the windowing (hps.cu:455-458), zero-pad to nfft
+    (hps.cu:461-462) and forward FFT (hps.cu:465) of process_next_hop.
+    """
+    win = jnp.asarray(cfg.window)
+    xw = frames.astype(jnp.float32) * win
+    if cfg.fast_rfft:
+        return zfft.rfft_forward(xw, cfg.nfft)
+    return zfft.fft_forward(xw.astype(jnp.complex64), cfg.nfft)
+
+
+def feature_transform(mag: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+    """The quantity the directional filters run on: |S| for the median
+    path (hps.cu:492-493), 1/|S|^2 for the SSE path (hps.cu:586-592)."""
+    if cfg.use_sse:
+        return 1.0 / (mag * mag)
+    return mag
+
+
+def prefill_value(cfg: HPRConfig) -> float:
+    """Feature value of a zero prefill frame: |0| = 0 for the median
+    path, 1/0^2 = +inf for the SSE reciprocal feature (IEEE semantics
+    identical to the reference's CUDA float math)."""
+    return float("inf") if cfg.use_sse else 0.0
+
+
+def time_filtered(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+    """Time-direction filter over [..., T, bins] using the decoded tap
+    offsets. The boundary along T is constant-fill: out-of-range frames
+    are the sliding window's zero prefill (border modes act *within*
+    the window and are already folded into the offsets)."""
+    fill = prefill_value(cfg)
+    if cfg.use_sse:
+        return sliding_mean(feats, cfg.time_offsets, -2, "zero", fill)
+    return sliding_median(feats, cfg.time_offsets, -2, "zero", fill=fill)
+
+
+def freq_filtered(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+    """Frequency-direction filter along the last axis (per frame)."""
+    fboundary = "reflect" if cfg.fast_rfft else cfg.freq_boundary
+    if cfg.use_sse:
+        return sliding_mean(feats, cfg.freq_offsets, -1, fboundary)
+    p = sliding_median(feats, cfg.freq_offsets, -1, fboundary)
+    if cfg.border == VALID:
+        # NPP valid-ROI never writes the top filter_len bins (mfilt.h:152)
+        nb = feats.shape[-1]
+        keep = jnp.arange(nb) <= nb - cfg.freq_filter_len - 1
+        p = jnp.where(keep, p, 0.0)
+    return p
+
+
+def finalize_features(h: jnp.ndarray, p: jnp.ndarray, cfg: HPRConfig):
+    """SSE re-reciprocation scaled by (l+1) (hps.cu:598-604)."""
+    if cfg.use_sse:
+        h = (1.0 / h) * jnp.float32(cfg.l_harm + 1.0)
+        p = (1.0 / p) * jnp.float32(cfg.l_perc + 1.0)
+    return h, p
+
+
+def filter_features(mag: jnp.ndarray, cfg: HPRConfig):
+    """Time- and frequency-direction filtered feature matrices (the
+    reference's harmonic_matrix / percussive_matrix at the lag row,
+    computed for every frame at once).
+
+    mag: |S| over [..., T, bins]. Returns (H, P) of the same shape.
+
+    Median path: hps.cu:488-496. SSE path: hps.cu:582-604 —
+    reciprocal of |S|^2, box means, reciprocal scaled by (l+1).
+    """
+    feats = feature_transform(mag, cfg)
+    h = time_filtered(feats, cfg)
+    p = freq_filtered(feats, cfg)
+    return finalize_features(h, p, cfg)
+
+
+def compute_masks(h: jnp.ndarray, p: jnp.ndarray, cfg: HPRConfig):
+    """Percussive / harmonic / residual masks from filtered matrices.
+
+    Hard mask (hps.h:100-113): (x / (y + eps)) >= beta, with the
+    harmonic mask using beta - eps so ties go percussive (hps.cu:540).
+    Soft/Wiener mask (hps.h:116-129): x^p / (x^p + y^p + eps) with
+    p = int(beta). SSE mask (hps.h:132-140): x^2/(x^2 + y^2 + eps).
+
+    Residual (hard-mask only, hps.cu:562-567): 1 - (hmask + pmask),
+    where a mask contributes 0 if its output is disabled (the
+    reference's mask buffers stay zero when unwritten).
+    """
+    eps = jnp.float32(EPS)
+    if cfg.use_sse:
+        pm = (p * p) / (p * p + h * h + eps)
+        hm = (h * h) / (h * h + p * p + eps)
+        rm = None
+    elif cfg.soft_mask:
+        pw = cfg.soft_power
+        pm = p**pw / (p**pw + h**pw + eps)
+        hm = h**pw / (h**pw + p**pw + eps)
+        rm = None
+    else:
+        beta = jnp.float32(cfg.beta)
+        pm = (p / (h + eps) >= beta).astype(jnp.float32)
+        hm = (h / (p + eps) >= beta - eps).astype(jnp.float32)
+        hm_eff = hm if cfg.output_harmonic else jnp.zeros_like(hm)
+        pm_eff = pm if cfg.output_percussive else jnp.zeros_like(pm)
+        rm = 1.0 - (hm_eff + pm_eff)
+    return pm, hm, rm
+
+
+def synthesize(s: jnp.ndarray, mask: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+    """Masked inverse FFT, scaled, truncated to nwin: [..., T, nwin].
+
+    y = Re(IFFT(S * mask)) * nfft * COLA — the unnormalized backward
+    transform (fftw.h:40-43) folded with the OLA COLA factor
+    (hps.h:68-80) into one static scale.
+    """
+    scale = jnp.float32(cfg.synth_scale)
+    masked = s * mask
+    if cfg.fast_rfft:
+        y = jnp.fft.irfft(masked, n=cfg.nfft, axis=-1)
+    else:
+        y = jnp.fft.ifft(masked, axis=-1).real
+    return y[..., : cfg.nwin] * scale
+
+
+def separate_frames(frames: jnp.ndarray, cfg: HPRConfig):
+    """frames [..., T, nwin] -> dict of per-frame scaled iFFT chunks
+    y [..., T, nwin] for each enabled output (None when disabled)."""
+    s = analyze(frames, cfg)
+    mag = jnp.abs(s)
+    h, p = filter_features(mag, cfg)
+    pm, hm, rm = compute_masks(h, p, cfg)
+    out = {"harmonic": None, "percussive": None, "residual": None}
+    if cfg.output_percussive:
+        out["percussive"] = synthesize(s, pm, cfg)
+    if cfg.output_harmonic:
+        out["harmonic"] = synthesize(s, hm, cfg)
+    if cfg.output_residual and rm is not None:
+        out["residual"] = synthesize(s, rm, cfg)
+    return out

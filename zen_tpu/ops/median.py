@@ -1,0 +1,234 @@
+"""Median filtering over spectrogram matrices, TPU-native.
+
+This replaces the reference's NPP/IPP 2-D one-axis median filters
+(reference: libzen/mfilt.h). The reference expresses causality through
+NPP ROI/anchor/border plumbing; here the same semantics reduce to a
+*static tap-offset pattern* plus a boundary rule, which is the natural
+TPU formulation (vectorized rank-select over K shifted views — no
+scalar loops, static shapes).
+
+Decoded geometry (NPP reads src[y-anchor.y .. y-anchor.y+mask-1]):
+
+==================  =======================  ==============================
+direction           border                   out[i] = median over taps
+==================  =======================  ==============================
+time_causal         wrap  (GPU copybord)     rows i-fm..i+fm, periodic in T
+time_causal         valid (GPU nocopybord)   rows i-fl..i-1, only i>=fl
+                                             (strictly past, excl. current;
+                                             rows <fl left as zero)
+time_causal         replicate (CPU/IPP)      rows i-fm..i+fm, edge-clamped
+time_anticausal     wrap                     rows i-fm..i+fm, periodic
+time_anticausal     valid                    rows i-fm..i+fm,
+                                             only fm<=i<=T-fm-2
+time_anticausal     replicate                rows i-fm..i+fm, edge-clamped
+frequency           wrap                     cols j-fm..j+fm, periodic in F
+frequency           valid                    cols j..j+fl-1, only j<=F-fl-1
+frequency           replicate                cols j-fm..j+fm, edge-clamped
+==================  =======================  ==============================
+
+fl = filter_len made odd (mfilt.h:89), fm = fl // 2.
+
+Sources: anchors at mfilt.h:95-161; wrap-border copy at mfilt.h:245-266;
+valid-ROI offsets at mfilt.h:111-158; IPP replicate at mfilt.h:310-341.
+Expected patterns validated against reference mfilt.test.cu.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import ZenError
+
+TIME_CAUSAL = "time_causal"
+TIME_ANTICAUSAL = "time_anticausal"
+FREQUENCY = "frequency"
+
+WRAP = "wrap"  # GPU copy_bord=True (default in reference drivers)
+VALID = "valid"  # GPU nocopybord
+REPLICATE = "replicate"  # CPU/IPP backend
+
+# Default per-call element budget for tap stacking (floats). Keeps the
+# K-times-blowup of the tap stack bounded; callers chunk above this.
+_DEFAULT_BUDGET = 1 << 27  # 128M floats = 512 MB
+
+
+def odd_filter_len(filter_len: int) -> int:
+    """Force filter length odd, as the reference does (mfilt.h:89)."""
+    return filter_len + (1 - filter_len % 2)
+
+
+def validate_filter(filter_len: int, direction: str, t: int, f: int) -> None:
+    """Degenerate-input check (mfilt.h:80-87): filter > dim raises."""
+    dim = f if direction == FREQUENCY else t
+    if filter_len > dim:
+        raise ZenError("median filter bigger than matrix dimension")
+
+
+def _shift_zero(
+    x: jnp.ndarray, off: int, axis: int, fill: float = 0.0
+) -> jnp.ndarray:
+    """out[i] = x[i+off] where in range, else ``fill``. Static off."""
+    n = x.shape[axis]
+    if off == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    if off > 0:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(off, n)
+        pad[axis] = (0, off)
+    else:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n + off)
+        pad[axis] = (-off, 0)
+    return jnp.pad(x[tuple(sl)], pad, constant_values=fill)
+
+
+def _tap(
+    x: jnp.ndarray, off: int, axis: int, boundary: str, fill: float = 0.0
+) -> jnp.ndarray:
+    """One shifted view: tap_k[i] = x[i+off] under the boundary rule."""
+    if off == 0:
+        return x
+    if boundary == WRAP:
+        return jnp.roll(x, -off, axis=axis)
+    if boundary in (REPLICATE, "clamp"):
+        n = x.shape[axis]
+        idx = jnp.clip(jnp.arange(n) + off, 0, n - 1)
+        return jnp.take(x, idx, axis=axis)
+    if boundary == "reflect":
+        # even symmetry about both ends: used to evaluate a full-spectrum
+        # periodic (wrap) window on the Hermitian half spectrum
+        n = x.shape[axis]
+        idx = jnp.abs(jnp.arange(n) + off)
+        idx = jnp.minimum(idx, 2 * (n - 1) - idx)
+        return jnp.take(x, idx, axis=axis)
+    # constant fill — engine semantics for out-of-range frames: the
+    # value of the directional feature on a zero prefill frame (0 for
+    # magnitudes, +inf for the SSE reciprocal feature)
+    return _shift_zero(x, off, axis, fill)
+
+
+def tap_stack(
+    x: jnp.ndarray, offsets, axis: int, boundary: str, fill: float = 0.0
+) -> jnp.ndarray:
+    """Stack K shifted views along new leading axis: [K, *x.shape]."""
+    return jnp.stack(
+        [_tap(x, o, axis, boundary, fill) for o in offsets], axis=0
+    )
+
+
+def _median_of_stack(stack: jnp.ndarray) -> jnp.ndarray:
+    """Exact median over leading (tap) axis. K odd or with duplicates —
+    jnp.median sorts and picks/averages the middle; for odd K this is an
+    exact rank-select, matching NPP/IPP."""
+    return jnp.median(stack, axis=0)
+
+
+def sliding_median(
+    x: jnp.ndarray,
+    offsets,
+    axis: int,
+    boundary: str,
+    *,
+    fill: float = 0.0,
+    budget: int = _DEFAULT_BUDGET,
+) -> jnp.ndarray:
+    """Median over static tap offsets along ``axis`` of ``x``.
+
+    Memory-bounded: when K * x.size exceeds ``budget`` floats, the
+    computation is chunked along a non-filter axis with ``lax.map``.
+    """
+    offsets = list(offsets)
+    k = len(offsets)
+    if k == 1:
+        return _tap(x, offsets[0], axis, boundary, fill)
+    if k * x.size <= budget or x.ndim < 2:
+        return _median_of_stack(tap_stack(x, offsets, axis, boundary, fill))
+
+    # chunk along the largest axis that is not the filter axis
+    ax = axis % x.ndim
+    other = max(
+        (d for d in range(x.ndim) if d != ax), key=lambda d: x.shape[d]
+    )
+    n = x.shape[other]
+    per_chunk = max(1, budget // max(1, k * (x.size // n)))
+    n_chunks = -(-n // per_chunk)
+    per_chunk = -(-n // n_chunks)  # rebalance
+    pad_n = n_chunks * per_chunk
+    xp = x
+    if pad_n != n:
+        pad = [(0, 0)] * x.ndim
+        pad[other] = (0, pad_n - n)
+        xp = jnp.pad(x, pad)
+    # move chunk axis to front, reshape to [n_chunks, per_chunk, ...]
+    xp = jnp.moveaxis(xp, other, 0)
+    xp = xp.reshape((n_chunks, per_chunk) + xp.shape[1:])
+    # after moveaxis, original axes order: other, then the rest in order
+    rest = [d for d in range(x.ndim) if d != other]
+    ax_in_chunk = 1 + rest.index(ax)
+
+    def body(xc):
+        return _median_of_stack(
+            tap_stack(xc, offsets, ax_in_chunk, boundary, fill)
+        )
+
+    out = jax.lax.map(body, xp)
+    out = out.reshape((pad_n,) + out.shape[2:])
+    out = jnp.moveaxis(out, 0, other)
+    sl = [slice(None)] * x.ndim
+    sl[other] = slice(0, n)
+    return out[tuple(sl)]
+
+
+def centered_offsets(filter_len: int):
+    fl = odd_filter_len(filter_len)
+    fm = fl // 2
+    return list(range(-fm, fm + 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("filter_len", "direction", "border")
+)
+def median2d(
+    x: jnp.ndarray, filter_len: int, direction: str, border: str
+) -> jnp.ndarray:
+    """Full-matrix median filter replicating the reference filter()
+    call on a [T, F] spectrogram matrix (time rows, frequency cols).
+
+    This is the exact analog of MedianFilterGPU::filter (mfilt.h:227-267,
+    copy_bord on -> border='wrap', off -> 'valid') and
+    MedianFilterCPU::filter (mfilt.h:336-341 -> 'replicate').
+    Regions NPP leaves unwritten under 'valid' are returned as zeros
+    (the reference's dst buffers are zero-initialized).
+    """
+    t, f = x.shape[-2], x.shape[-1]
+    fl = odd_filter_len(filter_len)
+    fm = fl // 2
+    axis = -1 if direction == FREQUENCY else -2
+    n = x.shape[axis]
+
+    if border == WRAP:
+        offsets = centered_offsets(fl)
+        return sliding_median(x, offsets, axis, WRAP)
+    if border == REPLICATE:
+        offsets = centered_offsets(fl)
+        return sliding_median(x, offsets, axis, REPLICATE)
+
+    # VALID: offset geometry with zeroed unwritten regions
+    if direction == TIME_CAUSAL:
+        offsets = list(range(-fl, 0))  # strictly past, excludes current
+        out = sliding_median(x, offsets, axis, "zero")
+        idx = jnp.arange(t)[:, None]
+        return jnp.where(idx >= fl, out, 0.0)
+    if direction == TIME_ANTICAUSAL:
+        offsets = centered_offsets(fl)
+        out = sliding_median(x, offsets, axis, "zero")
+        idx = jnp.arange(t)[:, None]
+        return jnp.where((idx >= fm) & (idx <= t - fm - 2), out, 0.0)
+    # FREQUENCY: forward window
+    offsets = list(range(0, fl))
+    out = sliding_median(x, offsets, axis, "zero")
+    idx = jnp.arange(f)[None, :]
+    return jnp.where(idx <= f - fl - 1, out, 0.0)
