@@ -1,0 +1,128 @@
+"""CLI + audio IO end-to-end tests (hps_*_public.test.cu analog)."""
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from zen_tpu.io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
+
+
+def make_wav(path, fs=8000, seconds=0.5, stereo=False):
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    x[n // 2 : n // 2 + 50] += 0.4
+    if stereo:
+        x = np.stack([x, 0.5 * x], axis=1)
+    write_wav_pcm16(str(path), fs, x if not stereo else x)
+    return x
+
+
+def test_wav_roundtrip(tmp_path):
+    p = tmp_path / "t.wav"
+    n = 1000
+    x = np.linspace(-0.9, 0.9, n).astype(np.float32)
+    write_wav_pcm16(str(p), 8000, x)
+    fs, y = read_wav_mono(str(p))
+    assert fs == 8000
+    np.testing.assert_allclose(y, x, atol=1.5 / 32768)
+
+
+def test_stereo_to_mono(tmp_path):
+    from scipy.io import wavfile
+
+    p = tmp_path / "st.wav"
+    left = np.full(100, 0.5, np.float32)
+    right = np.full(100, -0.25, np.float32)
+    data = (np.stack([left, right], 1) * 32767).astype(np.int16)
+    wavfile.write(str(p), 8000, data)
+    _, y = read_wav_mono(str(p))
+    np.testing.assert_allclose(y, 0.125, atol=1e-3)
+
+
+def test_peak_normalize():
+    x = np.array([-2.0, 1.0], np.float32)
+    np.testing.assert_allclose(peak_normalize(x), [-1.0, 0.5])
+    z = np.zeros(4, np.float32)
+    np.testing.assert_array_equal(peak_normalize(z), z)
+
+
+def run_cli(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "zen_tpu.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={
+            "PATH": "/usr/bin:/bin",
+            "JAX_PLATFORMS": "cpu",
+            "HOME": "/root",
+            "PYTHONPATH": "/root/repo",
+        },
+    )
+
+
+@pytest.mark.slow
+def test_cli_offline_end_to_end(tmp_path):
+    wav = tmp_path / "in.wav"
+    make_wav(wav)
+    res = run_cli(
+        [
+            "offline",
+            "-i",
+            str(wav),
+            "--hps",
+            "64",
+            "2.0",
+            "32",
+            "2.0",
+            "-o",
+            str(tmp_path / "out"),
+        ],
+        tmp_path,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "Running zen-offline" in res.stdout
+    assert "HPR-I-Offline took" in res.stdout
+    metrics = [
+        json.loads(line)
+        for line in res.stdout.splitlines()
+        if line.startswith("{")
+    ]
+    assert metrics and metrics[0]["metric"] == "offline_2pass_ms"
+    for stem in ("harm", "perc", "residual"):
+        fs, y = read_wav_mono(str(tmp_path / f"out_{stem}.wav"))
+        assert len(y) == 4000
+        assert np.abs(y).max() <= 1.0
+
+
+@pytest.mark.slow
+def test_cli_fakert_end_to_end(tmp_path):
+    wav = tmp_path / "in.wav"
+    make_wav(wav)
+    res = run_cli(
+        [
+            "fakert",
+            "-i",
+            str(wav),
+            "--hps",
+            "32",
+            "2.0",
+            "-o",
+            str(tmp_path / "perc.wav"),
+            "--block-hops",
+            "8",
+        ],
+        tmp_path,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "PRealtime TPU" in res.stdout
+    fs, y = read_wav_mono(str(tmp_path / "perc.wav"))
+    assert len(y) == 4000
+
+
+def test_cli_version():
+    res = run_cli(["version"], "/root/repo")
+    assert res.returncode == 0 and res.stdout.startswith("version")

@@ -1,0 +1,105 @@
+"""Sharded drivers vs the unsharded engine on the 8-device CPU mesh.
+
+The reference offers no distributed tests (nothing distributed
+exists); the strategy here is SURVEY.md §4's: force a multi-device
+host platform and assert halo-exchange correctness against the
+unsharded reference implementation.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from zen_tpu import HPRConfig, OUTPUT_ALL
+from zen_tpu.drivers.offline import HPRIOffline, hpr_separate
+from zen_tpu.parallel.mesh import make_mesh
+from zen_tpu.parallel.sharded import (
+    sharded_hpri_offline,
+    sharded_separate,
+    tp_separate,
+)
+
+FS = 1000.0
+HOP = 8
+
+
+def cfg_(**kw):
+    kw.setdefault("fs", FS)
+    kw.setdefault("hop", HOP)
+    kw.setdefault("causal", False)
+    kw.setdefault("outputs", OUTPUT_ALL)
+    return HPRConfig(**kw)
+
+
+def multichannel_audio(c=4, length=400, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(length) / FS
+    tone = np.sin(2 * np.pi * 50 * t)
+    out = []
+    for i in range(c):
+        clicks = (rng.random(length) > 0.97).astype(np.float32)
+        out.append(0.6 * tone + 0.4 * clicks + 0.02 * rng.standard_normal(length))
+    return np.stack(out).astype(np.float32)
+
+
+def assert_close(got, want, rtol=2e-4):
+    got, want = np.asarray(got), np.asarray(want)
+    scale = max(np.abs(want).max(), 1e-3)
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol * scale)
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_dp_sp_matches_unsharded(dp, sp):
+    mesh = make_mesh({"dp": dp, "sp": sp})
+    audio = multichannel_audio(c=8)
+    cfg = cfg_()
+    want = hpr_separate(audio, cfg)  # batched unsharded
+    got = sharded_separate(audio, cfg, mesh)
+    for k in ("harmonic", "percussive", "residual"):
+        assert_close(got[k], want[k])
+
+
+@pytest.mark.parametrize("variant", ["soft", "sse"])
+def test_sp_variants_match(variant):
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    audio = multichannel_audio(c=2, length=480)
+    cfg = cfg_(soft_mask=variant == "soft", use_sse=variant == "sse")
+    want = hpr_separate(audio, cfg)
+    got = sharded_separate(audio, cfg, mesh)
+    for k in ("harmonic", "percussive"):
+        assert_close(got[k], want[k])
+
+
+def test_sharded_two_pass_matches_hpri_offline():
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    audio = multichannel_audio(c=2, length=500)
+    sep = HPRIOffline(FS, 16, 8, 2.0, 2.0)
+    want = sep.process(audio)
+    got = sharded_hpri_offline(audio, sep.cfg_h, sep.cfg_p, mesh)
+    for g, w in zip(got, want):
+        assert_close(g, w)
+
+
+def test_tp_matches_unsharded():
+    mesh = make_mesh({"tp": 8})
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal(1600).astype(np.float32)
+    import dataclasses
+
+    # realistic fs/nfft ratio so the frequency halo fits a bin shard
+    cfg = dataclasses.replace(
+        cfg_(fs=8000.0, hop=16), fast_rfft=False
+    )
+    want = hpr_separate(audio, cfg)
+    got = tp_separate(audio, cfg, mesh)
+    for k in ("harmonic", "percussive", "residual"):
+        assert_close(got[k], want[k])
+
+
+def test_sp_halo_too_small_raises():
+    from zen_tpu.errors import ZenError
+
+    mesh = make_mesh({"dp": 1, "sp": 8})
+    audio = multichannel_audio(c=1, length=60)  # tiny: Tl < halo
+    with pytest.raises(ZenError):
+        sharded_separate(audio, cfg_(), mesh)

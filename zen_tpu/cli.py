@@ -1,0 +1,274 @@
+"""zen CLI — flag-compatible with the reference `zen` binary.
+
+Subcommands (reference: zen/main.cu:10-93):
+
+  zen offline -i in.wav [--hps [hop-h beta-h hop-p beta-p]]
+      [-o prefix] [--cpu] [--sse] [--soft-mask] [--nocopybord]
+      [--only-percussive]
+  zen fakert  -i in.wav [--hps [hop beta]] [-o out.wav]
+      [--cpu] [--sse] [--soft-mask] [--nocopybord]
+
+Mapping of the reference's backend/border flags onto the TPU build:
+--cpu selects the 'replicate' filter border (the reference CPU/IPP
+behavior) and also pins JAX to its CPU backend; --nocopybord selects
+the 'valid' border. Default is 'wrap' (reference GPU + copybord).
+
+Output contract preserved: the param echo block, audio info block,
+timing line, plus one machine-readable JSON metrics line (SURVEY.md
+§5.5) for benchmark drivers.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _border(args) -> str:
+    if getattr(args, "cpu", False):
+        return "replicate"
+    if getattr(args, "nocopybord", False):
+        return "valid"
+    return "wrap"
+
+
+def _add_common(p):
+    p.add_argument("-i", "--input", required=True, help="input wav file")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--sse", action="store_true")
+    p.add_argument("--soft-mask", action="store_true")
+    p.add_argument("--nocopybord", action="store_true")
+
+
+def _echo(lines):
+    print("\n".join(lines))
+
+
+def cmd_offline(args) -> int:
+    from .drivers.offline import HPRIOffline
+    from .io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
+
+    _echo(
+        [
+            "Running zen-offline with the following params:",
+            f"\tinfile: {args.input}",
+            f"\toutfile_prefix: {args.out_prefix or ''}",
+            f"\tonly_percussive: {int(args.only_percussive)}",
+            "\tdo hps: yes" if args.hps is not None else "\tdo hps: no",
+        ]
+    )
+    hop_h, beta_h, hop_p, beta_p = 4096, 2.0, 256, 2.0
+    if args.hps is not None:
+        vals = args.hps + [None] * (4 - len(args.hps))
+        hop_h = int(vals[0]) if vals[0] is not None else hop_h
+        beta_h = float(vals[1]) if vals[1] is not None else beta_h
+        hop_p = int(vals[2]) if vals[2] is not None else hop_p
+        beta_p = float(vals[3]) if vals[3] is not None else beta_p
+        _echo(
+            [
+                f"\t\tharmonic hop: {hop_h}",
+                f"\t\tharmonic beta: {beta_h}",
+                f"\t\tpercussive hop: {hop_p}",
+                f"\t\tpercussive beta: {beta_p}",
+                "\t\tmask: soft/Wiener" if args.soft_mask else "\t\tmask: hard/binary",
+                "\t\tfilter: sse" if args.sse else "\t\tfilter: median",
+            ]
+        )
+    _echo([f"\tcompute: tpu-native jax (border={_border(args)})"])
+
+    fs, audio = read_wav_mono(args.input)
+    _echo(
+        [
+            "Audio file info:",
+            f"\tsample rate: {fs}",
+            f"\tlen samples: {len(audio)}",
+            f"\tseconds: {len(audio) / fs}",
+        ]
+    )
+
+    if args.hps is not None:
+        sep = HPRIOffline(
+            fs,
+            hop_h,
+            hop_p,
+            beta_h,
+            beta_p,
+            border=_border(args),
+            use_sse=args.sse,
+            soft_mask=args.soft_mask,
+        )
+        t1 = time.perf_counter()
+        h, p, r = sep.process(audio)
+        import jax
+
+        jax.block_until_ready((h, p, r))
+        dur_ms = 1000 * (time.perf_counter() - t1)
+        print(f"TPU-native: 2-pass HPR-I-Offline took {dur_ms:.0f} ms")
+        print(
+            json.dumps(
+                {
+                    "metric": "offline_2pass_ms",
+                    "value": dur_ms,
+                    "unit": "ms",
+                    "audio_seconds": len(audio) / fs,
+                }
+            )
+        )
+        stems = {"harm": h, "perc": p, "residual": r}
+    else:
+        stems = {"harm": audio, "perc": audio, "residual": audio}
+
+    if args.out_prefix:
+        import numpy as np
+
+        names = ["perc"] if args.only_percussive else ["harm", "perc", "residual"]
+        for name in names:
+            write_wav_pcm16(
+                f"{args.out_prefix}_{name}.wav",
+                fs,
+                peak_normalize(np.asarray(stems[name])),
+            )
+    return 0
+
+
+def cmd_fakert(args) -> int:
+    from .drivers.realtime import HPRRealtime
+    from .engine.config import OUTPUT_PERCUSSIVE
+    from .io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
+
+    hop, beta = 256, 2.0
+    if args.hps is not None:
+        vals = args.hps + [None] * (2 - len(args.hps))
+        hop = int(vals[0]) if vals[0] is not None else hop
+        beta = float(vals[1]) if vals[1] is not None else beta
+    _echo(
+        [
+            "Running zen-fakert with the following params:",
+            f"\tinfile: {args.input}",
+            f"\toutfile: {args.output or ''}",
+            "\tdo hps: yes" if args.hps is not None else "\tdo hps: no",
+            f"\t\thop: {hop}",
+            f"\t\tbeta: {beta}",
+            "\t\tmask: soft/Wiener" if args.soft_mask else "\t\tmask: hard/binary",
+            "\t\tfilter: sse" if args.sse else "\t\tfilter: median",
+            f"\tcompute: tpu-native jax (border={_border(args)})",
+        ]
+    )
+    fs, audio = read_wav_mono(args.input)
+    _echo(
+        [
+            "Audio file info:",
+            f"\tsample rate: {fs}",
+            f"\tlen samples: {len(audio)}",
+            f"\tseconds: {len(audio) / fs}",
+        ]
+    )
+
+    n_hops = -(-len(audio) // hop)
+    delta_t_ms = 1000.0 * hop / fs
+    print(
+        f"Slicing buffer size {len(audio)} into {n_hops} chunks of size {hop}"
+    )
+
+    if args.hps is None:
+        out = audio
+        avg_us = 0.0
+    else:
+        rt = HPRRealtime(
+            fs,
+            hop,
+            beta,
+            outputs=OUTPUT_PERCUSSIVE,
+            border=_border(args),
+            use_sse=args.sse,
+            soft_mask=args.soft_mask,
+        )
+        block_hops = max(1, int(args.block_hops))
+        rt.warmup(block_sizes=(block_hops,))
+        t1 = time.perf_counter()
+        outs = rt.process_stream(audio, block_hops=block_hops)
+        t2 = time.perf_counter()
+        out = outs[1][: len(audio)]
+        avg_us = 1e6 * (t2 - t1) / n_hops
+        print(
+            f"PRealtime TPU:  Δn = {hop}, Δt(ms) = {delta_t_ms:.4f},"
+            f" average processing duration(us) = {avg_us:.2f}"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "fakert_us_per_hop",
+                    "value": avg_us,
+                    "unit": "us",
+                    "hop": hop,
+                    "block_hops": block_hops,
+                    "budget_us": delta_t_ms * 1000,
+                    "rtf": avg_us / (delta_t_ms * 1000),
+                }
+            )
+        )
+
+    if args.output:
+        write_wav_pcm16(args.output, fs, peak_normalize(out))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="zen",
+        description="zen-tpu: TPU-native harmonic/percussive source separation",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    off = sub.add_parser(
+        "offline", help="offline (process entire songs at a time)"
+    )
+    _add_common(off)
+    off.add_argument(
+        "--hps",
+        nargs="*",
+        default=None,
+        metavar=("hop-h", "beta-h"),
+        help="2-pass HPR-iterative, defaults: harmonic=4096,2.0 percussive=256,2.0",
+    )
+    off.add_argument("-o", "--out-prefix", default="")
+    off.add_argument("--only-percussive", action="store_true")
+    off.set_defaults(func=cmd_offline)
+
+    frt = sub.add_parser(
+        "fakert", help="fakert (use slim rt algorithms with wav files)"
+    )
+    _add_common(frt)
+    frt.add_argument(
+        "--hps",
+        nargs="*",
+        default=None,
+        metavar=("hop", "beta"),
+        help="1-pass P-realtime, defaults: 256,2.0",
+    )
+    frt.add_argument("-o", "--output", default="")
+    frt.add_argument(
+        "--block-hops",
+        default=32,
+        type=int,
+        help="hops per device dispatch (TPU streaming granularity)",
+    )
+    frt.set_defaults(func=cmd_fakert)
+
+    sub.add_parser("version")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "version":
+        from . import __version__
+
+        print(f"version {__version__}")
+        return 0
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,50 @@
+"""Audio file IO.
+
+Replaces the reference's vendored libnyquist decode/encode
+(zen/offline.h:88-117, 193-253): wav read via scipy, stereo-to-mono
+averaging, per-stem peak normalization, PCM16 encode. Host-side file
+IO is not performance-critical (SURVEY.md §2.2); the streaming ring
+buffer for live input lives in zen_tpu/runtime (native C++).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.io import wavfile
+
+
+def read_wav_mono(path: str):
+    """Load a wav file as float32 mono in [-1, 1]. Returns (fs, audio).
+
+    Stereo is averaged to mono, matching nqr::StereoToMono
+    (zen/offline.h:106-113).
+    """
+    fs, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        audio = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        audio = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        audio = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        audio = data.astype(np.float32)
+    if audio.ndim == 2:
+        audio = audio.mean(axis=1)
+    return int(fs), np.ascontiguousarray(audio, np.float32)
+
+
+def peak_normalize(x: np.ndarray) -> np.ndarray:
+    """Normalize to [-1, 1] by the max of (-min, max), matching the
+    reference encode path (zen/offline.h:182-191). A silent signal is
+    returned unchanged (the reference would divide by zero)."""
+    x = np.asarray(x, np.float32)
+    peak = max(-float(x.min(initial=0.0)), float(x.max(initial=0.0)))
+    if peak == 0.0:
+        return x
+    return x / np.float32(peak)
+
+
+def write_wav_pcm16(path: str, fs: int, x: np.ndarray) -> None:
+    """Encode float [-1, 1] to mono PCM16 wav (nqr::PCMFormat::PCM_16,
+    no dither — zen/offline.h:193-197)."""
+    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    wavfile.write(path, fs, np.round(x * 32767.0).astype(np.int16))

@@ -1,0 +1,277 @@
+"""Sharded pod-scale HPR drivers: channel-DP x time-block SP, and
+frequency TP.
+
+The reference has no distributed execution (SURVEY.md §2.3); these
+drivers add it the TPU way — jax.shard_map over a Mesh with explicit
+XLA collectives, no NCCL/MPI analog:
+
+* DP: independent channels sharded over 'dp' — zero communication.
+* SP (sequence/context parallel): the time axis is sharded in frame
+  blocks. Exactly three halo exchanges per pass, all neighbor
+  ppermutes over the ring (ICI-adjacent):
+    1. one hop of *samples* from the left neighbor (STFT framing
+       overlap — the input ring crosses the block boundary);
+    2. `back`/`fwd` rows of the filtered *feature* matrix (the
+       time-direction median taps — the overlap-save halo that the
+       reference realizes sequentially as its sliding-window lag,
+       SURVEY.md §5.7);
+    3. one scaled-iFFT row from the right neighbor (overlap-add at
+       the block seam).
+  ppermute's zero fill at the ring ends reproduces the zero prefill
+  of the reference's sliding window (SSE's +inf prefill is patched at
+  the global edges explicitly).
+* TP (frequency parallel, parallel axis 'tp'): see tp_separate.
+
+Out-of-the-box equivalence: sharded_separate == drivers.offline
+hpr_separate per channel (tests/test_parallel.py), on any mesh shape.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..engine.config import HPRConfig
+from ..engine.spectral import (
+    analyze,
+    compute_masks,
+    feature_transform,
+    finalize_features,
+    freq_filtered,
+    prefill_value,
+    synthesize,
+    time_filtered,
+)
+from ..errors import ZenError
+from ..ops.framing import overlap_add_stream
+
+_STEMS = ("harmonic", "percussive", "residual")
+
+
+def _right_from_left(x, axis_name, n):
+    """Receive from the left neighbor (shift right): shard i gets
+    shard i-1's x; shard 0 gets zeros."""
+    if n == 1:
+        return jnp.zeros_like(x)
+    return jax.lax.ppermute(x, axis_name, [(i, i + 1) for i in range(n - 1)])
+
+
+def _left_from_right(x, axis_name, n):
+    """Receive from the right neighbor; last shard gets zeros."""
+    if n == 1:
+        return jnp.zeros_like(x)
+    return jax.lax.ppermute(x, axis_name, [(i + 1, i) for i in range(n - 1)])
+
+
+def _sp_shard_fn(local, cfg: HPRConfig, sp_axis: str, n_sp: int):
+    """Per-shard body: local [..., Tl*hop] -> stems [3, ..., Tl*hop]."""
+    hop = cfg.hop
+    tl = local.shape[-1] // hop
+    idx = jax.lax.axis_index(sp_axis) if n_sp > 1 else 0
+
+    # (1) framing halo: left neighbor's trailing hop of samples
+    left_tail = _right_from_left(local[..., -hop:], sp_axis, n_sp)
+    samples = jnp.concatenate([left_tail, local], axis=-1)
+    blocks = samples.reshape(samples.shape[:-1] + (tl + 1, hop))
+    frames = jnp.concatenate(
+        [blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1
+    )
+
+    s = analyze(frames, cfg)
+    mag = jnp.abs(s)
+    feat = feature_transform(mag, cfg)
+
+    # (2) feature halos for the time-direction filter taps
+    back = cfg.time_history
+    fwd = max(max(cfg.time_offsets), 0)
+    if back > tl or fwd > tl:
+        raise ZenError(
+            "time shards smaller than the median halo; use fewer sp shards"
+        )
+    fill = prefill_value(cfg)
+    parts = []
+    if back:
+        lh = _right_from_left(feat[..., -back:, :], sp_axis, n_sp)
+        if fill != 0.0:
+            lh = jnp.where(idx == 0, jnp.full_like(lh, fill), lh)
+        parts.append(lh)
+    parts.append(feat)
+    if fwd:
+        rh = _left_from_right(feat[..., :fwd, :], sp_axis, n_sp)
+        if fill != 0.0:
+            rh = jnp.where(idx == n_sp - 1, jnp.full_like(rh, fill), rh)
+        parts.append(rh)
+    feats_ext = jnp.concatenate(parts, axis=-2)
+
+    h = time_filtered(feats_ext, cfg)[..., back : back + tl, :]
+    p = freq_filtered(feat, cfg)
+    h, p = finalize_features(h, p, cfg)
+    pm, hm, rm = compute_masks(h, p, cfg)
+    masks = {"harmonic": hm, "percussive": pm, "residual": rm}
+
+    outs = []
+    for name in _STEMS:
+        enabled = getattr(cfg, f"output_{name}") and masks[name] is not None
+        if not enabled:
+            outs.append(jnp.zeros(local.shape, jnp.float32))
+            continue
+        y = synthesize(s, masks[name], cfg)  # [..., Tl, nwin]
+        # (3) OLA seam: right neighbor's first row (zeros at the end)
+        nxt = _left_from_right(y[..., :1, :], sp_axis, n_sp)
+        y_ext = jnp.concatenate([y, nxt], axis=-2)
+        outs.append(overlap_add_stream(y_ext, hop, advance=1))
+    return jnp.stack(outs)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sp_fn(cfg: HPRConfig, mesh: Mesh, dp_axis: str, sp_axis: str):
+    n_sp = mesh.shape[sp_axis]
+    body = functools.partial(
+        _sp_shard_fn, cfg=cfg, sp_axis=sp_axis, n_sp=n_sp
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(dp_axis, sp_axis),
+        out_specs=P(None, dp_axis, sp_axis),
+    )
+    return jax.jit(fn)
+
+
+def sharded_separate(
+    audio,
+    cfg: HPRConfig,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    sp_axis: str = "sp",
+) -> dict:
+    """Offline HPR pass on [C, L] audio, channels over dp_axis and
+    time blocks over sp_axis. Returns dict of [C, L] stems. Matches
+    drivers.offline.hpr_separate per channel exactly."""
+    import numpy as np
+
+    audio = jnp.asarray(audio, jnp.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+    n_ch, length = audio.shape
+    n_dp = mesh.shape[dp_axis]
+    n_sp = mesh.shape[sp_axis]
+    if n_ch % n_dp != 0:
+        raise ZenError(f"channels ({n_ch}) not divisible by dp ({n_dp})")
+    n_frames = math.ceil(length / cfg.hop) + cfg.lag
+    n_frames = -(-n_frames // n_sp) * n_sp  # extra zero frames: harmless
+    padded = jnp.pad(audio, ((0, 0), (0, n_frames * cfg.hop - length)))
+    fn = _build_sp_fn(cfg, mesh, dp_axis, sp_axis)
+    out = fn(padded)  # [3, C, T*hop]
+    return {
+        name: out[i, :, :length] for i, name in enumerate(_STEMS)
+    }
+
+
+def sharded_hpri_offline(
+    audio, cfg_h: HPRConfig, cfg_p: HPRConfig, mesh: Mesh, **axes
+) -> tuple:
+    """Sharded 2-pass HPR-I (the pod-scale flagship pipeline step)."""
+    pass1 = sharded_separate(audio, cfg_h, mesh, **axes)
+    inter = pass1["percussive"] + pass1["residual"]
+    pass2 = sharded_separate(inter, cfg_p, mesh, **axes)
+    return pass1["harmonic"], pass2["percussive"], pass2["residual"]
+
+
+# ---------------- frequency tensor parallelism ----------------
+
+
+def _tp_shard_fn(audio_rep, cfg: HPRConfig, tp_axis: str, n_tp: int, n_frames: int):
+    """Frequency-TP body: audio replicated in, stems replicated out.
+
+    Each shard owns nfft/n_tp bins: it computes the (cheap) full FFT
+    locally, filters and masks only its bin slice (time median is
+    per-bin = local; frequency median needs fm-bin halos exchanged
+    around the ring — circular, matching the wrap border), then
+    reconstructs via the linearity of the iFFT: ifft(masked spectrum)
+    = psum over shards of ifft(own-slice-zero-padded)."""
+    from ..ops.framing import frame_signal
+    from ..ops.median import sliding_median
+    from ..ops.box import sliding_mean
+
+    hop, nfft = cfg.hop, cfg.nfft
+    fb = nfft // n_tp  # bins per shard
+    idx = jax.lax.axis_index(tp_axis)
+    frames = frame_signal(audio_rep, hop, n_frames)
+    s = analyze(frames, cfg)  # [T, nfft] replicated compute
+    mag = jnp.abs(s)
+    feat = feature_transform(mag, cfg)
+    start = idx * fb
+    feat_l = jax.lax.dynamic_slice_in_dim(feat, start, fb, axis=-1)
+    s_l = jax.lax.dynamic_slice_in_dim(s, start, fb, axis=-1)
+
+    h_l = time_filtered(feat_l, cfg)  # per-bin: fully local
+    # frequency median: exchange fm-bin halos around the ring (wrap)
+    fm = cfg.freq_filter_len // 2
+    if fm > fb:
+        raise ZenError("tp shards smaller than the frequency halo")
+    ring_r = [(i, (i + 1) % n_tp) for i in range(n_tp)]
+    ring_l = [((i + 1) % n_tp, i) for i in range(n_tp)]
+    lh = jax.lax.ppermute(feat_l[..., -fm:], tp_axis, ring_r)
+    rh = jax.lax.ppermute(feat_l[..., :fm], tp_axis, ring_l)
+    feat_ext = jnp.concatenate([lh, feat_l, rh], axis=-1)
+    if cfg.use_sse:
+        p_l = sliding_mean(feat_ext, cfg.freq_offsets, -1, "zero")
+    else:
+        p_l = sliding_median(feat_ext, cfg.freq_offsets, -1, "zero")
+    p_l = p_l[..., fm : fm + fb]
+    h_l, p_l = finalize_features(h_l, p_l, cfg)
+    pm, hm, rm = compute_masks(h_l, p_l, cfg)
+    masks = {"harmonic": hm, "percussive": pm, "residual": rm}
+
+    outs = []
+    for name in _STEMS:
+        enabled = getattr(cfg, f"output_{name}") and masks[name] is not None
+        if not enabled:
+            outs.append(jnp.zeros((n_frames * hop,), jnp.float32))
+            continue
+        masked_l = s_l * masks[name]
+        full = jnp.zeros(s.shape, s.dtype)
+        full = jax.lax.dynamic_update_slice_in_dim(full, masked_l, start, -1)
+        y = jnp.fft.ifft(full, axis=-1).real[..., : cfg.nwin] * jnp.float32(
+            cfg.synth_scale
+        )
+        y = jax.lax.psum(y, tp_axis)  # linearity of the iFFT
+        outs.append(overlap_add_stream(y, hop, advance=1))
+    return jnp.stack(outs)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_tp_fn(cfg: HPRConfig, mesh: Mesh, tp_axis: str, n_frames: int):
+    n_tp = mesh.shape[tp_axis]
+    body = functools.partial(
+        _tp_shard_fn, cfg=cfg, tp_axis=tp_axis, n_tp=n_tp, n_frames=n_frames
+    )
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False
+    )
+    return jax.jit(fn)
+
+
+def tp_separate(
+    audio, cfg: HPRConfig, mesh: Mesh, tp_axis: str = "tp"
+) -> dict:
+    """Frequency-TP offline pass on [L] audio. Requires the exact C2C
+    path and wrap border (the sharded frequency window is circular).
+    nfft <= 16k fits one chip, so this exists to prove the axis
+    (SURVEY.md §2.3), not as the default layout."""
+    import dataclasses
+
+    if cfg.border != "wrap":
+        raise ZenError("tp_separate supports the wrap border only")
+    if cfg.fast_rfft:
+        cfg = dataclasses.replace(cfg, fast_rfft=False)
+    audio = jnp.asarray(audio, jnp.float32)
+    length = audio.shape[-1]
+    n_frames = math.ceil(length / cfg.hop) + cfg.lag
+    padded = jnp.pad(audio, (0, n_frames * cfg.hop - length))
+    out = _build_tp_fn(cfg, mesh, tp_axis, n_frames)(padded)
+    return {name: out[i, :length] for i, name in enumerate(_STEMS)}
