@@ -1,0 +1,106 @@
+"""Pallas kernel parity tests.
+
+These need a real TPU (Mosaic kernels don't run on the CPU backend
+without interpret mode); by default they run in interpret mode on CPU
+so CI stays hermetic, and run compiled when a TPU is present.
+Run manually on hardware: JAX_PLATFORMS=axon pytest tests/test_pallas.py
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zen_tpu.ops.median import sliding_median
+
+
+def _interp():
+    return jax.default_backend() != "tpu"
+
+
+@pytest.fixture(autouse=True)
+def maybe_interpret(monkeypatch):
+    if _interp():
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+        ctx.__enter__()
+        yield
+        ctx.__exit__(None, None, None)
+    else:
+        yield
+
+
+@pytest.mark.parametrize("t,f,k", [(16, 200, 5), (24, 513, 13), (8, 130, 47)])
+def test_freq_kernel_matches_reference(t, f, k):
+    from zen_tpu.ops.median_pallas import sliding_median_last_axis_pallas
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((t, f)).astype(np.float32)
+    fm = k // 2
+    want = np.asarray(
+        sliding_median(jnp.asarray(x), list(range(-fm, fm + 1)), -1, "reflect")
+    )
+    xp = jnp.pad(jnp.asarray(x), ((0, 0), (fm, fm)), mode="reflect")
+    got = np.asarray(sliding_median_last_axis_pallas(xp, k))
+    np.testing.assert_allclose(got, want)
+
+
+@pytest.mark.parametrize(
+    "offsets",
+    [tuple(range(-5, 6)), tuple(range(-11, 0)), (-3, -2, -1, 0, 0, 0, 0)],
+)
+def test_time_kernel_matches_reference(offsets):
+    from zen_tpu.ops.median_pallas import tap_median_time_pallas
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((40, 200)).astype(np.float32)
+    want = np.asarray(
+        sliding_median(jnp.asarray(x), list(offsets), -2, "zero")
+    )
+    got = np.asarray(tap_median_time_pallas(jnp.asarray(x), offsets))
+    np.testing.assert_allclose(got, want)
+
+
+def test_time_kernel_inf_fill():
+    from zen_tpu.ops.median_pallas import tap_median_time_pallas
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((16, 130)).astype(np.float32)
+    offsets = tuple(range(-3, 4))
+    want = np.asarray(
+        sliding_median(
+            jnp.asarray(x), list(offsets), -2, "zero", fill=np.inf
+        )
+    )
+    got = np.asarray(
+        tap_median_time_pallas(jnp.asarray(x), offsets, fill=float("inf"))
+    )
+    np.testing.assert_allclose(got, want)
+
+
+def test_engine_pallas_impl_matches_xla():
+    """Full engine with median_impl='pallas' == 'xla' (interpret mode
+    on CPU, compiled on TPU)."""
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.offline import hpr_separate
+
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(600).astype(np.float32)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = HPRConfig(
+            fs=1000.0,
+            hop=8,
+            causal=False,
+            outputs=OUTPUT_ALL,
+            median_impl=impl,
+        )
+        outs[impl] = hpr_separate(audio, cfg)
+    for k in ("harmonic", "percussive", "residual"):
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas"][k]),
+            np.asarray(outs["xla"][k]),
+            rtol=1e-5,
+            atol=1e-3,
+        )

@@ -214,6 +214,74 @@ def cmd_fakert(args) -> int:
     return 0
 
 
+def cmd_pitch_track(args) -> int:
+    """Pitch tracking demo: MPM on harmonic-separated 4096-hops vs raw
+    (reference: demos/pitch-tracking/main.cu:33-125)."""
+    import numpy as np
+
+    from .apps.mpm import MPM
+    from .drivers.realtime import HPRRealtime
+    from .engine.config import OUTPUT_HARMONIC
+    from .io.audio import read_wav_mono
+
+    chunk = 4096
+    fs, audio = read_wav_mono(args.input)
+    print(f"Slicing wav file into chunks of {chunk} samples...")
+    print("Audio file info:")
+    print(f"\tsample rate: {fs}")
+    print(f"\tlen samples: {len(audio)}")
+    print(f"\tseconds: {len(audio) / fs}")
+
+    n_chunks = len(audio) // chunk
+    rt = HPRRealtime(fs, chunk, 2.5, outputs=OUTPUT_HARMONIC)
+    harm = rt.process_stream(audio[: n_chunks * chunk], block_hops=8)[0]
+    mpm = MPM(chunk, fs)
+    raw_chunks = audio[: n_chunks * chunk].reshape(n_chunks, chunk)
+    harm_chunks = harm[: n_chunks * chunk].reshape(n_chunks, chunk)
+    p_h = mpm.pitch_batch(harm_chunks)
+    p_r = mpm.pitch_batch(raw_chunks)
+    t = 0.0
+    for ph, pr in zip(p_h, p_r):
+        print(f"t: {t:.2f},\tpitch (+HPR): {ph:.2f},\tpitch (-HPR): {pr:.2f}")
+        t += chunk / fs
+    return 0
+
+
+def cmd_beat_track(args) -> int:
+    """Beat tracking demo: BTrack on percussive-separated 256-hops vs
+    raw (reference: demos/beat-tracking/main.cu:33-146)."""
+    import numpy as np
+
+    from .apps.btrack import frames_from_hops, odf_batch, track_beats_from_odf
+    from .drivers.realtime import HPRRealtime
+    from .engine.config import OUTPUT_PERCUSSIVE
+    from .io.audio import read_wav_mono
+
+    chunk = 256
+    fs, audio = read_wav_mono(args.input)
+    print(f"Slicing wav file into chunks of {chunk} samples...")
+    print("Audio file info:")
+    print(f"\tsample rate: {fs}")
+    print(f"\tlen samples: {len(audio)}")
+    print(f"\tseconds: {len(audio) / fs}")
+
+    n_chunks = len(audio) // chunk
+    cut = audio[: n_chunks * chunk]
+    rt = HPRRealtime(fs, chunk, 2.5, outputs=OUTPUT_PERCUSSIVE)
+    perc = rt.process_stream(cut, block_hops=64)[1][: len(cut)]
+
+    beats = {}
+    for name, sig in (("+HPR", perc), ("-HPR", cut)):
+        odf = np.asarray(odf_batch(frames_from_hops(sig)))
+        flags, _ = track_beats_from_odf(odf, fs)
+        beats[name] = [
+            f"{n * chunk / fs:.4f}" for n in np.nonzero(flags)[0]
+        ]
+    print("+HPR beat timestamps: " + " ".join(beats["+HPR"]))
+    print("-HPR beat timestamps: " + " ".join(beats["-HPR"]))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="zen",
@@ -255,6 +323,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="hops per device dispatch (TPU streaming granularity)",
     )
     frt.set_defaults(func=cmd_fakert)
+
+    for name, func, helptext in (
+        ("pitch-track", cmd_pitch_track, "MPM pitch tracking demo (+/- HPR)"),
+        ("beat-track", cmd_beat_track, "BTrack beat tracking demo (+/- HPR)"),
+    ):
+        p = sub.add_parser(name, help=helptext)
+        p.add_argument("-i", "--input", required=True)
+        p.set_defaults(func=func)
 
     sub.add_parser("version")
     return ap

@@ -65,6 +65,9 @@ class HPRConfig:
     use_sse: bool = False  # SSE box-filter variant (hps.cu:582-652)
     soft_mask: bool = False  # Wiener soft mask (hps.h:116-129)
     fast_rfft: bool = True  # Hermitian half-spectrum fast path
+    median_impl: str = "auto"  # 'auto' | 'xla' | 'pallas' (the
+    # TypeTraits-style backend seam, SURVEY.md §1: reference-path op vs
+    # fast-path kernel selectable per engine). 'auto' = Pallas on TPU.
 
     def __post_init__(self):
         if self.hop <= 0 or (self.hop & (self.hop - 1)) != 0:
@@ -77,6 +80,8 @@ class HPRConfig:
             raise ZenError("median filter bigger than matrix dimension")
         if self.freq_filter_len > self.nfft:
             raise ZenError("median filter bigger than matrix dimension")
+        if self.median_impl not in ("auto", "xla", "pallas"):
+            raise ZenError(f"unknown median_impl: {self.median_impl}")
         if self.use_sse and self.border == VALID:
             # reference BoxFilterGPU always pads borders (box.h:154-180)
             object.__setattr__(self, "border", WRAP)

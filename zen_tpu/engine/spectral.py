@@ -18,6 +18,7 @@ the drivers, not of the math.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,63 @@ def feature_transform(mag: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     return mag
 
 
+def _use_pallas(cfg: HPRConfig) -> bool:
+    """Resolve the median backend seam: Pallas kernels on TPU (26x
+    faster than the XLA sort lowering for the large-K frequency
+    median, see bench/kernels.py), XLA elsewhere."""
+    if cfg.median_impl == "pallas":
+        return True
+    if cfg.median_impl == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _batched_2d(fn):
+    """Apply a [T, F] -> [T, F] kernel over arbitrary leading dims."""
+
+    def apply(x):
+        if x.ndim == 2:
+            return fn(x)
+        lead = x.shape[:-2]
+        flat = x.reshape((-1,) + x.shape[-2:])
+        out = jax.lax.map(fn, flat)
+        return out.reshape(lead + out.shape[-2:])
+
+    return apply
+
+
+def _pallas_time_median(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+    from ..ops.median_pallas import tap_median_time_pallas
+
+    fill = prefill_value(cfg)
+    return _batched_2d(
+        lambda x: tap_median_time_pallas(x, tuple(cfg.time_offsets), fill=fill)
+    )(feats)
+
+
+def _pallas_freq_median(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+    from ..ops.median_pallas import sliding_median_last_axis_pallas
+
+    k = cfg.freq_filter_len
+    fm = k // 2
+    fboundary = "reflect" if cfg.fast_rfft else cfg.freq_boundary
+
+    def one(x):
+        if cfg.border == VALID:
+            xp = jnp.pad(x, ((0, 0), (0, k - 1)))
+            p = sliding_median_last_axis_pallas(xp, k)
+            nb = x.shape[-1]
+            keep = jnp.arange(nb) <= nb - k - 1
+            return jnp.where(keep, p, 0.0)
+        mode = {"reflect": "reflect", "wrap": "wrap", "clamp": "edge"}[
+            fboundary
+        ]
+        xp = jnp.pad(x, ((0, 0), (fm, fm)), mode=mode)
+        return sliding_median_last_axis_pallas(xp, k)
+
+    return _batched_2d(one)(feats)
+
+
 def prefill_value(cfg: HPRConfig) -> float:
     """Feature value of a zero prefill frame: |0| = 0 for the median
     path, 1/0^2 = +inf for the SSE reciprocal feature (IEEE semantics
@@ -68,6 +126,8 @@ def time_filtered(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     fill = prefill_value(cfg)
     if cfg.use_sse:
         return sliding_mean(feats, cfg.time_offsets, -2, "zero", fill)
+    if _use_pallas(cfg):
+        return _pallas_time_median(feats, cfg)
     return sliding_median(feats, cfg.time_offsets, -2, "zero", fill=fill)
 
 
@@ -76,6 +136,8 @@ def freq_filtered(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     fboundary = "reflect" if cfg.fast_rfft else cfg.freq_boundary
     if cfg.use_sse:
         return sliding_mean(feats, cfg.freq_offsets, -1, fboundary)
+    if _use_pallas(cfg):
+        return _pallas_freq_median(feats, cfg)
     p = sliding_median(feats, cfg.freq_offsets, -1, fboundary)
     if cfg.border == VALID:
         # NPP valid-ROI never writes the top filter_len bins (mfilt.h:152)
