@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Simulated live input: stream a wav file into the LiveStream service
+at real-time rate and write the separated percussive stem.
+
+The analog of the reference's virtual-mic plumbing
+(reference: scripts/zen_mic.sh + scripts/sine_tone_mic.sh, which pipe
+ffmpeg into a PulseAudio pipe-source); here the producer thread plays
+the wav into the native ring buffer in hop-sized chunks at wall-clock
+rate, exercising the full real-time path end-to-end.
+
+Usage: python scripts/feed_wav_realtime.py in.wav out_perc.wav [hop]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from zen_tpu.io.audio import read_wav_mono, write_wav_pcm16, peak_normalize
+    from zen_tpu.runtime.stream import LiveStream
+
+    infile, outfile = sys.argv[1], sys.argv[2]
+    hop = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    fs, audio = read_wav_mono(infile)
+    # cooperative (polled) mode: device dispatch stays on the main
+    # thread (see LiveStream.poll); the producer pacing loop doubles
+    # as the service loop
+    ls = LiveStream(float(fs), hop, 2.0, block_hops=16).warmup()
+
+    n_hops = len(audio) // hop
+    hop_dt = hop / fs
+    out = []
+    t0 = time.perf_counter()
+    for n in range(n_hops):
+        # pace the producer at real time
+        target = t0 + n * hop_dt
+        now = time.perf_counter()
+        if target > now:
+            time.sleep(target - now)
+        ls.push(audio[n * hop : (n + 1) * hop])
+        ls.poll()
+        chunk = ls.pull("percussive", hop)
+        if chunk is not None:
+            out.append(chunk)
+    # drain
+    deadline = time.perf_counter() + 2.0
+    while time.perf_counter() < deadline:
+        ls.poll()
+        chunk = ls.pull("percussive", hop)
+        if chunk is None:
+            time.sleep(0.005)
+            continue
+        out.append(chunk)
+    ls.stop()
+    y = np.concatenate(out) if out else np.zeros(0, np.float32)
+    print(
+        f"streamed {n_hops} hops at real time; recovered {len(y)} samples; "
+        f"input overruns={ls.in_ring.overruns}"
+    )
+    write_wav_pcm16(outfile, fs, peak_normalize(y))
+
+
+if __name__ == "__main__":
+    main()

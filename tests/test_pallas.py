@@ -79,6 +79,29 @@ def test_time_kernel_inf_fill():
     np.testing.assert_allclose(got, want)
 
 
+def test_sharded_engine_with_pallas_impl():
+    """Pallas kernels inside shard_map (the TPU production path) —
+    must trace and match the unsharded engine."""
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.offline import hpr_separate
+    from zen_tpu.parallel.mesh import make_mesh
+    from zen_tpu.parallel.sharded import sharded_separate
+
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal((2, 480)).astype(np.float32)
+    cfg = HPRConfig(
+        fs=1000.0, hop=8, causal=False, outputs=OUTPUT_ALL,
+        median_impl="pallas",
+    )
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    got = sharded_separate(audio, cfg, mesh)
+    want = hpr_separate(audio, cfg)
+    for k in ("harmonic", "percussive"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-5, atol=1e-3
+        )
+
+
 def test_engine_pallas_impl_matches_xla():
     """Full engine with median_impl='pallas' == 'xla' (interpret mode
     on CPU, compiled on TPU)."""

@@ -1,0 +1,139 @@
+"""Multi-stream, pipeline, checkpoint/resume and corpus-driver tests."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zen_tpu import HPRConfig, HPRIOffline, HPRRealtime, OUTPUT_ALL
+from zen_tpu.drivers.pipeline import PipelinedHPRIOffline
+from zen_tpu.drivers.realtime import (
+    MultiStreamHPR,
+    block_step,
+    init_state,
+)
+from zen_tpu.parallel.mesh import make_mesh
+from zen_tpu.runtime.checkpoint import (
+    ProgressJournal,
+    load_stream_state,
+    save_stream_state,
+)
+
+FS = 1000.0
+HOP = 8
+
+
+def audio_fixture(c, length, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((c, length)).astype(np.float32) * 0.5
+
+
+def test_multistream_matches_single_streams():
+    c, b, n_blocks = 4, 5, 6
+    audio = audio_fixture(c, b * n_blocks * HOP)
+    ms = MultiStreamHPR(c, FS, HOP, 2.0)
+    multi_outs = []
+    blocks = audio.reshape(c, n_blocks, b, HOP)
+    for k in range(n_blocks):
+        multi_outs.append(np.asarray(ms.process_block(blocks[:, k])))
+    multi = np.concatenate(multi_outs, axis=-1)  # [C, 3, L]
+
+    for ch in range(c):
+        rt = HPRRealtime(FS, HOP, 2.0)
+        single = rt.process_stream(audio[ch], block_hops=b)
+        np.testing.assert_allclose(
+            multi[ch], single, rtol=1e-5, atol=1e-4
+        )
+
+
+def test_multistream_sharded_over_mesh():
+    mesh = make_mesh({"dp": 8})
+    c, b = 8, 4
+    audio = audio_fixture(c, b * HOP, seed=3)
+    ms = MultiStreamHPR(c, FS, HOP, 2.0, mesh=mesh)
+    out_sharded = np.asarray(ms.process_block(audio.reshape(c, b, HOP)))
+    ms2 = MultiStreamHPR(c, FS, HOP, 2.0)
+    out_local = np.asarray(ms2.process_block(audio.reshape(c, b, HOP)))
+    np.testing.assert_allclose(out_sharded, out_local, rtol=1e-5, atol=1e-4)
+
+
+def test_pipeline_matches_plain_two_pass():
+    sep = HPRIOffline(FS, 16, 8, 2.0, 2.0)
+    pipe = PipelinedHPRIOffline(sep.cfg_h, sep.cfg_p)
+    tracks = [audio_fixture(1, 300, seed=s)[0] for s in range(3)]
+    got = list(pipe.process_stream(tracks))
+    assert len(got) == 3
+    for audio, (h, p, r) in zip(tracks, got):
+        wh, wp, wr = sep.process(audio)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(wh), rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(wp), rtol=1e-5, atol=1e-4)
+
+
+def test_stream_state_checkpoint_roundtrip(tmp_path):
+    cfg = HPRConfig(fs=FS, hop=HOP, causal=True, outputs=OUTPUT_ALL)
+    audio = audio_fixture(1, 40 * HOP)[0]
+    blocks = jnp.asarray(audio.reshape(40, HOP))
+
+    state = init_state(cfg)
+    outs_full = []
+    for k in range(40):
+        state, o = block_step(cfg, state, blocks[k : k + 1])
+        outs_full.append(np.asarray(o))
+        if k == 19:
+            save_stream_state(
+                str(tmp_path / "ckpt"), state, {"hops_done": 20}
+            )
+
+    # resume from the checkpoint and replay the second half
+    restored, meta = load_stream_state(
+        str(tmp_path / "ckpt"), init_state(cfg)
+    )
+    assert meta["hops_done"] == 20
+    state2 = restored
+    for k in range(20, 40):
+        state2, o = block_step(cfg, state2, blocks[k : k + 1])
+        np.testing.assert_array_equal(np.asarray(o), outs_full[k])
+
+
+def test_progress_journal(tmp_path):
+    j = ProgressJournal(str(tmp_path / "p.jsonl"))
+    assert not j.is_done("a")
+    j.mark_done("a", {"samples": 5})
+    assert j.is_done("a")
+    j2 = ProgressJournal(str(tmp_path / "p.jsonl"))
+    assert j2.is_done("a") and not j2.is_done("b")
+
+
+@pytest.mark.slow
+def test_corpus_driver_resumes(tmp_path):
+    from zen_tpu.drivers.corpus import separate_corpus
+    from zen_tpu.io.audio import write_wav_pcm16
+
+    fs = 1000
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"track{i}.wav")
+        write_wav_pcm16(p, fs, audio_fixture(1, 400 + 16 * i, seed=i)[0])
+        paths.append(p)
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    out = str(tmp_path / "stems")
+    res = separate_corpus(
+        paths, out, mesh, hop_h=16, hop_p=8, fs_default=fs
+    )
+    assert res["processed"] == 4
+    for i in range(4):
+        for stem in ("harm", "perc", "residual"):
+            assert os.path.exists(os.path.join(out, f"track{i}_{stem}.wav"))
+    # resume: nothing left to do
+    res2 = separate_corpus(paths, out, mesh, hop_h=16, hop_p=8)
+    assert res2["processed"] == 0 and res2["done"] == 4
+
+
+def test_profiling_steady_state_ms():
+    from zen_tpu.runtime.profiling import steady_state_ms
+
+    f = jax.jit(lambda x: x * 1.000001)
+    ms = steady_state_ms(f, jnp.ones((256, 256)), iters=5, warmup=2)
+    assert ms >= 0.0

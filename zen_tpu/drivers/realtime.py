@@ -64,10 +64,7 @@ def init_state(cfg: HPRConfig) -> StreamState:
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg",), donate_argnames=("state",)
-)
-def block_step(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
+def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     """Process B hops: block [B, hop] -> (new_state, outs [3, B*hop]).
 
     Equivalent to B successive process_next_hop calls of the reference
@@ -119,6 +116,25 @@ def block_step(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
         ola_tail=jnp.stack(tails),
     )
     return new_state, jnp.stack(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("state",)
+)
+def block_step(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
+    return _block_step_body(cfg, state, block)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("state",)
+)
+def block_step_multi(cfg: HPRConfig, state: StreamState, blocks: jnp.ndarray):
+    """Multi-channel streaming: state with leading channel dim, blocks
+    [C, B, hop] -> (state, outs [C, 3, B*hop]). The BASELINE
+    'batched multi-channel fakert' config — C independent causal
+    streams in one device program (channel data parallelism; shard the
+    C axis over a mesh for multi-chip)."""
+    return jax.vmap(lambda s, b: _block_step_body(cfg, s, b))(state, blocks)
 
 
 class HPRRealtime:
@@ -232,3 +248,63 @@ class HPRRealtime:
 
     def copy_residual(self):
         return np.asarray(self._last[2])
+
+
+class MultiStreamHPR:
+    """C independent causal HPR streams in one device program —
+    the BASELINE 'batched multi-channel fakert' configuration
+    (64 streams x 44.1 kHz, channel parallel).
+
+    When a mesh is given, the channel axis of state and blocks is
+    sharded over ``dp_axis`` (pure data parallelism, no collectives).
+    """
+
+    def __init__(
+        self,
+        n_streams: int,
+        fs: float,
+        hop: int = 256,
+        beta: float = 2.0,
+        outputs: int = 0,
+        mesh=None,
+        dp_axis: str = "dp",
+        **cfg_kw,
+    ):
+        from ..engine.config import OUTPUT_ALL
+
+        self.cfg = HPRConfig(
+            fs=fs,
+            hop=hop,
+            beta=beta,
+            causal=True,
+            outputs=outputs or OUTPUT_ALL,
+            **cfg_kw,
+        )
+        self.n_streams = n_streams
+        state = jax.vmap(lambda _: init_state(self.cfg))(
+            jnp.arange(n_streams)
+        )
+        self._mesh, self._dp_axis = mesh, dp_axis
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            state = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(mesh, P(dp_axis, *([None] * (x.ndim - 1))))
+                ),
+                state,
+            )
+        self.state = state
+
+    def process_block(self, blocks):
+        """blocks: [C, B, hop] -> outs [C, 3, B*hop]."""
+        blocks = jnp.asarray(blocks, jnp.float32)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            blocks = jax.device_put(
+                blocks,
+                NamedSharding(self._mesh, P(self._dp_axis, None, None)),
+            )
+        self.state, outs = block_step_multi(self.cfg, self.state, blocks)
+        return outs

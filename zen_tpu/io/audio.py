@@ -16,8 +16,16 @@ def read_wav_mono(path: str):
     """Load a wav file as float32 mono in [-1, 1]. Returns (fs, audio).
 
     Stereo is averaged to mono, matching nqr::StereoToMono
-    (zen/offline.h:106-113).
+    (zen/offline.h:106-113). Uses the native codec
+    (zen_tpu/runtime/native.py) when built, scipy otherwise.
     """
+    try:
+        from ..runtime import native
+
+        if native.available():
+            return native.wav_read_mono(path)
+    except Exception:
+        pass
     fs, data = wavfile.read(path)
     if data.dtype == np.int16:
         audio = data.astype(np.float32) / 32768.0

@@ -137,6 +137,8 @@ def _build_sp_fn(cfg: HPRConfig, mesh: Mesh, dp_axis: str, sp_axis: str):
         mesh=mesh,
         in_specs=P(dp_axis, sp_axis),
         out_specs=P(None, dp_axis, sp_axis),
+        # pallas_call outputs don't carry vma metadata yet
+        check_vma=False,
     )
     return jax.jit(fn)
 

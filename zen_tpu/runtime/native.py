@@ -1,0 +1,175 @@
+"""ctypes bindings for the native host runtime (native/zenio.cpp).
+
+The C++ side provides the real-time plumbing the reference keeps in
+native code (IOGPU-style transport, libnyquist-style wav codec,
+SURVEY.md §2.2); Python falls back to scipy IO when the shared
+library is absent. Build: ``make -C native`` (auto-attempted once).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native"
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libzenio.so")
+_lib = None
+_build_attempted = False
+
+
+def _load():
+    global _lib, _build_attempted
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build_attempted:
+        _build_attempted = True
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.zen_ring_create.restype = ctypes.c_void_p
+    lib.zen_ring_create.argtypes = [ctypes.c_uint64]
+    lib.zen_ring_destroy.argtypes = [ctypes.c_void_p]
+    for fn in ("zen_ring_write", "zen_ring_read"):
+        getattr(lib, fn).restype = ctypes.c_uint64
+        getattr(lib, fn).argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_uint64,
+        ]
+    lib.zen_ring_available.restype = ctypes.c_uint64
+    lib.zen_ring_available.argtypes = [ctypes.c_void_p]
+    lib.zen_ring_overruns.restype = ctypes.c_uint64
+    lib.zen_ring_overruns.argtypes = [ctypes.c_void_p]
+    lib.zen_wav_read_mono.restype = ctypes.c_int
+    lib.zen_wav_read_mono.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_uint32,
+    ]
+    lib.zen_wav_write_pcm16.restype = ctypes.c_int
+    lib.zen_wav_write_pcm16.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_uint32,
+    ]
+
+    class _WavInfo(ctypes.Structure):
+        _fields_ = [
+            ("sample_rate", ctypes.c_uint32),
+            ("n_frames", ctypes.c_uint32),
+            ("n_channels", ctypes.c_uint16),
+            ("format", ctypes.c_uint16),
+        ]
+
+    lib.zen_wav_info.restype = ctypes.c_int
+    lib.zen_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(_WavInfo)]
+    lib._WavInfo = _WavInfo
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class RingBuffer:
+    """Lock-free SPSC float ring buffer (native). The host-side
+    transport between a real-time audio producer and the TPU feeder
+    thread — the IOGPU analog (reference io.h:16-81)."""
+
+    def __init__(self, capacity_pow2: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native runtime unavailable; build with make -C native"
+            )
+        self._lib = lib
+        self._h = lib.zen_ring_create(capacity_pow2)
+        if not self._h:
+            raise ValueError("capacity must be a power of two")
+
+    def write(self, samples: np.ndarray) -> int:
+        x = np.ascontiguousarray(samples, np.float32)
+        return self._lib.zen_ring_write(
+            self._h,
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(x),
+        )
+
+    def read(self, n: int) -> np.ndarray | None:
+        out = np.empty(n, np.float32)
+        got = self._lib.zen_ring_read(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n,
+        )
+        return out if got == n else None
+
+    @property
+    def available_samples(self) -> int:
+        return self._lib.zen_ring_available(self._h)
+
+    @property
+    def overruns(self) -> int:
+        return self._lib.zen_ring_overruns(self._h)
+
+    def close(self):
+        if self._h:
+            self._lib.zen_ring_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def wav_read_mono(path: str):
+    """Native wav decode (PCM16/float32, stereo averaged). Returns
+    (fs, audio) or raises; callers fall back to scipy."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    info = lib._WavInfo()
+    rc = lib.zen_wav_info(path.encode(), ctypes.byref(info))
+    if rc != 0:
+        raise ValueError(f"zen_wav_info failed: {rc}")
+    out = np.empty(info.n_frames, np.float32)
+    rc = lib.zen_wav_read_mono(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        info.n_frames,
+    )
+    if rc != 0:
+        raise ValueError(f"zen_wav_read_mono failed: {rc}")
+    return int(info.sample_rate), out
+
+
+def wav_write_pcm16(path: str, fs: int, audio: np.ndarray) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    x = np.ascontiguousarray(audio, np.float32)
+    rc = lib.zen_wav_write_pcm16(
+        path.encode(),
+        fs,
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(x),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_wav_write_pcm16 failed: {rc}")
