@@ -193,6 +193,14 @@ class HPRRealtime:
     def reset_buffers(self):
         self.state = init_state(self.cfg)
 
+    @property
+    def latency_samples(self) -> int:
+        """Inherent stream latency: the OLA emits each stem hop one hop
+        after its input hop arrives (frame i's first-hop output overlaps
+        frame i-1's tail; same structural latency as the reference's
+        causal path — 'causal' means zero *lookahead*, hps.h:264-268)."""
+        return self.cfg.hop
+
     def warmup(self, block_sizes=(1,)):
         """Compile the step(s) and reset — analog of warmup()
         (hps.cu:392-409), which exists to hide first-dispatch latency."""

@@ -127,7 +127,7 @@ def sliding_median_last_axis_pallas(x_padded: jnp.ndarray, k: int):
         functools.partial(_freq_kernel, k=k, fb=fb, tb=tb, sw=sw),
         out_shape=jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32),
         grid=(n_t, n_f),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tb, fb), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
@@ -185,7 +185,7 @@ def tap_median_time_pallas(x: jnp.ndarray, offsets: tuple, fill: float = 0.0):
         ),
         out_shape=jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32),
         grid=(n_t,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tb, f_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
