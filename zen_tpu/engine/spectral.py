@@ -65,27 +65,17 @@ def _use_pallas(cfg: HPRConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _batched_2d(fn):
-    """Apply a [T, F] -> [T, F] kernel over arbitrary leading dims."""
-
-    def apply(x):
-        if x.ndim == 2:
-            return fn(x)
-        lead = x.shape[:-2]
-        flat = x.reshape((-1,) + x.shape[-2:])
-        out = jax.lax.map(fn, flat)
-        return out.reshape(lead + out.shape[-2:])
-
-    return apply
-
-
 def _pallas_time_median(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     from ..ops.median_pallas import tap_median_time_pallas
 
-    fill = prefill_value(cfg)
-    return _batched_2d(
-        lambda x: tap_median_time_pallas(x, tuple(cfg.time_offsets), fill=fill)
-    )(feats)
+    return tap_median_time_pallas(
+        feats, tuple(cfg.time_offsets), fill=prefill_value(cfg)
+    )
+
+
+def _last_axis_pad(x: jnp.ndarray, lo: int, hi: int, **kw) -> jnp.ndarray:
+    pad = [(0, 0)] * (x.ndim - 1) + [(lo, hi)]
+    return jnp.pad(x, pad, **kw)
 
 
 def _pallas_freq_median(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
@@ -94,21 +84,15 @@ def _pallas_freq_median(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     k = cfg.freq_filter_len
     fm = k // 2
     fboundary = "reflect" if cfg.fast_rfft else cfg.freq_boundary
-
-    def one(x):
-        if cfg.border == VALID:
-            xp = jnp.pad(x, ((0, 0), (0, k - 1)))
-            p = sliding_median_last_axis_pallas(xp, k)
-            nb = x.shape[-1]
-            keep = jnp.arange(nb) <= nb - k - 1
-            return jnp.where(keep, p, 0.0)
-        mode = {"reflect": "reflect", "wrap": "wrap", "clamp": "edge"}[
-            fboundary
-        ]
-        xp = jnp.pad(x, ((0, 0), (fm, fm)), mode=mode)
-        return sliding_median_last_axis_pallas(xp, k)
-
-    return _batched_2d(one)(feats)
+    if cfg.border == VALID:
+        xp = _last_axis_pad(feats, 0, k - 1)
+        p = sliding_median_last_axis_pallas(xp, k)
+        nb = feats.shape[-1]
+        keep = jnp.arange(nb) <= nb - k - 1
+        return jnp.where(keep, p, 0.0)
+    mode = {"reflect": "reflect", "wrap": "wrap", "clamp": "edge"}[fboundary]
+    xp = _last_axis_pad(feats, fm, fm, mode=mode)
+    return sliding_median_last_axis_pallas(xp, k)
 
 
 def prefill_value(cfg: HPRConfig) -> float:

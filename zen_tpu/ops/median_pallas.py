@@ -10,23 +10,27 @@ Design
   pre-padded input (the boundary rule — wrap/reflect/clamp/zero — is
   applied by the caller with one jnp.pad, so the kernel body is pure
   valid-mode selection).
-* Grid tiles the time axis; each program DMAs its [Tb, Fb + K - 1]
-  input slab HBM->VMEM (BlockSpec cannot express overlapping blocks),
-  builds the K tap views as static lane slices, and runs a bitonic
-  sorting network over the tap axis, reading out the median wire.
-  HBM traffic is exactly read-once + write-once — unlike the XLA
-  lowering of jnp.median, which materializes the full [K, T, F] tap
-  stack in HBM.
+* The grid tiles (batch, time); each program DMAs its input slab
+  HBM->VMEM (BlockSpec cannot express overlapping blocks), builds the
+  K tap views as static lane slices, and runs a bitonic sorting
+  network over the tap axis, reading out the median wire. HBM traffic
+  is exactly read-once + write-once — unlike the XLA lowering of
+  jnp.median, which materializes the full [K, T, F] tap stack in HBM.
 * The time-direction tap median (static frame offsets, K <= ~23)
   reuses the same network with row-shifted slabs.
+* Both entry points accept arbitrary leading batch dims (folded into
+  the first grid axis — one kernel launch for a whole channel batch)
+  and carry a custom_vmap rule, so jax.vmap/shard_map compose (vmap
+  of a manual-DMA pallas_call has no generic batching rule on TPU).
 
 For huge K the compare-exchange count grows ~K log^2 K; the op-level
 seam (ops.median.sliding_median / engine configs) keeps `impl='xla'`
-available, and bench/kernels.py A/Bs the two paths per shape.
+available, and benches/kernels.py A/Bs the two paths per shape.
 """
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +66,7 @@ def _median_network(taps, rank: int):
     the network runs at vector rate entirely in VMEM/vregs. For the K
     values used by HPR (<= 187, padded to 256) this measures 14-26x
     faster than the XLA sort lowering, which materializes the [K,T,F]
-    tap stack in HBM (see bench/kernels.py)."""
+    tap stack in HBM (see benches/kernels.py)."""
     k = len(taps)
     n = 1
     while n < k:
@@ -86,30 +90,37 @@ def _align(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _fold_batch(x):
+    """[..., T, F] -> ([C, T, F], lead_shape)."""
+    lead = x.shape[:-2]
+    c = math.prod(lead) if lead else 1
+    return x.reshape((c,) + x.shape[-2:]), lead
+
+
+# ---------------- frequency-direction sliding median ----------------
+
+
 def _freq_kernel(x_hbm, out_ref, slab, sem, *, k: int, fb: int, tb: int, sw: int):
-    """One [tb, fb] output tile; input slab [tb, sw] from HBM, where
-    sw = align128(fb + k - 1) (Mosaic DMA slices must be tile-aligned)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    """One [tb, fb] output tile of batch element c; input slab
+    [tb, sw] from HBM, where sw = align128(fb + k - 1) (Mosaic DMA
+    slices must be tile-aligned)."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tb, tb), pl.ds(j * fb, sw)],
+        x_hbm.at[c, pl.ds(i * tb, tb), pl.ds(j * fb, sw)],
         slab,
         sem,
     )
     cp.start()
     cp.wait()
     taps = [slab[:, t : t + fb] for t in range(k)]
-    out_ref[:, :] = _median_network(taps, (k - 1) // 2)
+    out_ref[0] = _median_network(taps, (k - 1) // 2)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def sliding_median_last_axis_pallas(x_padded: jnp.ndarray, k: int):
-    """Valid-mode sliding median along the last axis.
-
-    x_padded: [T, F + k - 1] float32 (caller applied the boundary pad).
-    Returns [T, F]: out[t, j] = median(x_padded[t, j : j + k]).
-    """
-    t, fp = x_padded.shape
+def _freq_impl(x_padded: jnp.ndarray, k: int):
+    xc, lead = _fold_batch(x_padded)
+    c, t, fp = xc.shape
     f = fp - (k - 1)
     tb = 8
     fb = min(512, _align(f, 128))  # lane-tile, VMEM-friendly
@@ -120,50 +131,68 @@ def sliding_median_last_axis_pallas(x_padded: jnp.ndarray, k: int):
     # pad to tile multiples (extra rows/lanes computed and discarded);
     # the last block's slab reads up to (n_f-1)*fb + sw lanes
     lane_pad = max(f_pad, (n_f - 1) * fb + sw) - fp
-    x_padded = jnp.pad(
-        x_padded, ((0, t_pad - t), (0, max(lane_pad, 0)))
-    )
+    xc = jnp.pad(xc, ((0, 0), (0, t_pad - t), (0, max(lane_pad, 0))))
     out = pl.pallas_call(
         functools.partial(_freq_kernel, k=k, fb=fb, tb=tb, sw=sw),
-        out_shape=jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32),
-        grid=(n_t, n_f),
+        out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
+        grid=(c, n_t, n_f),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (tb, fb), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (1, tb, fb), lambda c, i, j: (c, i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((tb, sw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-    )(x_padded)
-    return out[:t, :f]
+    )(xc)
+    return out[:, :t, :f].reshape(lead + (t, f))
+
+
+@functools.lru_cache(maxsize=None)
+def _freq_entry(k: int):
+    @jax.custom_batching.custom_vmap
+    def f(xp):
+        return _freq_impl(xp, k)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, xp):  # noqa: ANN001
+        # batched axis arrives stacked at axis 0; the impl folds any
+        # leading dims into the kernel's batch grid axis
+        return f(xp), True
+
+    return f
+
+
+def sliding_median_last_axis_pallas(x_padded: jnp.ndarray, k: int):
+    """Valid-mode sliding median along the last axis.
+
+    x_padded: [..., T, F + k - 1] float32 (caller applied the boundary
+    pad). Returns [..., T, F]:
+    out[..., t, j] = median(x_padded[..., t, j : j + k]).
+    """
+    return _freq_entry(int(k))(x_padded)
+
+
+# ---------------- time-direction tap median ----------------
 
 
 def _time_kernel(x_hbm, out_ref, slab, sem, *, offsets, back, tb: int, rows: int):
-    """One [tb, f] output tile of the time-direction tap median.
-    Input slab rows [i*tb .. i*tb + rows - 1] (rows = aligned span)."""
-    i = pl.program_id(0)
+    """One [tb, f] output tile of the time-direction tap median for
+    batch element c. Input slab rows [i*tb .. i*tb + rows - 1]
+    (rows = aligned span)."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
     k = len(offsets)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tb, rows), :], slab, sem
-    )
+    cp = pltpu.make_async_copy(x_hbm.at[c, pl.ds(i * tb, rows), :], slab, sem)
     cp.start()
     cp.wait()
     taps = [slab[o + back : o + back + tb, :] for o in offsets]
-    out_ref[:, :] = _median_network(taps, (k - 1) // 2)
+    out_ref[0] = _median_network(taps, (k - 1) // 2)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "fill"))
-def tap_median_time_pallas(x: jnp.ndarray, offsets: tuple, fill: float = 0.0):
-    """Time-direction tap median with constant boundary: out[t] =
-    median over x[t + o] for o in offsets (out-of-range rows read
-    ``fill`` — the feature value of a zero prefill frame).
-
-    x: [T, F] float32; offsets: static tuple of frame offsets
-    (duplicates allowed — the replicate-border causal mode repeats the
-    current frame).
-    """
-    t, f = x.shape
+def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float):
+    xc, lead = _fold_batch(x)
+    c, t, f = xc.shape
     back = max(0, -min(offsets))
     fwd = max(0, max(offsets))
     tb = 8
@@ -172,8 +201,9 @@ def tap_median_time_pallas(x: jnp.ndarray, offsets: tuple, fill: float = 0.0):
     f_pad = _align(f, 128)
     rows = _align(tb + back + fwd, 8)  # aligned slab rows
     xp = jnp.pad(
-        x,
+        xc,
         (
+            (0, 0),
             (back, fwd + (t_pad - t) + (rows - (tb + back + fwd))),
             (0, f_pad - f),
         ),
@@ -183,15 +213,40 @@ def tap_median_time_pallas(x: jnp.ndarray, offsets: tuple, fill: float = 0.0):
         functools.partial(
             _time_kernel, offsets=tuple(offsets), back=back, tb=tb, rows=rows
         ),
-        out_shape=jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32),
-        grid=(n_t,),
+        out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
+        grid=(c, n_t),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (tb, f_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, tb, f_pad), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((rows, f_pad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(xp)
-    return out[:t, :f]
+    return out[:, :t, :f].reshape(lead + (t, f))
+
+
+@functools.lru_cache(maxsize=None)
+def _time_entry(offsets: tuple, fill: float):
+    @jax.custom_batching.custom_vmap
+    def f(x):
+        return _time_impl(x, offsets, fill)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x):  # noqa: ANN001
+        return f(x), True
+
+    return f
+
+
+def tap_median_time_pallas(x: jnp.ndarray, offsets: tuple, fill: float = 0.0):
+    """Time-direction tap median with constant boundary: out[..., t, :]
+    = median over x[..., t + o, :] for o in offsets (out-of-range rows
+    read ``fill`` — the feature value of a zero prefill frame).
+
+    x: [..., T, F] float32; offsets: static tuple of frame offsets
+    (duplicates allowed — the replicate-border causal mode repeats the
+    current frame).
+    """
+    return _time_entry(tuple(offsets), float(fill))(x)
