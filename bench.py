@@ -38,8 +38,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_stream(cfg, block_hops, iters=40):
-    """Steady-state wall time per hop, fully output-chained."""
+def time_stream(cfg, block_hops, iters=40, repeats=5):
+    """Steady-state wall time per hop, fully output-chained, including
+    per-block dispatch (the honest streaming cost). Best of ``repeats``
+    timed runs — the axon tunnel adds multi-ms RTT jitter per dispatch
+    that min-of-repeats filters out."""
     from zen_tpu.drivers.realtime import block_step, init_state
 
     rng = np.random.default_rng(0)
@@ -60,13 +63,107 @@ def time_stream(cfg, block_hops, iters=40):
         # iterations after compile carry lazy-init overhead)
         state, prev = step(state, base, prev)
     float(jnp.sum(prev))  # forced readback
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, prev = step(state, base, prev)
-    checksum = float(jnp.sum(prev))  # forces completion of the chain
-    t1 = time.perf_counter()
-    assert np.isfinite(checksum)
-    return 1e6 * (t1 - t0) / (iters * block_hops)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, prev = step(state, base, prev)
+        checksum = float(jnp.sum(prev))  # forces completion of the chain
+        t1 = time.perf_counter()
+        assert np.isfinite(checksum)
+        best = min(best, t1 - t0)
+    return 1e6 * best / (iters * block_hops)
+
+
+def time_stream_scan(cfg, block_hops, iters=64, repeats=5):
+    """Device-resident us/hop: the whole chained run is ONE lax.scan
+    dispatch (the north star's 'no host round-trips per hop' form).
+    Chaining each block's input on the previous block's output forces
+    every step to execute serially; the final readback closes the
+    chain. This isolates TPU compute from the axon-tunnel RTT, which
+    per-dispatch timing cannot (multi-ms ambient jitter)."""
+    from zen_tpu.drivers.realtime import _block_step_body, init_state
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(
+        rng.standard_normal((block_hops, cfg.hop)).astype(np.float32)
+    )
+    state = init_state(cfg)
+    prev = jnp.zeros((3, block_hops * cfg.hop), jnp.float32)
+
+    @jax.jit
+    def run(state, prev):
+        def step(carry, _):
+            state, prev = carry
+            block = base + 1e-12 * prev[1].reshape(block_hops, cfg.hop)
+            state, outs = _block_step_body(cfg, state, block)
+            return (state, outs), None
+
+        (state, prev), _ = jax.lax.scan(
+            step, (state, prev), None, length=iters
+        )
+        return state, prev
+
+    state, prev = run(state, prev)
+    float(jnp.sum(prev))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, prev = run(state, prev)
+        checksum = float(jnp.sum(prev))
+        t1 = time.perf_counter()
+        assert np.isfinite(checksum)
+        best = min(best, t1 - t0)
+    return 1e6 * best / (iters * block_hops)
+
+
+def time_multistream(cfg, n_streams, block_hops, iters=50, repeats=5):
+    """Steady-state multi-channel throughput (samples/s/chip).
+
+    Device-resident: the whole chained run is one lax.scan dispatch
+    (a throughput workload amortizes host round-trips by design; the
+    chain through state+output still forces every step to execute),
+    so the axon-tunnel RTT does not pollute the number. Best of
+    ``repeats`` runs."""
+    from zen_tpu.drivers.realtime import _block_step_body, init_state
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(
+        rng.standard_normal((n_streams, block_hops, cfg.hop)).astype(
+            np.float32
+        )
+    )
+    state = jax.vmap(lambda _: init_state(cfg))(jnp.arange(n_streams))
+    prev = jnp.zeros((n_streams, 3, block_hops * cfg.hop), jnp.float32)
+
+    @jax.jit
+    def run(state, prev):
+        def step(carry, _):
+            state, prev = carry
+            blocks = base + 1e-12 * prev[:, 1, :].reshape(
+                n_streams, block_hops, cfg.hop
+            )
+            state, outs = jax.vmap(
+                lambda s, b: _block_step_body(cfg, s, b)
+            )(state, blocks)
+            return (state, outs), None
+
+        (state, prev), _ = jax.lax.scan(
+            step, (state, prev), None, length=iters
+        )
+        return state, prev
+
+    state, prev = run(state, prev)  # compile + warm
+    float(jnp.sum(prev))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, prev = run(state, prev)
+        checksum = float(jnp.sum(prev))
+        t1 = time.perf_counter()
+        assert np.isfinite(checksum)
+        best = min(best, t1 - t0)
+    return n_streams * block_hops * cfg.hop * iters / best
 
 
 def main():
@@ -78,18 +175,24 @@ def main():
     cfg = HPRConfig(
         fs=FS, hop=HOP, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
     )
-    us_per_hop = time_stream(cfg, BLOCK_HOPS)
+    us_per_hop = time_stream_scan(cfg, BLOCK_HOPS)
     hop_ms = 1000.0 * HOP / FS
     us_per_10ms = us_per_hop * (10.0 / hop_ms)
     rtf = us_per_hop / (hop_ms * 1000.0)
     log(
-        f"hop-1024 stream: {us_per_hop:.1f} us/hop "
+        f"hop-1024 device-resident: {us_per_hop:.1f} us/hop "
         f"({us_per_10ms:.1f} us per 10ms of audio, RTF={rtf:.5f}, "
         f"block={BLOCK_HOPS} hops, median_impl=auto)"
     )
 
-    us_single = time_stream(cfg, 1, iters=100)
-    log(f"hop-1024 single-hop latency: {us_single:.1f} us/hop")
+    us_disp = time_stream(cfg, BLOCK_HOPS)
+    log(
+        f"hop-1024 per-dispatch streaming (incl. tunnel RTT): "
+        f"{us_disp:.1f} us/hop"
+    )
+
+    us_single = time_stream(cfg, 1, iters=100, repeats=3)
+    log(f"hop-1024 single-hop dispatch latency: {us_single:.1f} us/hop")
 
     # secondary: the reference's default fakert config (hop 256)
     cfg256 = HPRConfig(
@@ -99,6 +202,14 @@ def main():
     log(
         f"hop-256 stream: {us256:.1f} us/hop "
         f"(budget 5805 us, reference: 173.99 us/hop)"
+    )
+
+    # secondary: BASELINE configs[3] — batched multi-channel fakert,
+    # 64 causal hop-256 streams in one device program
+    sps = time_multistream(cfg256, 64, 32)
+    log(
+        f"multichannel 64x hop-256: {sps / 1e6:.0f} Msamples/s/chip "
+        f"= {sps / FS:.0f} realtime 44.1 kHz streams/chip"
     )
 
     print(
