@@ -38,6 +38,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def time_stream(cfg, block_hops, iters=40, repeats=5):
     """Steady-state wall time per hop, fully output-chained, including
     per-block dispatch (the honest streaming cost). Best of ``repeats``
@@ -168,7 +174,9 @@ def time_multistream(cfg, n_streams, block_hops, iters=50, repeats=5):
 
 def main():
     from zen_tpu import HPRConfig, OUTPUT_PERCUSSIVE
+    from zen_tpu.runtime.xla_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
 
@@ -210,6 +218,25 @@ def main():
     log(
         f"multichannel 64x hop-256: {sps / 1e6:.0f} Msamples/s/chip "
         f"= {sps / FS:.0f} realtime 44.1 kHz streams/chip"
+    )
+
+    # secondary: offline 2-pass HPR-I on the reference README's 3.66 s
+    # clip size (161571 samples, hops 4096/256; reference: 487 ms)
+    from zen_tpu.drivers.offline import HPRIOffline
+
+    audio = jnp.asarray(  # device-resident: measure compute, not the
+        # tunnel's fluctuating host->device bandwidth
+        np.random.default_rng(0).standard_normal(161571).astype(np.float32)
+    )
+    sep = HPRIOffline(FS, 4096, 256, 2.0, 2.0)
+    jax.block_until_ready(sep.process(audio))  # compile
+    best = min(
+        _timed(lambda: jax.block_until_ready(sep.process(audio)))
+        for _ in range(5)
+    )
+    log(
+        f"offline 2-pass 3.66s clip: {best * 1e3:.1f} ms "
+        f"(reference transcript: 487 ms)"
     )
 
     print(

@@ -137,3 +137,27 @@ def test_profiling_steady_state_ms():
     f = jax.jit(lambda x: x * 1.000001)
     ms = steady_state_ms(f, jnp.ones((256, 256)), iters=5, warmup=2)
     assert ms >= 0.0
+
+
+def test_bucket_len():
+    from zen_tpu.drivers.offline import _bucket_len
+
+    assert _bucket_len(1, 256) == 256
+    assert _bucket_len(256, 256) == 256
+    assert _bucket_len(257, 256) == 512
+    assert _bucket_len(161571, 4096) == 4096 * 64
+    # monotone and covering
+    for L in (1, 100, 4096, 5000, 123456):
+        assert _bucket_len(L, 4096) >= L
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    from zen_tpu.runtime.xla_cache import enable_compilation_cache
+
+    d = str(tmp_path / "xla")
+    assert enable_compilation_cache(d) == d
+    import os
+
+    assert os.path.isdir(d)
+    monkeypatch.setenv("ZEN_TPU_CACHE_DIR", "0")
+    assert enable_compilation_cache() is None

@@ -337,6 +337,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from .runtime.xla_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.command == "version":
         from . import __version__

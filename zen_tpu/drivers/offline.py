@@ -38,8 +38,8 @@ from ..ops.framing import frame_signal, overlap_add_stream
 from ..ops.median import WRAP
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_frames", "out_len"))
-def _offline_pass(audio_padded, cfg: HPRConfig, n_frames: int, out_len: int):
+def _pass_trace(audio_padded, cfg: HPRConfig, n_frames: int, out_len: int):
+    """Traceable single-pass body (jit-composable)."""
     frames = frame_signal(audio_padded, cfg.hop, n_frames)
     ys = separate_frames(frames, cfg)
     outs = {}
@@ -53,6 +53,51 @@ def _offline_pass(audio_padded, cfg: HPRConfig, n_frames: int, out_len: int):
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames", "out_len"))
+def _offline_pass(audio_padded, cfg: HPRConfig, n_frames: int, out_len: int):
+    return _pass_trace(audio_padded, cfg, n_frames, out_len)
+
+
+def _pad_and_pass(audio, cfg: HPRConfig):
+    """Traceable pad + pass (hpss_chunk_padder semantics, hps.cu:109-126)."""
+    length = audio.shape[-1]
+    n_frames = math.ceil(length / cfg.hop) + cfg.lag
+    pad = n_frames * cfg.hop - length
+    if pad:
+        padding = [(0, 0)] * (audio.ndim - 1) + [(0, pad)]
+        audio = jnp.pad(audio, padding)
+    return _pass_trace(audio, cfg, n_frames, length)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_h", "cfg_p"))
+def _two_pass(audio, length, cfg_h: HPRConfig, cfg_p: HPRConfig):
+    """The full 2-pass cascade as ONE device program — a single
+    dispatch end-to-end (per-pass dispatch would pay host/tunnel RTT
+    several times per clip).
+
+    ``length`` is the *dynamic* true clip length: the input may be
+    zero-padded to a compile bucket, and the intermediate is masked
+    back to ``length`` so pass 2 sees exactly what it would have seen
+    unbucketed (pass 1's OLA spill beyond the clip must not leak in,
+    mirroring the reference's truncate-between-passes,
+    hps.cu:171-178)."""
+    pass1 = _pad_and_pass(audio, cfg_h)
+    intermediate = pass1["percussive"] + pass1["residual"]
+    keep = jnp.arange(intermediate.shape[-1]) < length
+    intermediate = jnp.where(keep, intermediate, 0.0)
+    pass2 = _pad_and_pass(intermediate, cfg_p)
+    return pass1["harmonic"], pass2["percussive"], pass2["residual"]
+
+
+def _bucket_len(length: int, hop: int) -> int:
+    """Smallest power-of-two frame count covering ``length`` — clips
+    share compiled executables per bucket instead of recompiling the
+    whole cascade for every distinct clip length (<= 2x padded
+    compute, amortized compile)."""
+    frames = max(1, math.ceil(length / hop))
+    return hop * (1 << (frames - 1).bit_length())
+
+
 def hpr_separate(audio, cfg: HPRConfig) -> dict:
     """One offline HPR pass on [..., L] audio -> dict of [..., L] stems.
 
@@ -61,13 +106,12 @@ def hpr_separate(audio, cfg: HPRConfig) -> dict:
     is shifted away again by the OLA assembly (advance=1, framing.py).
     """
     audio = jnp.asarray(audio, jnp.float32)
-    length = audio.shape[-1]
-    n_frames = math.ceil(length / cfg.hop) + cfg.lag
-    pad = n_frames * cfg.hop - length
-    if pad:
-        padding = [(0, 0)] * (audio.ndim - 1) + [(0, pad)]
-        audio = jnp.pad(audio, padding)
-    return _offline_pass(audio, cfg, n_frames, length)
+    return _one_pass(audio, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _one_pass(audio, cfg: HPRConfig):
+    return _pad_and_pass(audio, cfg)
 
 
 class HPRIOffline:
@@ -125,12 +169,19 @@ class HPRIOffline:
         )
 
     def process(self, audio):
-        pass1 = hpr_separate(audio, self.cfg_h)
         # xp1 + xr1 feeds pass 2 (hps.cu:152-158); residual is zero for
-        # soft/SSE variants, as in the reference (hps.cu:562, 582-652)
-        intermediate = pass1["percussive"] + pass1["residual"]
-        pass2 = hpr_separate(intermediate, self.cfg_p)
-        return pass1["harmonic"], pass2["percussive"], pass2["residual"]
+        # soft/SSE variants, as in the reference (hps.cu:562, 582-652).
+        # Both passes run fused as one jitted device program, on a
+        # power-of-two length bucket (bit-identical to unbucketed; see
+        # _two_pass).
+        audio = jnp.asarray(audio, jnp.float32)
+        length = audio.shape[-1]
+        nb = _bucket_len(length, self.cfg_h.hop)
+        if nb != length:
+            padding = [(0, 0)] * (audio.ndim - 1) + [(0, nb - length)]
+            audio = jnp.pad(audio, padding)
+        h, p, r = _two_pass(audio, length, self.cfg_h, self.cfg_p)
+        return h[..., :length], p[..., :length], r[..., :length]
 
 
 def _cfg_kwargs(cfg: HPRConfig) -> dict:
