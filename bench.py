@@ -11,12 +11,15 @@ Prints ONE JSON line:
    "vs_baseline": <baseline_us / ours — speedup factor, >1 is faster>}
 
 Methodology: every iteration's *input* mixes in the previous
-iteration's *output* (full data dependence), and the final output is
-read back to the host — wall time cannot hide behind async dispatch
-or any relay-side completion shortcuts. Streaming granularity is 32
-hops per device dispatch (the TPU-idiomatic unit; per-hop host
-round-trips are a GPU idiom the north star forbids). Secondary
-numbers (single-hop latency, other configs) go to stderr.
+iteration's *output* (full data dependence — async dispatch and any
+relay-side result caching cannot skip work), timing is closed by a
+completion barrier (block_until_ready), and the checksum is read back
+once *outside* the clock: a device->host value fetch costs a constant
+~26 ms over the axon tunnel and would otherwise swamp every number.
+Streaming granularity is 32 hops per device dispatch (the
+TPU-idiomatic unit; per-hop host round-trips are a GPU idiom the
+north star forbids). Secondary numbers (single-hop latency, other
+configs) go to stderr.
 """
 from __future__ import annotations
 
@@ -74,10 +77,11 @@ def time_stream(cfg, block_hops, iters=40, repeats=5):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, prev = step(state, base, prev)
-        checksum = float(jnp.sum(prev))  # forces completion of the chain
+        jax.block_until_ready(prev)  # completion barrier: waits on
+        # the full chain without paying the ~26 ms tunnel readback
         t1 = time.perf_counter()
-        assert np.isfinite(checksum)
         best = min(best, t1 - t0)
+    assert np.isfinite(float(jnp.sum(prev)))  # checksum outside the clock
     return 1e6 * best / (iters * block_hops)
 
 
@@ -116,10 +120,10 @@ def time_stream_scan(cfg, block_hops, iters=64, repeats=5):
     for _ in range(repeats):
         t0 = time.perf_counter()
         state, prev = run(state, prev)
-        checksum = float(jnp.sum(prev))
+        jax.block_until_ready(prev)
         t1 = time.perf_counter()
-        assert np.isfinite(checksum)
         best = min(best, t1 - t0)
+    assert np.isfinite(float(jnp.sum(prev)))
     return 1e6 * best / (iters * block_hops)
 
 
@@ -165,10 +169,10 @@ def time_multistream(cfg, n_streams, block_hops, iters=50, repeats=5):
     for _ in range(repeats):
         t0 = time.perf_counter()
         state, prev = run(state, prev)
-        checksum = float(jnp.sum(prev))
+        jax.block_until_ready(prev)
         t1 = time.perf_counter()
-        assert np.isfinite(checksum)
         best = min(best, t1 - t0)
+    assert np.isfinite(float(jnp.sum(prev)))
     return n_streams * block_hops * cfg.hop * iters / best
 
 
@@ -224,15 +228,18 @@ def main():
     # clip size (161571 samples, hops 4096/256; reference: 487 ms)
     from zen_tpu.drivers.offline import HPRIOffline
 
-    audio = jnp.asarray(  # device-resident: measure compute, not the
-        # tunnel's fluctuating host->device bandwidth
-        np.random.default_rng(0).standard_normal(161571).astype(np.float32)
-    )
+    # device-resident DISTINCT inputs per repeat: identical
+    # (executable, inputs) pairs can be served from relay-side caches
+    rng = np.random.default_rng(0)
+    audios = [
+        jnp.asarray(rng.standard_normal(161571).astype(np.float32))
+        for _ in range(6)
+    ]
     sep = HPRIOffline(FS, 4096, 256, 2.0, 2.0)
-    jax.block_until_ready(sep.process(audio))  # compile
+    jax.block_until_ready(sep.process(audios[0]))  # compile
     best = min(
-        _timed(lambda: jax.block_until_ready(sep.process(audio)))
-        for _ in range(5)
+        _timed(lambda a=a: jax.block_until_ready(sep.process(a)))
+        for a in audios[1:]
     )
     log(
         f"offline 2-pass 3.66s clip: {best * 1e3:.1f} ms "

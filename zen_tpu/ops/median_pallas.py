@@ -57,37 +57,91 @@ def _bitonic_pairs(n: int):
     return pairs
 
 
+@functools.lru_cache(maxsize=None)
+def _pruned_schedule(n: int, k: int, rank: int):
+    """Specialize the n-wire bitonic sort to an exact rank-select over
+    k data wires: (a) constant-fold the n-k +inf pad wires — a
+    comparator with one known-inf input is an exact wire *swap*, zero
+    compute; (b) prune comparators outside the backward dependency
+    cone of the ``rank`` output wire (any comparator not touching a
+    needed wire cannot influence it; reverse-pass marking is exact).
+    Together these drop ~40-60% of the min/max pairs at HPR's K values.
+
+    Returns a list of ('cmp'|'swap', i, j, up) executed in order; wire
+    values start as [data_0..data_{k-1}, inf...]."""
+    pairs = _bitonic_pairs(n)
+    needed = {rank}
+    keep = [False] * len(pairs)
+    for idx in range(len(pairs) - 1, -1, -1):
+        i, j, _ = pairs[idx]
+        if i in needed or j in needed:
+            keep[idx] = True
+            needed.add(i)
+            needed.add(j)
+    wires = [True] * k + [False] * (n - k)  # True = data, False = inf
+    sched = []
+    for idx, (i, j, up) in enumerate(pairs):
+        a, b = wires[i], wires[j]
+        if not a and not b:
+            continue
+        if not a or not b:
+            # exact: min(x, inf) = x on the lo wire, inf on the hi wire
+            sched.append(("swap", i, j, up))
+            wires[i], wires[j] = (True, False) if up else (False, True)
+            continue
+        if keep[idx]:
+            sched.append(("cmp", i, j, up))
+    return tuple(sched)
+
+
 def _median_network(taps, rank: int):
     """Exact rank-select over a Python list of equal-shaped arrays:
-    a full bitonic sorting network over the tap axis (padded to a
-    power of two with +inf), returning the wire at ``rank``.
+    a pruned bitonic sorting network over the tap axis (see
+    _pruned_schedule), returning the wire at ``rank``.
 
     Every compare-exchange is a VPU min/max over the whole tile, so
-    the network runs at vector rate entirely in VMEM/vregs. For the K
-    values used by HPR (<= 187, padded to 256) this measures 14-26x
-    faster than the XLA sort lowering, which materializes the [K,T,F]
-    tap stack in HBM (see benches/kernels.py)."""
+    the network runs at vector rate entirely in VMEM/vregs — unlike
+    the XLA sort lowering, which materializes the [K,T,F] tap stack in
+    HBM (14-26x slower at HPR's K values, see benches/kernels.py)."""
     k = len(taps)
     n = 1
     while n < k:
         n *= 2
-    if n != k:
-        inf = jnp.full_like(taps[0], jnp.inf)
-        taps = list(taps) + [inf] * (n - k)
-    else:
-        taps = list(taps)
-    for i, j, up in _bitonic_pairs(n):
-        lo = jnp.minimum(taps[i], taps[j])
-        hi = jnp.maximum(taps[i], taps[j])
-        if up:
-            taps[i], taps[j] = lo, hi
-        else:
-            taps[i], taps[j] = hi, lo
-    return taps[rank]
+    vals = list(taps) + [None] * (n - k)  # None = +inf (never built)
+    for op, i, j, up in _pruned_schedule(n, k, rank):
+        a, b = vals[i], vals[j]
+        if op == "swap":
+            data = a if b is None else b
+            vals[i], vals[j] = (data, None) if up else (None, data)
+            continue
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        vals[i], vals[j] = (lo, hi) if up else (hi, lo)
+    out = vals[rank]
+    assert out is not None
+    return out
 
 
 def _align(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _pow2_at_least(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+# VMEM working-set budget per program for the sorting network: the
+# bitonic network keeps ~n_pad (K padded to pow2) wires of one
+# [tb, fb] tile live at once; budget well under the ~16 MB/core VMEM
+# so slab + output + spills fit. Taller tiles amortize the per-program
+# DMA-issue/grid overhead (tb=8 everywhere measured ~50x off the HBM
+# roofline for small K).
+_NET_BUDGET_BYTES = 4 << 20
+
+
+def _pick_tb(n_pad: int, fb: int, t: int) -> int:
+    tb = _NET_BUDGET_BYTES // (4 * fb * n_pad)
+    return max(8, min(256, _align(t, 8), tb // 8 * 8))
 
 
 def _fold_batch(x):
@@ -122,8 +176,8 @@ def _freq_impl(x_padded: jnp.ndarray, k: int):
     xc, lead = _fold_batch(x_padded)
     c, t, fp = xc.shape
     f = fp - (k - 1)
-    tb = 8
     fb = min(512, _align(f, 128))  # lane-tile, VMEM-friendly
+    tb = _pick_tb(_pow2_at_least(k), fb, t)
     sw = _align(fb + k - 1, 128)  # aligned slab width
     n_f = -(-f // fb)
     n_t = -(-t // tb)
@@ -195,7 +249,8 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float):
     c, t, f = xc.shape
     back = max(0, -min(offsets))
     fwd = max(0, max(offsets))
-    tb = 8
+    f_pad0 = _align(f, 128)
+    tb = _pick_tb(_pow2_at_least(len(offsets)), f_pad0, t)
     n_t = -(-t // tb)
     t_pad = n_t * tb
     f_pad = _align(f, 128)
