@@ -126,3 +126,37 @@ def test_cli_fakert_end_to_end(tmp_path):
 def test_cli_version():
     res = run_cli(["version"], "/root/repo")
     assert res.returncode == 0 and res.stdout.startswith("version")
+
+
+def test_synth_to_offline_e2e(tmp_path):
+    """zen synth -> zen offline -> stems correlate with ground truth
+    (the full user path: no sample audio exists in a fresh checkout)."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from zen_tpu.cli import main
+
+    mix = str(tmp_path / "mix.wav")
+    rc = main(
+        [
+            "synth", "-o", mix, "--fs", "8000", "--seconds", "2",
+            "--bpm", "240", "--stems",
+        ]
+    )
+    assert rc == 0
+    out = str(tmp_path / "sep")
+    rc = main(
+        ["offline", "-i", mix, "--hps", "256", "2.0", "64", "2.0", "-o", out]
+    )
+    assert rc == 0
+
+    def rd(p):
+        _, d = wavfile.read(p)
+        return d.astype(np.float64) / 32768.0
+
+    harm, perc = rd(mix[:-4] + "_harm.wav"), rd(mix[:-4] + "_perc.wav")
+    h, p = rd(out + "_harm.wav"), rd(out + "_perc.wav")
+    n = len(harm)
+    assert np.corrcoef(h[:n], harm)[0, 1] > 0.9
+    assert np.corrcoef(p[:n], perc)[0, 1] > 0.8
+    assert abs(np.corrcoef(h[:n], perc)[0, 1]) < 0.2

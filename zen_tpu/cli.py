@@ -282,6 +282,36 @@ def cmd_beat_track(args) -> int:
     return 0
 
 
+def cmd_synth(args) -> int:
+    """Write a deterministic synthetic test mixture (+ ground truth)."""
+    import numpy as np
+
+    from .io.audio import peak_normalize, write_wav_pcm16
+    from .io.synth import synth_mixture
+
+    harm, perc, mix = synth_mixture(
+        fs=args.fs,
+        seconds=args.seconds,
+        bpm=args.bpm,
+        hits_per_beat=args.hits_per_beat,
+        sawtooth=args.sawtooth,
+        vibrato_cents=args.vibrato_cents,
+        seed=args.seed,
+    )
+    fs = int(args.fs)
+    scale = 1.0 / max(np.abs(mix).max(), 1e-9)  # one shared scale so
+    # the stems stay sample-aligned with the mixture
+    write_wav_pcm16(args.output, fs, mix * scale)
+    print(f"wrote {args.output} ({args.seconds}s @ {fs} Hz)")
+    if args.stems:
+        base = args.output[:-4] if args.output.endswith(".wav") else args.output
+        for name, sig in (("harm", harm), ("perc", perc)):
+            path = f"{base}_{name}.wav"
+            write_wav_pcm16(path, fs, sig * scale)
+            print(f"wrote {path}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="zen",
@@ -331,6 +361,26 @@ def build_parser() -> argparse.ArgumentParser:
         p = sub.add_parser(name, help=helptext)
         p.add_argument("-i", "--input", required=True)
         p.set_defaults(func=func)
+
+    syn = sub.add_parser(
+        "synth",
+        help="generate a synthetic harmonic+percussive test mixture "
+        "(the reference sample wavs ship as git-lfs pointers)",
+    )
+    syn.add_argument("-o", "--output", required=True, help="mixture wav path")
+    syn.add_argument("--fs", type=float, default=44100.0)
+    syn.add_argument("--seconds", type=float, default=4.0)
+    syn.add_argument("--bpm", type=float, default=120.0)
+    syn.add_argument("--hits-per-beat", type=int, default=1)
+    syn.add_argument("--sawtooth", action="store_true")
+    syn.add_argument("--vibrato-cents", type=float, default=0.0)
+    syn.add_argument("--seed", type=int, default=42)
+    syn.add_argument(
+        "--stems",
+        action="store_true",
+        help="also write <out>_harm.wav / <out>_perc.wav ground truth",
+    )
+    syn.set_defaults(func=cmd_synth)
 
     sub.add_parser("version")
     return ap
