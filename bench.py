@@ -10,16 +10,22 @@ Prints ONE JSON line:
   {"metric": "us_per_10ms_hop1024_hpr", "value": ..., "unit": "us",
    "vs_baseline": <baseline_us / ours — speedup factor, >1 is faster>}
 
-Methodology: every iteration's *input* mixes in the previous
-iteration's *output* (full data dependence — async dispatch and any
-relay-side result caching cannot skip work), timing is closed by a
-completion barrier (block_until_ready), and the checksum is read back
-once *outside* the clock: a device->host value fetch costs a constant
-~26 ms over the axon tunnel and would otherwise swamp every number.
-Streaming granularity is 32 hops per device dispatch (the
-TPU-idiomatic unit; per-hop host round-trips are a GPU idiom the
-north star forbids). Secondary numbers (single-hop latency, other
-configs) go to stderr.
+Methodology (shaped by this environment's measurement hazards, each
+verified experimentally):
+
+* Chained work: every scan iteration's input mixes in the previous
+  iteration's output, so neither XLA nor any relay-side result cache
+  can skip iterations.
+* Readback-synced: jax.block_until_ready does NOT wait on the axon
+  tunnel runtime (returns in ~0.1 ms while the device is mid-compute),
+  so every timed run ends with a value readback — the only true sync.
+* Slope-timed: a synchronous readback costs a large, variable constant
+  (~26 ms idle, seconds under load), so each metric is the SLOPE of
+  best-of-N wall time between two scan lengths (e.g. 128 vs 2048
+  steps). The sync constant and dispatch overhead cancel in the
+  difference; linearity is sanity-checked with a third point in
+  benches/. Per-dispatch latency is reported separately, labeled as
+  tunnel-inclusive.
 """
 from __future__ import annotations
 
@@ -41,100 +47,73 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _timed(fn):
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
+def _sync(tree) -> float:
+    """True synchronization: value readback (block_until_ready is a
+    no-op on the axon runtime). Returns the checksum read."""
+    return float(jnp.sum(jax.tree.leaves(tree)[0]))
 
 
-def time_stream(cfg, block_hops, iters=40, repeats=5):
-    """Steady-state wall time per hop, fully output-chained, including
-    per-block dispatch (the honest streaming cost). Best of ``repeats``
-    timed runs — the axon tunnel adds multi-ms RTT jitter per dispatch
-    that min-of-repeats filters out."""
-    from zen_tpu.drivers.realtime import block_step, init_state
-
-    rng = np.random.default_rng(0)
-    base = jnp.asarray(
-        rng.standard_normal((block_hops, cfg.hop)).astype(np.float32)
-    )
-    state = init_state(cfg)
-
-    @jax.jit
-    def step(state, block, prev):
-        # chain the previous output into the input: full data dependence
-        block = block + 1e-12 * prev[1].reshape(block_hops, cfg.hop)
-        state, outs = block_step(cfg, state, block)
-        return state, outs
-
-    prev = jnp.zeros((3, block_hops * cfg.hop), jnp.float32)
-    for _ in range(8):  # compile + warm thoroughly (first chained
-        # iterations after compile carry lazy-init overhead)
-        state, prev = step(state, base, prev)
-    float(jnp.sum(prev))  # forced readback
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, prev = step(state, base, prev)
-        jax.block_until_ready(prev)  # completion barrier: waits on
-        # the full chain without paying the ~26 ms tunnel readback
-        t1 = time.perf_counter()
-        best = min(best, t1 - t0)
-    assert np.isfinite(float(jnp.sum(prev)))  # checksum outside the clock
-    return 1e6 * best / (iters * block_hops)
+def slope_time(make_run, make_carry, n1, n2, repeats=6):
+    """Seconds per scan iteration: (best T(n2) - best T(n1))/(n2-n1),
+    each run readback-synced, best-of-repeats."""
+    ts = {}
+    for n in (n1, n2):
+        run = make_run(n)
+        carry = make_carry()
+        carry = run(*carry)
+        _sync(carry)  # compile + warm (incl. donated-layout recompile)
+        best = float("inf")
+        s = 0.0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            carry = run(*carry)
+            s = _sync(carry)
+            best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(s)
+        ts[n] = best
+    return (ts[n2] - ts[n1]) / (n2 - n1)
 
 
-def time_stream_scan(cfg, block_hops, iters=64, repeats=5):
-    """Device-resident us/hop: the whole chained run is ONE lax.scan
-    dispatch (the north star's 'no host round-trips per hop' form).
-    Chaining each block's input on the previous block's output forces
-    every step to execute serially; the final readback closes the
-    chain. This isolates TPU compute from the axon-tunnel RTT, which
-    per-dispatch timing cannot (multi-ms ambient jitter)."""
+def stream_run_factory(cfg, block_hops):
     from zen_tpu.drivers.realtime import _block_step_body, init_state
 
     rng = np.random.default_rng(0)
     base = jnp.asarray(
         rng.standard_normal((block_hops, cfg.hop)).astype(np.float32)
     )
-    state = init_state(cfg)
-    prev = jnp.zeros((3, block_hops * cfg.hop), jnp.float32)
 
-    @jax.jit
-    def run(state, prev):
-        def step(carry, _):
-            state, prev = carry
-            block = base + 1e-12 * prev[1].reshape(block_hops, cfg.hop)
-            state, outs = _block_step_body(cfg, state, block)
-            return (state, outs), None
+    def make_run(n):
+        @jax.jit
+        def run(state, prev):
+            def step(carry, _):
+                state, prev = carry
+                block = base + 1e-12 * prev[1].reshape(
+                    block_hops, cfg.hop
+                )
+                return _block_step_body(cfg, state, block), None
 
-        (state, prev), _ = jax.lax.scan(
-            step, (state, prev), None, length=iters
+            return jax.lax.scan(step, (state, prev), None, length=n)[0]
+
+        return run
+
+    def make_carry():
+        return (
+            init_state(cfg),
+            jnp.zeros((3, block_hops * cfg.hop), jnp.float32),
         )
-        return state, prev
 
-    state, prev = run(state, prev)
-    float(jnp.sum(prev))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        state, prev = run(state, prev)
-        jax.block_until_ready(prev)
-        t1 = time.perf_counter()
-        best = min(best, t1 - t0)
-    assert np.isfinite(float(jnp.sum(prev)))
-    return 1e6 * best / (iters * block_hops)
+    return make_run, make_carry
 
 
-def time_multistream(cfg, n_streams, block_hops, iters=50, repeats=5):
-    """Steady-state multi-channel throughput (samples/s/chip).
+def time_stream(cfg, block_hops, n1=128, n2=1024):
+    """True device us/hop for the chained causal stream."""
+    make_run, make_carry = stream_run_factory(cfg, block_hops)
+    per_iter = slope_time(make_run, make_carry, n1, n2)
+    return 1e6 * per_iter / block_hops
 
-    Device-resident: the whole chained run is one lax.scan dispatch
-    (a throughput workload amortizes host round-trips by design; the
-    chain through state+output still forces every step to execute),
-    so the axon-tunnel RTT does not pollute the number. Best of
-    ``repeats`` runs."""
+
+def time_multistream(cfg, n_streams, block_hops, n1=16, n2=128):
+    """Multi-channel throughput (samples/s/chip), slope-timed."""
     from zen_tpu.drivers.realtime import _block_step_body, init_state
 
     rng = np.random.default_rng(0)
@@ -143,37 +122,89 @@ def time_multistream(cfg, n_streams, block_hops, iters=50, repeats=5):
             np.float32
         )
     )
-    state = jax.vmap(lambda _: init_state(cfg))(jnp.arange(n_streams))
-    prev = jnp.zeros((n_streams, 3, block_hops * cfg.hop), jnp.float32)
 
-    @jax.jit
-    def run(state, prev):
-        def step(carry, _):
-            state, prev = carry
-            blocks = base + 1e-12 * prev[:, 1, :].reshape(
-                n_streams, block_hops, cfg.hop
-            )
-            state, outs = jax.vmap(
-                lambda s, b: _block_step_body(cfg, s, b)
-            )(state, blocks)
-            return (state, outs), None
+    def make_run(n):
+        @jax.jit
+        def run(state, prev):
+            def step(carry, _):
+                state, prev = carry
+                blocks = base + 1e-12 * prev[:, 1, :].reshape(
+                    n_streams, block_hops, cfg.hop
+                )
+                state, outs = jax.vmap(
+                    lambda s, b: _block_step_body(cfg, s, b)
+                )(state, blocks)
+                return (state, outs), None
 
-        (state, prev), _ = jax.lax.scan(
-            step, (state, prev), None, length=iters
+            return jax.lax.scan(step, (state, prev), None, length=n)[0]
+
+        return run
+
+    def make_carry():
+        return (
+            jax.vmap(lambda _: init_state(cfg))(jnp.arange(n_streams)),
+            jnp.zeros((n_streams, 3, block_hops * cfg.hop), jnp.float32),
         )
-        return state, prev
 
-    state, prev = run(state, prev)  # compile + warm
-    float(jnp.sum(prev))
+    per_iter = slope_time(make_run, make_carry, n1, n2)
+    return n_streams * block_hops * cfg.hop / per_iter
+
+
+def time_offline(n1=2, n2=10):
+    """Offline 2-pass cascade, slope-timed by scanning chained clips
+    through the fused two-pass program (drivers.offline._two_pass)."""
+    from zen_tpu.drivers.offline import _bucket_len, _two_pass
+    from zen_tpu import HPRConfig, OUTPUT_ALL, OUTPUT_PERCUSSIVE, OUTPUT_RESIDUAL
+
+    length = 161571  # the reference README's 3.66 s clip
+    cfg_h = HPRConfig(fs=FS, hop=4096, beta=2.0, causal=False, outputs=OUTPUT_ALL)
+    cfg_p = HPRConfig(
+        fs=FS,
+        hop=256,
+        beta=2.0,
+        causal=False,
+        outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
+    )
+    nb = _bucket_len(length, cfg_h.hop)
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(
+        np.pad(
+            rng.standard_normal(length).astype(np.float32),
+            (0, nb - length),
+        )
+    )
+
+    def make_run(n):
+        @jax.jit
+        def run(audio):
+            def step(a, _):
+                h, p, r = _two_pass(a, length, cfg_h, cfg_p)
+                return base + 1e-12 * p, None
+
+            return (jax.lax.scan(step, audio, None, length=n)[0],)
+
+        return run
+
+    per_iter = slope_time(make_run, lambda: (base,), n1, n2, repeats=4)
+    return per_iter * 1e3
+
+
+def single_hop_latency(cfg, repeats=20):
+    """Per-hop round trip incl. dispatch + sync readback — dominated
+    by the axon tunnel here, reported for completeness."""
+    from zen_tpu.drivers.realtime import block_step, init_state
+
+    state = init_state(cfg)
+    block = jnp.zeros((1, cfg.hop), jnp.float32)
+    state, outs = block_step(cfg, state, block)
+    _sync(outs)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state, prev = run(state, prev)
-        jax.block_until_ready(prev)
-        t1 = time.perf_counter()
-        best = min(best, t1 - t0)
-    assert np.isfinite(float(jnp.sum(prev)))
-    return n_streams * block_hops * cfg.hop * iters / best
+        state, outs = block_step(cfg, state, block)
+        _sync(outs)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e6
 
 
 def main():
@@ -187,63 +218,44 @@ def main():
     cfg = HPRConfig(
         fs=FS, hop=HOP, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
     )
-    us_per_hop = time_stream_scan(cfg, BLOCK_HOPS)
+    us_per_hop = time_stream(cfg, BLOCK_HOPS)
     hop_ms = 1000.0 * HOP / FS
     us_per_10ms = us_per_hop * (10.0 / hop_ms)
     rtf = us_per_hop / (hop_ms * 1000.0)
     log(
-        f"hop-1024 device-resident: {us_per_hop:.1f} us/hop "
-        f"({us_per_10ms:.1f} us per 10ms of audio, RTF={rtf:.5f}, "
+        f"hop-1024 device compute: {us_per_hop:.2f} us/hop "
+        f"({us_per_10ms:.2f} us per 10ms of audio, RTF={rtf:.6f}, "
         f"block={BLOCK_HOPS} hops, median_impl=auto)"
     )
-
-    us_disp = time_stream(cfg, BLOCK_HOPS)
-    log(
-        f"hop-1024 per-dispatch streaming (incl. tunnel RTT): "
-        f"{us_disp:.1f} us/hop"
-    )
-
-    us_single = time_stream(cfg, 1, iters=100, repeats=3)
-    log(f"hop-1024 single-hop dispatch latency: {us_single:.1f} us/hop")
 
     # secondary: the reference's default fakert config (hop 256)
     cfg256 = HPRConfig(
         fs=FS, hop=256, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
     )
-    us256 = time_stream(cfg256, 128, iters=20)
+    us256 = time_stream(cfg256, 128, n1=64, n2=512)
     log(
-        f"hop-256 stream: {us256:.1f} us/hop "
+        f"hop-256 stream: {us256:.2f} us/hop "
         f"(budget 5805 us, reference: 173.99 us/hop)"
     )
 
-    # secondary: BASELINE configs[3] — batched multi-channel fakert,
-    # 64 causal hop-256 streams in one device program
+    # secondary: BASELINE configs[3] — batched multi-channel fakert
     sps = time_multistream(cfg256, 64, 32)
     log(
         f"multichannel 64x hop-256: {sps / 1e6:.0f} Msamples/s/chip "
         f"= {sps / FS:.0f} realtime 44.1 kHz streams/chip"
     )
 
-    # secondary: offline 2-pass HPR-I on the reference README's 3.66 s
-    # clip size (161571 samples, hops 4096/256; reference: 487 ms)
-    from zen_tpu.drivers.offline import HPRIOffline
-
-    # device-resident DISTINCT inputs per repeat: identical
-    # (executable, inputs) pairs can be served from relay-side caches
-    rng = np.random.default_rng(0)
-    audios = [
-        jnp.asarray(rng.standard_normal(161571).astype(np.float32))
-        for _ in range(6)
-    ]
-    sep = HPRIOffline(FS, 4096, 256, 2.0, 2.0)
-    jax.block_until_ready(sep.process(audios[0]))  # compile
-    best = min(
-        _timed(lambda a=a: jax.block_until_ready(sep.process(a)))
-        for a in audios[1:]
-    )
+    # secondary: offline 2-pass on the reference clip size
+    off_ms = time_offline()
     log(
-        f"offline 2-pass 3.66s clip: {best * 1e3:.1f} ms "
+        f"offline 2-pass 3.66s clip: {off_ms:.1f} ms device compute "
         f"(reference transcript: 487 ms)"
+    )
+
+    lat = single_hop_latency(cfg)
+    log(
+        f"hop-1024 single-hop round trip (incl. tunnel sync): "
+        f"{lat:.0f} us"
     )
 
     print(

@@ -26,33 +26,39 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def chain_time(f, x, iters=30, repeats=3):
-    """Output-chained device-resident ms/call: the whole chained loop
-    runs as ONE lax.scan dispatch (per-dispatch timing measures the
-    host/tunnel RTT floor, not the kernel), closed by a completion
-    barrier — NOT a value readback: a device->host fetch costs a
-    constant ~26 ms over the axon tunnel and would swamp every number.
-    The checksum is verified once outside the clock. Best of
-    ``repeats``.
+def chain_time(f, x, n1=16, n2=128, repeats=5):
+    """Output-chained device ms/call, slope-timed (see bench.py's
+    methodology): jax.block_until_ready does not wait on the axon
+    runtime and a sync value readback costs a large variable constant,
+    so the per-iteration cost is the slope of best-of-N readback-synced
+    wall time between scan lengths n1 and n2.
 
     f must be shape-preserving on x (chained as y = f(y))."""
 
-    @jax.jit
-    def run(x):
-        return jax.lax.scan(
-            lambda c, _: (f(c), None), x, None, length=iters
-        )[0]
+    def make_run(n):
+        @jax.jit
+        def run(x):
+            return jax.lax.scan(
+                lambda c, _: (f(c), None), x, None, length=n
+            )[0]
 
-    y = run(x)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
+        return run
+
+    ts = {}
+    y = x
+    for n in (n1, n2):
+        run = make_run(n)
         y = run(y)
-        jax.block_until_ready(y)
-        best = min(best, time.perf_counter() - t0)
-    assert np.isfinite(float(jnp.sum(y))) or True
-    return best / iters * 1e3
+        float(jnp.sum(y))  # compile + true sync
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            y = run(y)
+            s = float(jnp.sum(y))
+            best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(s) or True
+        ts[n] = best
+    return (ts[n2] - ts[n1]) / (n2 - n1) * 1e3
 
 
 def mem_time(f, make_host, iters=10):
@@ -131,30 +137,39 @@ def run(csv=None):
         )
         b = 32
         base = jnp.asarray(rng.standard_normal((b, hop)).astype(np.float32))
-        iters = 30
 
-        @jax.jit
-        def run(state, prev, cfg=cfg, b=b, base=base):
-            def step(carry, _):
-                state, prev = carry
-                block = base + 1e-12 * prev[1].reshape(b, cfg.hop)
-                return _block_step_body(cfg, state, block), None
+        def make_run(n, cfg=cfg, b=b, base=base):
+            @jax.jit
+            def run(state, prev):
+                def step(carry, _):
+                    state, prev = carry
+                    block = base + 1e-12 * prev[1].reshape(b, cfg.hop)
+                    return _block_step_body(cfg, state, block), None
 
-            return jax.lax.scan(
-                step, (state, prev), None, length=iters
-            )[0]
+                return jax.lax.scan(
+                    step, (state, prev), None, length=n
+                )[0]
 
+            return run
+
+        ts = {}
         carry = (init_state(cfg), jnp.zeros((3, b * hop), jnp.float32))
-        carry = run(*carry)
-        jax.block_until_ready(carry[1])
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        for n in (16, 128):
+            run = make_run(n)
             carry = run(*carry)
-            jax.block_until_ready(carry[1])
-            best = min(best, time.perf_counter() - t0)
-        assert np.isfinite(float(jnp.sum(carry[1])))
-        report(f"hpr_block_step_NOMEM/hop{hop}x{b}", best / iters * 1e3)
+            float(jnp.sum(carry[1]))
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                carry = run(*carry)
+                s = float(jnp.sum(carry[1]))
+                best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(s)
+            ts[n] = best
+        report(
+            f"hpr_block_step_NOMEM/hop{hop}x{b}",
+            (ts[128] - ts[16]) / (128 - 16) * 1e3,
+        )
 
     if csv:
         with open(csv, "w") as fh:
