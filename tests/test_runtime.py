@@ -161,3 +161,16 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     assert os.path.isdir(d)
     monkeypatch.setenv("ZEN_TPU_CACHE_DIR", "0")
     assert enable_compilation_cache() is None
+
+
+def test_profiling_scan_slope_ms():
+    from zen_tpu.runtime.profiling import scan_slope_ms
+
+    ms = scan_slope_ms(
+        lambda x: 3.9 * x * (1.0 - x),
+        jnp.full((64, 64), 0.5),
+        n1=4,
+        n2=16,
+        repeats=2,
+    )
+    assert ms >= 0.0 or abs(ms) < 5.0  # noise-tolerant on CPU
