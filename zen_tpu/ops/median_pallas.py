@@ -154,6 +154,65 @@ def _fold_batch(x):
 # ---------------- frequency-direction sliding median ----------------
 
 
+def _freq_kernel_pipelined(
+    x_hbm, out_hbm, slabs, outbufs, in_sems, out_sems,
+    *, k: int, fb: int, tb: int, sw: int, n_t: int,
+):
+    """One (batch c, lane-tile j) program computing ALL n_t time chunks
+    with double-buffered input and output DMA: chunk i+1's slab loads
+    and chunk i-1's result stores while chunk i sorts. The simple
+    one-chunk-per-program grid serializes DMA -> compute -> DMA per
+    program (manual-DMA inputs get no BlockSpec auto-pipelining), which
+    measured ~4x off the kernel's compute bound."""
+    c = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            x_hbm.at[c, pl.ds(i * tb, tb), pl.ds(j * fb, sw)],
+            slabs.at[slot],
+            in_sems.at[slot],
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            outbufs.at[slot],
+            out_hbm.at[c, pl.ds(i * tb, tb), pl.ds(j * fb, fb)],
+            out_sems.at[slot],
+        )
+
+    in_dma(0, 0).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_t)
+        def _():
+            in_dma(nxt, i + 1).start()
+
+        in_dma(slot, i).wait()
+
+        # the outbuf slot was dispatched at chunk i-2; wait before reuse
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        taps = [slabs[slot, :, t : t + fb] for t in range(k)]
+        outbufs[slot] = _median_network(taps, (k - 1) // 2)
+        out_dma(slot, i).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_t, body, (), unroll=False)
+
+    # drain the last (up to) two outstanding output stores
+    @pl.when(n_t >= 2)
+    def _():
+        out_dma(jax.lax.rem(n_t - 2, 2), n_t - 2).wait()
+
+    out_dma(jax.lax.rem(n_t - 1, 2), n_t - 1).wait()
+
+
 def _freq_kernel(x_hbm, out_ref, slab, sem, *, k: int, fb: int, tb: int, sw: int):
     """One [tb, fb] output tile of batch element c; input slab
     [tb, sw] from HBM, where sw = align128(fb + k - 1) (Mosaic DMA
@@ -186,19 +245,38 @@ def _freq_impl(x_padded: jnp.ndarray, k: int):
     # the last block's slab reads up to (n_f-1)*fb + sw lanes
     lane_pad = max(f_pad, (n_f - 1) * fb + sw) - fp
     xc = jnp.pad(xc, ((0, 0), (0, t_pad - t), (0, max(lane_pad, 0))))
-    out = pl.pallas_call(
-        functools.partial(_freq_kernel, k=k, fb=fb, tb=tb, sw=sw),
-        out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
-        grid=(c, n_t, n_f),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, tb, fb), lambda c, i, j: (c, i, j), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tb, sw), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(xc)
+    if n_t > 1:
+        out = pl.pallas_call(
+            functools.partial(
+                _freq_kernel_pipelined, k=k, fb=fb, tb=tb, sw=sw, n_t=n_t
+            ),
+            out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
+            grid=(c, n_f),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, tb, sw), jnp.float32),
+                pltpu.VMEM((2, tb, fb), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )(xc)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_freq_kernel, k=k, fb=fb, tb=tb, sw=sw),
+            out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
+            grid=(c, n_t, n_f),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, tb, fb),
+                lambda c, i, j: (c, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tb, sw), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(xc)
     return out[:, :t, :f].reshape(lead + (t, f))
 
 
