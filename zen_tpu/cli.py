@@ -387,9 +387,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+
     from .runtime.xla_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if os.environ.get("ZEN_TPU_DEBUG_NANS"):
+        # sanitizer analog (SURVEY.md §5.2): fail loudly on NaN/Inf in
+        # any jitted computation (reference: cuda-memcheck CTest label)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     args = build_parser().parse_args(argv)
     if args.command == "version":
         from . import __version__
