@@ -198,3 +198,26 @@ def test_size_preservation_non_multiple():
         audio = audio_fixture(length)
         h, p, r = HPRIOffline(FS, 16, 8).process(audio)
         assert h.shape[-1] == p.shape[-1] == r.shape[-1] == length
+
+
+def test_dft_fft_impl_matches_xla():
+    """The MXU DFT-matmul transform seam == the XLA FFT path within
+    its documented tolerance (ops/fft.py), for both precisions."""
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal(6000).astype(np.float32)
+    outs = {}
+    for impl in ("xla", "dft", "dft_f32"):
+        cfg = HPRConfig(
+            fs=8000.0, hop=64, causal=False, outputs=OUTPUT_ALL,
+            fft_impl=impl,
+        )
+        outs[impl] = hpr_separate(audio, cfg)
+    for k in ("harmonic", "percussive", "residual"):
+        ref = np.asarray(outs["xla"][k])
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(
+            np.asarray(outs["dft_f32"][k]) / scale, ref / scale, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["dft"][k]) / scale, ref / scale, atol=3e-3
+        )

@@ -288,6 +288,19 @@ class MultiStreamHPR:
             outputs=outputs or OUTPUT_ALL,
             **cfg_kw,
         )
+        # the vmapped step hides the channel batch dim from the
+        # transform seam's frame-count heuristic; with >= 8 streams the
+        # MXU DFT path always wins — opt in explicitly (see
+        # engine/spectral._dft_precision)
+        if (
+            self.cfg.fft_impl == "auto"
+            and self.cfg.fast_rfft
+            and self.cfg.nfft <= 4096
+            and n_streams >= 8
+        ):
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, fft_impl="dft")
         self.n_streams = n_streams
         state = jax.vmap(lambda _: init_state(self.cfg))(
             jnp.arange(n_streams)

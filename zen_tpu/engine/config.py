@@ -68,6 +68,12 @@ class HPRConfig:
     median_impl: str = "auto"  # 'auto' | 'xla' | 'pallas' (the
     # TypeTraits-style backend seam, SURVEY.md §1: reference-path op vs
     # fast-path kernel selectable per engine). 'auto' = Pallas on TPU.
+    fft_impl: str = "auto"  # 'auto' | 'xla' | 'dft' | 'dft_bf16' |
+    # 'dft_f32': the transform seam. 'dft*' = MXU DFT-matmuls
+    # exploiting the zero-pad/truncation structure (ops/fft.py);
+    # 'dft' = 3-pass bf16 (rel err ~3e-5), 'dft_bf16' = max throughput
+    # (~4e-3), 'dft_f32' = HIGHEST. 'auto' = 'dft' on TPU when
+    # nfft <= 4096 and fast_rfft, else 'xla' (the np.fft-exact path).
 
     def __post_init__(self):
         if self.hop <= 0 or (self.hop & (self.hop - 1)) != 0:
@@ -82,6 +88,8 @@ class HPRConfig:
             raise ZenError("median filter bigger than matrix dimension")
         if self.median_impl not in ("auto", "xla", "pallas"):
             raise ZenError(f"unknown median_impl: {self.median_impl}")
+        if self.fft_impl not in ("auto", "xla", "dft", "dft_bf16", "dft_f32"):
+            raise ZenError(f"unknown fft_impl: {self.fft_impl}")
         if self.use_sse and self.border == VALID:
             # reference BoxFilterGPU always pads borders (box.h:154-180)
             object.__setattr__(self, "border", WRAP)

@@ -33,6 +33,35 @@ def num_bins(cfg: HPRConfig) -> int:
     return cfg.nfft // 2 + 1 if cfg.fast_rfft else cfg.nfft
 
 
+def _dft_precision(cfg: HPRConfig, total_frames: int):
+    """Resolve the transform seam: None = use the XLA FFT; otherwise
+    the MXU DFT-matmul path at the returned matmul precision.
+
+    'auto' picks the DFT at 3-pass-bf16 on TPU when the matmul has
+    enough rows to feed the MXU: always for nfft <= 2048 (measured
+    faster at every observed batch), and for nfft = 4096 only with
+    >= 256 visible frames (a [32, 2048] x [2048, 4098] matmul starves
+    the MXU and loses to the FFT). ``total_frames`` is the frame count
+    visible at trace time — a vmap batch dim is not visible, so
+    drivers that know their true batch (MultiStreamHPR) set
+    fft_impl='dft' explicitly. The exact C2C path (fast_rfft=False)
+    always uses XLA.
+    """
+    if not cfg.fast_rfft or cfg.fft_impl == "xla":
+        return None
+    if cfg.fft_impl == "auto":
+        if jax.default_backend() != "tpu" or cfg.nfft > 4096:
+            return None
+        if cfg.nfft > 2048 and total_frames < 256:
+            return None
+        return jax.lax.Precision.HIGH
+    return {
+        "dft": jax.lax.Precision.HIGH,
+        "dft_bf16": jax.lax.Precision.DEFAULT,
+        "dft_f32": jax.lax.Precision.HIGHEST,
+    }[cfg.fft_impl]
+
+
 def analyze(frames: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     """Window + FFT: [..., T, nwin] -> complex spectra [..., T, bins].
 
@@ -42,6 +71,9 @@ def analyze(frames: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     win = jnp.asarray(cfg.window)
     xw = frames.astype(jnp.float32) * win
     if cfg.fast_rfft:
+        prec = _dft_precision(cfg, int(np.prod(xw.shape[:-1])))
+        if prec is not None:
+            return zfft.rfft_forward_dft(xw, cfg.nfft, prec)
         return zfft.rfft_forward(xw, cfg.nfft)
     return zfft.fft_forward(xw.astype(jnp.complex64), cfg.nfft)
 
@@ -197,6 +229,12 @@ def synthesize(s: jnp.ndarray, mask: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray
     scale = jnp.float32(cfg.synth_scale)
     masked = s * mask
     if cfg.fast_rfft:
+        prec = _dft_precision(cfg, int(np.prod(masked.shape[:-1])))
+        if prec is not None:
+            return (
+                zfft.irfft_head_dft(masked, cfg.nfft, cfg.nwin, prec)
+                * scale
+            )
         y = jnp.fft.irfft(masked, n=cfg.nfft, axis=-1)
     else:
         y = jnp.fft.ifft(masked, axis=-1).real

@@ -45,3 +45,69 @@ def mirror_full(x_half: jnp.ndarray, nfft: int) -> jnp.ndarray:
     spectrum: full[k] = half[min(k, nfft-k)]."""
     idx = jnp.minimum(jnp.arange(nfft), nfft - jnp.arange(nfft))
     return jnp.take(x_half, idx, axis=-1)
+
+
+# ---------------- DFT-as-matmul fast path (MXU) ----------------
+#
+# The HPR frame pipeline zero-pads each nwin-sample windowed frame to
+# nfft = 2*nwin before the forward transform (hps.cu:461-462) and
+# keeps only the first nwin samples of the inverse (hps.cu:526). XLA's
+# FFT cannot exploit either structure; an explicit DFT matmul uses
+# only the nwin live rows / outputs — half the naive DFT FLOPs — and
+# runs on the MXU, where it measures 1.5-4.6x faster than the XLA FFT
+# lowering at HPR's sizes even at 3-pass bf16 precision (relative
+# error ~3e-5; 'HIGHEST' gives ~3e-7 at f32 throughput). Matrices are
+# trace-time constants, O(nwin * nfft) floats, so the path is gated to
+# nfft <= 4096 (hop <= 1024) where they stay small.
+
+import functools as _functools
+
+import numpy as _np
+
+import jax
+
+
+@_functools.lru_cache(maxsize=8)
+def _dft_mats(nwin: int, nfft: int):
+    bins = nfft // 2 + 1
+    n = _np.arange(nwin)[:, None]
+    k = _np.arange(bins)[None, :]
+    ang = -2.0 * _np.pi * n * k / nfft
+    w = _np.concatenate([_np.cos(ang), _np.sin(ang)], axis=1)  # [nwin, 2b]
+    wk = _np.ones(bins)
+    wk[1:] = 2.0
+    if nfft % 2 == 0:
+        wk[-1] = 1.0
+    angi = 2.0 * _np.pi * k.T * _np.arange(nwin)[None, :] / nfft
+    wi = (
+        _np.concatenate(
+            [_np.cos(angi) * wk[:, None], -_np.sin(angi) * wk[:, None]],
+            axis=0,
+        )
+        / nfft
+    )  # [2b, nwin]
+    # numpy (not jnp): these are cached across jit traces, and a
+    # device array created inside one trace must not leak into another
+    return w.astype(_np.float32), wi.astype(_np.float32)
+
+
+def rfft_forward_dft(
+    xw: jnp.ndarray, nfft: int, precision
+) -> jnp.ndarray:
+    """Forward half-spectrum DFT of zero-padded frames via one MXU
+    matmul: xw [..., nwin] real -> complex [..., nfft//2+1]."""
+    nwin = xw.shape[-1]
+    w, _ = _dft_mats(nwin, nfft)
+    packed = jnp.matmul(xw, w, precision=precision)  # [.., 2b] (re|im)
+    bins = nfft // 2 + 1
+    return jax.lax.complex(packed[..., :bins], packed[..., bins:])
+
+
+def irfft_head_dft(
+    s: jnp.ndarray, nfft: int, nwin: int, precision
+) -> jnp.ndarray:
+    """First nwin samples of the normalized inverse rFFT of a Hermitian
+    half spectrum, via one MXU matmul."""
+    _, wi = _dft_mats(nwin, nfft)
+    packed = jnp.concatenate([s.real, s.imag], axis=-1)
+    return jnp.matmul(packed, wi, precision=precision)
