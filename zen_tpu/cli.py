@@ -399,6 +399,16 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_debug_nans", True)
     args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        # the reference's --cpu selects the IPP backend; here it pins
+        # the JAX CPU platform (and 'replicate' borders, see _border).
+        # Must run before the first computation initializes a backend.
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (e.g. tests in-process)
     if args.command == "version":
         from . import __version__
 
