@@ -4,6 +4,7 @@ Reproduces the reference demos' qualitative verdicts
 (demos/README.md): stable pitch on tonal input; beat tracking locks
 onto a click track's tempo.
 """
+import os
 import re
 
 import numpy as np
@@ -22,6 +23,10 @@ from zen_tpu.apps.mpm import MPM
 REF_HEADER = "/root/reference/demos/beat-tracking/BTrackPrecomputed.h"
 
 
+@pytest.mark.skipif(
+    not os.path.exists(REF_HEADER),
+    reason="reference checkout not mounted (standalone repo)",
+)
 def test_precomputed_tables_match_reference_header():
     txt = open(REF_HEADER).read()
     m = txt.index("TempoTransitionMatrix")

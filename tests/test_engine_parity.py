@@ -221,3 +221,27 @@ def test_dft_fft_impl_matches_xla():
         np.testing.assert_allclose(
             np.asarray(outs["dft"][k]) / scale, ref / scale, atol=3e-3
         )
+
+
+def test_realtime_parity_real_config():
+    """Oracle parity at a REAL config (fs=44100, hop=1024 — the
+    headline sweet spot), not just the small test configs: 24 hops
+    through the causal engine vs the hop-by-hop oracle."""
+    rng = np.random.default_rng(20)
+    fs, hop, n_hops = 44100.0, 1024, 24
+    audio = rng.standard_normal(hop * n_hops).astype(np.float32)
+    cfg = HPRConfig(
+        fs=fs, hop=hop, beta=2.0, causal=True, outputs=OUTPUT_ALL,
+        fast_rfft=False, fft_impl="xla", median_impl="xla",
+    )
+    want = oracle_realtime_stream(audio, cfg)
+    rt = HPRRealtime(fs, hop, 2.0, outputs=OUTPUT_ALL)
+    rt.cfg = cfg
+    rt.reset_buffers()
+    got = rt.process_stream(audio, block_hops=8)
+    for i, k in enumerate(("harmonic", "percussive", "residual")):
+        scale = max(1.0, np.abs(want[k]).max())
+        np.testing.assert_allclose(
+            got[i] / scale, want[k] / scale, atol=5e-5,
+            err_msg=f"stem {k} diverges from oracle at real config",
+        )
