@@ -238,6 +238,26 @@ def main():
         f"(budget 5805 us, reference: 173.99 us/hop)"
     )
 
+    # secondary: BASELINE configs[2] — soft-mask Wiener and SSE
+    # (moving-average FilterBox) variants at the sweet-spot hop
+    for name, kw in (
+        ("soft-mask", dict(soft_mask=True)),
+        ("sse", dict(use_sse=True)),
+    ):
+        cfg_v = HPRConfig(
+            fs=FS,
+            hop=HOP,
+            beta=2.0,
+            causal=True,
+            outputs=OUTPUT_PERCUSSIVE,
+            **kw,
+        )
+        us_v = time_stream(cfg_v, BLOCK_HOPS, n1=64, n2=512)
+        log(
+            f"hop-1024 {name} variant: {us_v:.2f} us/hop "
+            f"({us_v * 10 / hop_ms:.2f} us per 10ms)"
+        )
+
     # secondary: BASELINE configs[3] — batched multi-channel fakert
     sps = time_multistream(cfg256, 64, 32)
     log(
