@@ -14,7 +14,6 @@ import pytest
 from zen_tpu import HPRConfig, HPRIOffline, HPRRealtime, OUTPUT_ALL
 from zen_tpu.drivers.offline import hpr_separate
 from zen_tpu.engine.oracle import (
-    HPROracle,
     oracle_offline_pass,
     oracle_realtime_stream,
 )

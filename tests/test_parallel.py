@@ -8,7 +8,6 @@ unsharded reference implementation.
 import numpy as np
 import pytest
 
-import jax
 
 from zen_tpu import HPRConfig, OUTPUT_ALL
 from zen_tpu.drivers.offline import HPRIOffline, hpr_separate

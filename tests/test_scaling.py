@@ -20,7 +20,6 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

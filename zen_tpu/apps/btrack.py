@@ -24,8 +24,6 @@ behavior in C++, BTrack.cpp:217-223). We clamp to the last bin.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
