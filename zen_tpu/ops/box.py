@@ -37,7 +37,15 @@ from .median import (
 def sliding_mean(
     x: jnp.ndarray, offsets, axis: int, boundary: str, fill: float = 0.0
 ) -> jnp.ndarray:
-    """Mean over static tap offsets. O(K) adds, no K-times memory."""
+    """Mean over static tap offsets. O(K) adds, no K-times memory.
+
+    Deliberately NOT a cumsum-difference: the SSE feature is 1/|S|^2
+    with a +inf prefill (spectral.prefill_value), and a running sum
+    containing inf poisons every later window (inf - inf = nan),
+    while direct windowed sums keep the reference's IEEE semantics
+    (window containing inf -> mean inf -> reciprocal 0). The huge
+    dynamic range of reciprocal-power features also makes prefix sums
+    lose precision in f32."""
     offsets = list(offsets)
     acc = None
     for off in offsets:
