@@ -244,3 +244,60 @@ def test_realtime_parity_real_config():
             got[i] / scale, want[k] / scale, atol=5e-5,
             err_msg=f"stem {k} diverges from oracle at real config",
         )
+
+
+def test_long_stream_soak_matches_oracle():
+    """500 hops through the block-streamed causal engine vs the
+    hop-by-hop oracle: catches state-carry drift that short parity
+    runs cannot (OLA tails, feature history, donated-buffer reuse)."""
+    rng = np.random.default_rng(30)
+    cfg = HPRConfig(
+        fs=1000.0, hop=8, beta=2.0, causal=True, outputs=OUTPUT_ALL,
+        fast_rfft=False, fft_impl="xla", median_impl="xla",
+    )
+    audio = rng.standard_normal(cfg.hop * 500).astype(np.float32)
+    want = oracle_realtime_stream(audio, cfg)
+    rt = HPRRealtime(1000.0, cfg.hop, 2.0, outputs=OUTPUT_ALL)
+    rt.cfg = cfg
+    rt.reset_buffers()
+    got = rt.process_stream(audio, block_hops=37)  # ragged blocking
+    for i, k in enumerate(("harmonic", "percussive", "residual")):
+        scale = max(1.0, np.abs(want[k]).max())
+        np.testing.assert_allclose(
+            got[i] / scale, want[k] / scale, atol=1e-4,
+            err_msg=f"stem {k} drifts from oracle over 500 hops",
+        )
+
+
+def test_offline_multichannel_matches_per_channel():
+    """HPRIOffline.process on [C, L] == per-channel processing."""
+    rng = np.random.default_rng(31)
+    audio = rng.standard_normal((3, 2000)).astype(np.float32)
+    sep = HPRIOffline(1000.0, 32, 8, 2.0, 2.0)
+    hb, pb, rb = (np.asarray(x) for x in sep.process(audio))
+    for c in range(3):
+        h1, p1, r1 = (np.asarray(x) for x in sep.process(audio[c]))
+        np.testing.assert_allclose(hb[c], h1, atol=1e-4)
+        np.testing.assert_allclose(pb[c], p1, atol=1e-4)
+        np.testing.assert_allclose(rb[c], r1, atol=1e-4)
+
+
+def test_runtime_toggles_match_ctor_flags():
+    """use_sse_filter()/use_soft_mask() (hps.cu:322-332) == the
+    constructor flags."""
+    rng = np.random.default_rng(32)
+    audio = rng.standard_normal(1600).astype(np.float32)
+
+    rt_a = HPRRealtime(1000.0, 8, 2.0, outputs=OUTPUT_ALL)
+    rt_a.use_soft_mask()
+    rt_b = HPRRealtime(1000.0, 8, 2.0, outputs=OUTPUT_ALL, soft_mask=True)
+    np.testing.assert_allclose(
+        rt_a.process_stream(audio, block_hops=16),
+        rt_b.process_stream(audio, block_hops=16),
+    )
+
+    off_a = HPRIOffline(1000.0, 32, 8, 2.0, 2.0)
+    off_a.use_sse_filter()
+    off_b = HPRIOffline(1000.0, 32, 8, 2.0, 2.0, use_sse=True)
+    for a, b in zip(off_a.process(audio), off_b.process(audio)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
