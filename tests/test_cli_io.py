@@ -160,3 +160,31 @@ def test_synth_to_offline_e2e(tmp_path):
     assert np.corrcoef(h[:n], harm)[0, 1] > 0.9
     assert np.corrcoef(p[:n], perc)[0, 1] > 0.8
     assert abs(np.corrcoef(h[:n], perc)[0, 1]) < 0.2
+
+
+def test_corpus_cli_e2e(tmp_path):
+    """zen synth x3 -> zen corpus over a simulated mesh -> stems on
+    disk + resumable journal; second invocation is a no-op."""
+    import json
+
+    from zen_tpu.cli import main
+
+    for i in range(3):
+        main(
+            [
+                "synth", "-o", str(tmp_path / f"t{i}.wav"),
+                "--fs", "4000", "--seconds", "1", "--seed", str(i),
+            ]
+        )
+    out = tmp_path / "stems"
+    args = [
+        "corpus", "-i", str(tmp_path / "t*.wav"), "-o", str(out),
+        "--hps", "64", "2.0", "16", "2.0", "--mesh", "dp=2,sp=2",
+    ]
+    assert main(args) == 0
+    for i in range(3):
+        for stem in ("harm", "perc", "residual"):
+            assert (out / f"t{i}_{stem}.wav").exists()
+    assert main(args) == 0  # resume: journal says all done
+    journal = (out / "progress.jsonl").read_text().strip().splitlines()
+    assert len(journal) == 3

@@ -282,6 +282,53 @@ def cmd_beat_track(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """Pod-scale resumable corpus separation (BASELINE configs[4]):
+    tracks batched over the mesh's dp axis, time blocks over sp, with
+    crash-safe per-track journaling (drivers/corpus.py)."""
+    import glob as globmod
+
+    from .drivers.corpus import separate_corpus
+    from .parallel.mesh import default_mesh, make_mesh
+
+    paths = sorted(
+        p for pat in args.inputs for p in globmod.glob(pat)
+    )
+    if not paths:
+        print("no input tracks matched", file=sys.stderr)
+        return 1
+    if args.mesh:
+        axes = {}
+        for part in args.mesh.split(","):
+            k, v = part.split("=")
+            axes[k.strip()] = int(v)
+        mesh = make_mesh(axes)
+    else:
+        mesh = default_mesh(n_channels_hint=len(paths))
+    print(
+        f"corpus: {len(paths)} tracks, mesh "
+        f"{dict(zip(mesh.axis_names, mesh.devices.shape))}, out={args.out_dir}"
+    )
+    hop_h, beta_h, hop_p, beta_p = 4096, 2.0, 256, 2.0
+    if args.hps:
+        vals = args.hps + [None] * (4 - len(args.hps))
+        hop_h = int(vals[0]) if vals[0] is not None else hop_h
+        beta_h = float(vals[1]) if vals[1] is not None else beta_h
+        hop_p = int(vals[2]) if vals[2] is not None else hop_p
+        beta_p = float(vals[3]) if vals[3] is not None else beta_p
+    res = separate_corpus(
+        paths,
+        args.out_dir,
+        mesh,
+        hop_h=hop_h,
+        hop_p=hop_p,
+        beta_h=beta_h,
+        beta_p=beta_p,
+    )
+    print(json.dumps({"metric": "corpus_tracks", **res}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     """Write a deterministic synthetic test mixture (+ ground truth)."""
     import numpy as np
@@ -361,6 +408,26 @@ def build_parser() -> argparse.ArgumentParser:
         p = sub.add_parser(name, help=helptext)
         p.add_argument("-i", "--input", required=True)
         p.set_defaults(func=func)
+
+    cor = sub.add_parser(
+        "corpus",
+        help="resumable multi-track corpus separation over a device mesh",
+    )
+    cor.add_argument(
+        "-i", "--inputs", nargs="+", required=True,
+        help="track paths or globs",
+    )
+    cor.add_argument("-o", "--out-dir", required=True)
+    cor.add_argument(
+        "--hps", nargs="*", default=None,
+        metavar=("hop-h", "beta-h"),
+        help="2-pass params, defaults 4096 2.0 256 2.0",
+    )
+    cor.add_argument(
+        "--mesh", default="",
+        help="mesh axes, e.g. 'dp=2,sp=4' (default: auto over devices)",
+    )
+    cor.set_defaults(func=cmd_corpus)
 
     syn = sub.add_parser(
         "synth",
