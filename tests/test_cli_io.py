@@ -188,3 +188,41 @@ def test_corpus_cli_e2e(tmp_path):
     assert main(args) == 0  # resume: journal says all done
     journal = (out / "progress.jsonl").read_text().strip().splitlines()
     assert len(journal) == 3
+
+
+def test_stream_pipe_mode(tmp_path):
+    """zen stream: raw float32 stdin -> stem on stdout via a real
+    subprocess pipe, equals the library's process_stream."""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    from zen_tpu.drivers.realtime import HPRRealtime
+    from zen_tpu.engine.config import OUTPUT_PERCUSSIVE
+
+    fs, hop, n = 4000.0, 16, 16 * 40 + 7  # ragged tail
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal(n).astype(np.float32)
+    env = dict(os.environ) if (os := __import__("os")) else {}
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [
+            _sys.executable, "-m", "zen_tpu.cli", "stream",
+            "--fs", "4000", "--hop", "16", "--block-hops", "8",
+            "--stem", "percussive", "--cpu",
+        ],
+        input=audio.tobytes(),
+        capture_output=True,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    got = np.frombuffer(proc.stdout, np.float32)
+    assert len(got) == n
+    # --cpu selects the replicate border (the reference IPP behavior)
+    rt = HPRRealtime(
+        fs, hop, 2.0, outputs=OUTPUT_PERCUSSIVE, border="replicate"
+    )
+    want = rt.process_stream(audio, block_hops=8)[1][:n]
+    np.testing.assert_allclose(got, want, atol=1e-4)

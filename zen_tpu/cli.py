@@ -282,6 +282,70 @@ def cmd_beat_track(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Unix-pipe streaming: raw float32 PCM on stdin -> one separated
+    stem as raw float32 on stdout, causally, block by block. The
+    production-serving analog of the reference's virtual-mic plumbing
+    (scripts/*.sh): e.g.
+
+      ffmpeg -i in.wav -f f32le -ac 1 -ar 44100 - \\
+        | zen stream --fs 44100 --stem percussive > perc.f32
+    """
+    import numpy as np
+
+    from .drivers.realtime import HPRRealtime
+    from .engine.config import (
+        OUTPUT_HARMONIC,
+        OUTPUT_PERCUSSIVE,
+        OUTPUT_RESIDUAL,
+    )
+    from .io.audio import peak_normalize  # noqa: F401 (raw passthrough)
+
+    stem_flags = {
+        "harmonic": (OUTPUT_HARMONIC, 0),
+        "percussive": (OUTPUT_PERCUSSIVE, 1),
+        "residual": (OUTPUT_RESIDUAL, 2),
+    }
+    outputs, idx = stem_flags[args.stem]
+    rt = HPRRealtime(
+        args.fs,
+        args.hop,
+        args.beta,
+        outputs=outputs,
+        border=_border(args),
+        use_sse=args.sse,
+        soft_mask=args.soft_mask,
+    )
+    rt.warmup(block_sizes=(args.block_hops,))
+    print(
+        f"zen stream ready: fs={args.fs:.0f} hop={args.hop} "
+        f"stem={args.stem} block={args.block_hops} "
+        f"latency={rt.latency_samples + args.block_hops * args.hop} samples",
+        file=sys.stderr,
+        flush=True,
+    )
+    stdin = sys.stdin.buffer
+    stdout = sys.stdout.buffer
+    block_bytes = args.block_hops * args.hop * 4
+    hops_out = 0
+    while True:
+        buf = stdin.read(block_bytes)
+        if not buf:
+            break
+        samples = np.frombuffer(buf, np.float32)
+        n = len(samples)
+        if n < args.block_hops * args.hop:  # tail: zero-pad
+            full = np.zeros(args.block_hops * args.hop, np.float32)
+            full[:n] = samples
+            samples = full
+        outs = rt.process_block(samples.reshape(-1, args.hop))
+        stdout.write(np.asarray(outs[idx])[:n].tobytes())
+        stdout.flush()
+        hops_out += -(-n // args.hop)
+    print(f"zen stream done: {hops_out} hops", file=sys.stderr)
+    return 0
+
+
 def cmd_corpus(args) -> int:
     """Pod-scale resumable corpus separation (BASELINE configs[4]):
     tracks batched over the mesh's dp axis, time blocks over sp, with
@@ -408,6 +472,25 @@ def build_parser() -> argparse.ArgumentParser:
         p = sub.add_parser(name, help=helptext)
         p.add_argument("-i", "--input", required=True)
         p.set_defaults(func=func)
+
+    stp = sub.add_parser(
+        "stream",
+        help="raw float32 stdin -> separated stem on stdout (pipe mode)",
+    )
+    stp.add_argument("--fs", type=float, default=44100.0)
+    stp.add_argument("--hop", type=int, default=256)
+    stp.add_argument("--beta", type=float, default=2.0)
+    stp.add_argument(
+        "--stem",
+        choices=("harmonic", "percussive", "residual"),
+        default="percussive",
+    )
+    stp.add_argument("--block-hops", type=int, default=16)
+    stp.add_argument("--cpu", action="store_true")
+    stp.add_argument("--sse", action="store_true")
+    stp.add_argument("--soft-mask", action="store_true")
+    stp.add_argument("--nocopybord", action="store_true")
+    stp.set_defaults(func=cmd_stream)
 
     cor = sub.add_parser(
         "corpus",
