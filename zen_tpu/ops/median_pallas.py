@@ -235,7 +235,10 @@ def _freq_impl(x_padded: jnp.ndarray, k: int):
     xc, lead = _fold_batch(x_padded)
     c, t, fp = xc.shape
     f = fp - (k - 1)
-    fb = min(512, _align(f, 128))  # lane-tile, VMEM-friendly
+    # lane-tile: single tile when f rounds up to <= 768 lanes (e.g. the
+    # ubiquitous 513-bin case — two 512-lane tiles would compute ~2x
+    # the useful lanes), else 512-lane tiles
+    fb = _align(f, 128) if _align(f, 128) <= 768 else 512
     tb = _pick_tb(_pow2_at_least(k), fb, t)
     sw = _align(fb + k - 1, 128)  # aligned slab width
     n_f = -(-f // fb)
