@@ -174,3 +174,39 @@ def test_profiling_scan_slope_ms():
         repeats=2,
     )
     assert ms >= 0.0 or abs(ms) < 5.0  # noise-tolerant on CPU
+
+
+def test_corpus_mixed_sample_rates(tmp_path):
+    """Tracks with different sample rates never share a dp batch (a
+    mixed-fs batch would separate with the wrong engine config)."""
+    import numpy as np
+
+    from zen_tpu.drivers.corpus import separate_corpus
+    from zen_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    store = {}
+    for i, fs in enumerate((1000, 2000, 1000, 2000)):
+        store[str(tmp_path / f"t{i}.wav")] = (
+            fs, rng.standard_normal(640).astype(np.float32)
+        )
+    written = {}
+
+    def reader(p):
+        return store[p]
+
+    def writer(p, fs, audio):
+        written[p] = (fs, len(audio))
+
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    res = separate_corpus(
+        list(store), str(tmp_path / "out"), mesh,
+        hop_h=16, hop_p=8, reader=reader, writer=writer,
+    )
+    assert res["processed"] == 4
+    # every stem written with its own track's fs
+    for p, (fs, _) in store.items():
+        base = p.rsplit("/", 1)[-1][:-4]
+        for stem in ("harm", "perc", "residual"):
+            wp = str(tmp_path / "out" / f"{base}_{stem}.wav")
+            assert written[wp][0] == fs

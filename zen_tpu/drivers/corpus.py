@@ -61,15 +61,11 @@ def separate_corpus(
     done = len(track_paths) - len(pending)
     results = {"done": done, "processed": 0}
 
-    for i in range(0, len(pending), n_dp):
-        batch_paths = pending[i : i + n_dp]
-        loaded = [reader(p) for p in batch_paths]
-        fs = loaded[0][0] if loaded else fs_default
-        max_len = max(len(a) for _, a in loaded)
+    def flush(fs, batch_paths, batch_audio):
+        max_len = max(len(a) for a in batch_audio)
         batch = np.zeros((n_dp, max_len), np.float32)
-        for j, (_, a) in enumerate(loaded):
+        for j, a in enumerate(batch_audio):
             batch[j, : len(a)] = a
-
         cfg_h = HPRConfig(
             fs=fs, hop=hop_h, beta=beta_h, causal=False, outputs=OUTPUT_ALL
         )
@@ -84,7 +80,7 @@ def separate_corpus(
         h, p, r = np.asarray(h), np.asarray(p), np.asarray(r)
         for j, path in enumerate(batch_paths):
             base = os.path.splitext(os.path.basename(path))[0]
-            n = len(loaded[j][1])
+            n = len(batch_audio[j])
             for stem, data in (("harm", h), ("perc", p), ("residual", r)):
                 writer(
                     os.path.join(out_dir, f"{base}_{stem}.wav"),
@@ -93,4 +89,19 @@ def separate_corpus(
                 )
             journal.mark_done(path, {"samples": n})
             results["processed"] += 1
+
+    # one lazy pass, batching up to n_dp tracks of EQUAL sample rate
+    # (the engine config is a function of fs; a silent mixed-fs batch
+    # would mis-separate) — a batch flushes when full or when fs changes
+    batch_paths, batch_audio, batch_fs = [], [], None
+    for path in pending:
+        fs, audio = reader(path)
+        if batch_paths and (fs != batch_fs or len(batch_paths) == n_dp):
+            flush(batch_fs, batch_paths, batch_audio)
+            batch_paths, batch_audio = [], []
+        batch_fs = fs
+        batch_paths.append(path)
+        batch_audio.append(audio)
+    if batch_paths:
+        flush(batch_fs, batch_paths, batch_audio)
     return results
