@@ -301,3 +301,46 @@ def test_runtime_toggles_match_ctor_flags():
     off_b = HPRIOffline(1000.0, 32, 8, 2.0, 2.0, use_sse=True)
     for a, b in zip(off_a.process(audio), off_b.process(audio)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_replicate_border_fast_path_parity():
+    """Regression (review finding): border='replicate' must match the
+    oracle — the half-spectrum reflect boundary cannot emulate the
+    full-spectrum clamp near DC, so config must force the exact C2C
+    path for replicate."""
+    cfg = HPRConfig(
+        fs=1000.0, hop=8, causal=False, outputs=OUTPUT_ALL,
+        border="replicate",
+    )
+    assert not cfg.fast_rfft
+    rng = np.random.default_rng(40)
+    audio = rng.standard_normal(800).astype(np.float32)
+    want = oracle_offline_pass(audio, cfg)
+    got = hpr_separate(audio, cfg)
+    for k in ("harmonic", "percussive", "residual"):
+        scale = max(1.0, np.abs(want[k]).max())
+        np.testing.assert_allclose(
+            np.asarray(got[k]) / scale, want[k] / scale, atol=1e-4
+        )
+
+
+@pytest.mark.parametrize("fs,hop", [(8000.0, 256), (44100.0, 4096)])
+def test_valid_anticausal_unwritten_lag_row(fs, hop):
+    """Regression (review finding): valid-ROI anticausal with
+    l_harm <= 2 leaves the lag row unwritten in the reference (zero
+    harmonic matrix); hop_h=4096 at 44.1 kHz (l_harm=1) is exactly
+    `zen offline --nocopybord`'s pass 1."""
+    cfg = HPRConfig(
+        fs=fs, hop=hop, causal=False, outputs=OUTPUT_ALL, border="valid"
+    )
+    assert cfg.l_harm <= 2 and not cfg.lag_row_written
+    rng = np.random.default_rng(41)
+    audio = rng.standard_normal(hop * 8).astype(np.float32)
+    want = oracle_offline_pass(audio, cfg)
+    got = hpr_separate(audio, cfg)
+    assert np.abs(want["harmonic"]).max() == 0.0  # reference: silence
+    for k in ("harmonic", "percussive", "residual"):
+        scale = max(1.0, np.abs(want[k]).max())
+        np.testing.assert_allclose(
+            np.asarray(got[k]) / scale, want[k] / scale, atol=1e-3
+        )

@@ -127,3 +127,18 @@ def test_engine_pallas_impl_matches_xla():
             rtol=1e-5,
             atol=1e-3,
         )
+
+
+@pytest.mark.parametrize("start", [0, 5, 21])
+def test_time_kernel_start_offset(start):
+    """tap_median_time_pallas(start=s) == full result's trailing rows."""
+    from zen_tpu.ops.median_pallas import tap_median_time_pallas
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((40, 200)).astype(np.float32)
+    offsets = tuple(range(-5, 1))
+    full = np.asarray(tap_median_time_pallas(jnp.asarray(x), offsets))
+    tail = np.asarray(
+        tap_median_time_pallas(jnp.asarray(x), offsets, start=start)
+    )
+    np.testing.assert_allclose(tail, full[start:])

@@ -11,6 +11,16 @@ The autocorrelation is batched jnp (all chunks of a track in one TPU
 dispatch); the scalar peak-picking walk runs on host — it is O(N)
 branchy control flow over one 4096-vector per 93 ms chunk, firmly
 host-side territory.
+
+Deviation (deliberate, like btrack.py's index-clamp fix): the
+reference's real_autocorrelation applies |X|^2/(2N) to only the FIRST
+N of its 2N FFT bins before the inverse (pitch.cpp:49-52), leaving
+bins N..2N-1 as the raw forward spectrum — the resulting "ACF" mixes
+the true autocorrelation with O(|X|) leakage terms and biases the
+pitch estimate (e.g. ~193 Hz for a 220 Hz chord in a direct
+transcription). Here the textbook ACF (power over ALL bins) is
+computed, which the NSDF/MPM derivation assumes; tests assert the
+mathematically correct pitch (220.01 Hz for the same input).
 """
 from __future__ import annotations
 

@@ -153,20 +153,16 @@ class HPRIOffline:
         )
 
     def use_sse_filter(self):
-        self.cfg_h = HPRConfig(
-            **{**_cfg_kwargs(self.cfg_h), "use_sse": True}
-        )
-        self.cfg_p = HPRConfig(
-            **{**_cfg_kwargs(self.cfg_p), "use_sse": True}
-        )
+        import dataclasses
+
+        self.cfg_h = dataclasses.replace(self.cfg_h, use_sse=True)
+        self.cfg_p = dataclasses.replace(self.cfg_p, use_sse=True)
 
     def use_soft_mask(self):
-        self.cfg_h = HPRConfig(
-            **{**_cfg_kwargs(self.cfg_h), "soft_mask": True}
-        )
-        self.cfg_p = HPRConfig(
-            **{**_cfg_kwargs(self.cfg_p), "soft_mask": True}
-        )
+        import dataclasses
+
+        self.cfg_h = dataclasses.replace(self.cfg_h, soft_mask=True)
+        self.cfg_p = dataclasses.replace(self.cfg_p, soft_mask=True)
 
     def process(self, audio):
         # xp1 + xr1 feeds pass 2 (hps.cu:152-158); residual is zero for
@@ -183,8 +179,3 @@ class HPRIOffline:
         h, p, r = _two_pass(audio, length, self.cfg_h, self.cfg_p)
         return h[..., :length], p[..., :length], r[..., :length]
 
-
-def _cfg_kwargs(cfg: HPRConfig) -> dict:
-    import dataclasses
-
-    return {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}

@@ -36,7 +36,7 @@ from ..engine.spectral import (
     freq_filtered,
     num_bins,
     synthesize,
-    time_filtered,
+    time_filtered_tail,
 )
 from ..errors import ZenError
 
@@ -88,7 +88,7 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     # time filter: only the B newest rows; their taps reach at most
     # h_len frames back, all inside `feats` (earlier stream = prefill
     # feature values, already baked into the initial feat_hist)
-    h_rows = time_filtered(feats, cfg)[h_len:]
+    h_rows = time_filtered_tail(feats, cfg, h_len)
     p_rows = freq_filtered(feat, cfg)
     h_rows, p_rows = finalize_features(h_rows, p_rows, cfg)
     pm, hm, rm = compute_masks(h_rows, p_rows, cfg)
@@ -182,12 +182,7 @@ class HPRRealtime:
     def _reconfig(self, **kw):
         import dataclasses
 
-        fields = {
-            f.name: getattr(self.cfg, f.name)
-            for f in dataclasses.fields(self.cfg)
-        }
-        fields.update(kw)
-        self.cfg = HPRConfig(**fields)
+        self.cfg = dataclasses.replace(self.cfg, **kw)
         self.state = init_state(self.cfg)
 
     def reset_buffers(self):

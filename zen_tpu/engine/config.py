@@ -93,8 +93,11 @@ class HPRConfig:
         if self.use_sse and self.border == VALID:
             # reference BoxFilterGPU always pads borders (box.h:154-180)
             object.__setattr__(self, "border", WRAP)
-        if self.fast_rfft and self.border == VALID:
-            # nocopybord zeroes high bins asymmetrically — needs full C2C
+        if self.fast_rfft and self.border in (VALID, REPLICATE):
+            # nocopybord zeroes high bins asymmetrically; replicate
+            # clamps at DC (full-spectrum index clipping) which the
+            # half spectrum's reflect boundary cannot emulate near bin
+            # 0 — both need the full C2C path
             object.__setattr__(self, "fast_rfft", False)
 
     # ---- derived parameters (hps.h:222-268) ----
@@ -181,6 +184,21 @@ class HPRConfig:
     def time_history(self) -> int:
         """Frames of magnitude history a causal stream must carry."""
         return max(0, -min(self.time_offsets))
+
+    @property
+    def lag_row_written(self) -> bool:
+        """Whether the reference's time-direction filter ever writes
+        the lag row. NPP valid-ROI anticausal writes only rows
+        [fm, stft_width-fm-2] (mfilt.h:123-145); the lag row
+        (= l_harm) falls outside that range when l_harm < fm+2, in
+        which case the reference masks against an all-zero harmonic
+        matrix (the dst buffer's initial value). Causal valid always
+        writes its lag row (2*l_harm-1 >= filter_len for all l_harm);
+        wrap/replicate write every row."""
+        if self.border != VALID or self.causal:
+            return True
+        fm = self.time_filter_len // 2
+        return fm <= self.l_harm <= self.stft_width - fm - 2
 
     @functools.cached_property
     def freq_offsets(self) -> tuple:

@@ -97,11 +97,13 @@ def _use_pallas(cfg: HPRConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _pallas_time_median(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+def _pallas_time_median(
+    feats: jnp.ndarray, cfg: HPRConfig, start: int = 0
+) -> jnp.ndarray:
     from ..ops.median_pallas import tap_median_time_pallas
 
     return tap_median_time_pallas(
-        feats, tuple(cfg.time_offsets), fill=prefill_value(cfg)
+        feats, tuple(cfg.time_offsets), fill=prefill_value(cfg), start=start
     )
 
 
@@ -139,12 +141,39 @@ def time_filtered(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     offsets. The boundary along T is constant-fill: out-of-range frames
     are the sliding window's zero prefill (border modes act *within*
     the window and are already folded into the offsets)."""
+    if not cfg.lag_row_written:
+        # valid-ROI anticausal with l_harm <= 2: the reference never
+        # writes the lag row, so masking sees an all-zero harmonic
+        # matrix (config.lag_row_written)
+        return jnp.zeros_like(feats)
     fill = prefill_value(cfg)
     if cfg.use_sse:
         return sliding_mean(feats, cfg.time_offsets, -2, "zero", fill)
     if _use_pallas(cfg):
         return _pallas_time_median(feats, cfg)
     return sliding_median(feats, cfg.time_offsets, -2, "zero", fill=fill)
+
+
+def time_filtered_tail(
+    feats: jnp.ndarray, cfg: HPRConfig, start: int
+) -> jnp.ndarray:
+    """time_filtered restricted to output rows start..T-1 — the
+    streaming block step's form: the history rows exist only as tap
+    context and their filtered values are never consumed, so the
+    Pallas path skips computing them entirely (up to ~(H+1)x less
+    median work at B=1)."""
+    if not cfg.lag_row_written:
+        return jnp.zeros_like(feats[..., start:, :])
+    fill = prefill_value(cfg)
+    if cfg.use_sse:
+        return sliding_mean(feats, cfg.time_offsets, -2, "zero", fill)[
+            ..., start:, :
+        ]
+    if _use_pallas(cfg):
+        return _pallas_time_median(feats, cfg, start=start)
+    return sliding_median(feats, cfg.time_offsets, -2, "zero", fill=fill)[
+        ..., start:, :
+    ]
 
 
 def freq_filtered(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:

@@ -311,45 +311,57 @@ def sliding_median_last_axis_pallas(x_padded: jnp.ndarray, k: int):
 # ---------------- time-direction tap median ----------------
 
 
-def _time_kernel(x_hbm, out_ref, slab, sem, *, offsets, back, tb: int, rows: int):
+def _time_kernel(
+    x_hbm, out_ref, slab, sem, *, offsets, back, tb: int, rows: int, base: int
+):
     """One [tb, f] output tile of the time-direction tap median for
-    batch element c. Input slab rows [i*tb .. i*tb + rows - 1]
-    (rows = aligned span)."""
+    batch element c. Input slab rows [base + i*tb ..] of the padded
+    array (rows = aligned span)."""
     c = pl.program_id(0)
     i = pl.program_id(1)
     k = len(offsets)
-    cp = pltpu.make_async_copy(x_hbm.at[c, pl.ds(i * tb, rows), :], slab, sem)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[c, pl.ds(base + i * tb, rows), :], slab, sem
+    )
     cp.start()
     cp.wait()
     taps = [slab[o + back : o + back + tb, :] for o in offsets]
     out_ref[0] = _median_network(taps, (k - 1) // 2)
 
 
-def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float):
+def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int):
+    """Tap median of rows start..T-1 only (out[..., i, :] = median over
+    x[..., start + i + o, :]); streaming callers filter just the new
+    block's rows instead of the whole history concat."""
     xc, lead = _fold_batch(x)
     c, t, f = xc.shape
+    t_out = t - start
     back = max(0, -min(offsets))
     fwd = max(0, max(offsets))
-    f_pad0 = _align(f, 128)
-    tb = _pick_tb(_pow2_at_least(len(offsets)), f_pad0, t)
-    n_t = -(-t // tb)
-    t_pad = n_t * tb
+    top_pad = max(0, back - start)
+    base = start - back + top_pad  # first padded row a slab reads
     f_pad = _align(f, 128)
+    tb = _pick_tb(_pow2_at_least(len(offsets)), f_pad, t_out)
+    n_t = -(-t_out // tb)
+    t_pad_out = n_t * tb
     rows = _align(tb + back + fwd, 8)  # aligned slab rows
+    need_rows = base + (n_t - 1) * tb + rows
+    bottom_pad = max(0, need_rows - (top_pad + t))
     xp = jnp.pad(
         xc,
-        (
-            (0, 0),
-            (back, fwd + (t_pad - t) + (rows - (tb + back + fwd))),
-            (0, f_pad - f),
-        ),
+        ((0, 0), (top_pad, bottom_pad), (0, f_pad - f)),
         constant_values=fill,
     )
     out = pl.pallas_call(
         functools.partial(
-            _time_kernel, offsets=tuple(offsets), back=back, tb=tb, rows=rows
+            _time_kernel,
+            offsets=tuple(offsets),
+            back=back,
+            tb=tb,
+            rows=rows,
+            base=base,
         ),
-        out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, t_pad_out, f_pad), jnp.float32),
         grid=(c, n_t),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -360,14 +372,14 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float):
             pltpu.SemaphoreType.DMA,
         ],
     )(xp)
-    return out[:, :t, :f].reshape(lead + (t, f))
+    return out[:, :t_out, :f].reshape(lead + (t_out, f))
 
 
 @functools.lru_cache(maxsize=None)
-def _time_entry(offsets: tuple, fill: float):
+def _time_entry(offsets: tuple, fill: float, start: int):
     @jax.custom_batching.custom_vmap
     def f(x):
-        return _time_impl(x, offsets, fill)
+        return _time_impl(x, offsets, fill, start)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, x):  # noqa: ANN001
@@ -376,13 +388,17 @@ def _time_entry(offsets: tuple, fill: float):
     return f
 
 
-def tap_median_time_pallas(x: jnp.ndarray, offsets: tuple, fill: float = 0.0):
-    """Time-direction tap median with constant boundary: out[..., t, :]
-    = median over x[..., t + o, :] for o in offsets (out-of-range rows
-    read ``fill`` — the feature value of a zero prefill frame).
+def tap_median_time_pallas(
+    x: jnp.ndarray, offsets: tuple, fill: float = 0.0, start: int = 0
+):
+    """Time-direction tap median with constant boundary: out[..., i, :]
+    = median over x[..., start + i + o, :] for o in offsets
+    (out-of-range rows read ``fill`` — the feature value of a zero
+    prefill frame). ``start`` restricts output to the trailing
+    T-start rows without computing the leading ones.
 
     x: [..., T, F] float32; offsets: static tuple of frame offsets
     (duplicates allowed — the replicate-border causal mode repeats the
     current frame).
     """
-    return _time_entry(tuple(offsets), float(fill))(x)
+    return _time_entry(tuple(offsets), float(fill), int(start))(x)

@@ -155,6 +155,8 @@ def sharded_separate(
     drivers.offline.hpr_separate per channel exactly."""
     import numpy as np
 
+    import dataclasses
+
     audio = jnp.asarray(audio, jnp.float32)
     if audio.ndim == 1:
         audio = audio[None]
@@ -165,6 +167,17 @@ def sharded_separate(
         raise ZenError(f"channels ({n_ch}) not divisible by dp ({n_dp})")
     n_frames = math.ceil(length / cfg.hop) + cfg.lag
     n_frames = -(-n_frames // n_sp) * n_sp  # extra zero frames: harmless
+    if cfg.fft_impl == "auto":
+        # resolve the transform seam from the GLOBAL frame count: the
+        # shard body only sees per-shard frames, so leaving 'auto'
+        # would make sharded != unsharded outputs (and vary with n_sp)
+        from ..engine.spectral import _dft_precision
+
+        # the same count the UNSHARDED path sees ([C, T, nwin] frames),
+        # so sharded and unsharded resolve to the same transform
+        total = n_ch * n_frames
+        resolved = "dft" if _dft_precision(cfg, total) is not None else "xla"
+        cfg = dataclasses.replace(cfg, fft_impl=resolved)
     padded = jnp.pad(audio, ((0, 0), (0, n_frames * cfg.hop - length)))
     fn = _build_sp_fn(cfg, mesh, dp_axis, sp_axis)
     out = fn(padded)  # [3, C, T*hop]
