@@ -113,8 +113,21 @@ def time_stream(cfg, block_hops, n1=128, n2=1024):
 
 
 def time_multistream(cfg, n_streams, block_hops, n1=16, n2=128):
-    """Multi-channel throughput (samples/s/chip), slope-timed."""
+    """Multi-channel throughput (samples/s/chip), slope-timed, with
+    the same fft_impl override MultiStreamHPR applies (the vmapped
+    step hides the channel dim from the DFT heuristic — measure the
+    production path)."""
+    import dataclasses
+
     from zen_tpu.drivers.realtime import _block_step_body, init_state
+
+    if (
+        cfg.fft_impl == "auto"
+        and cfg.fast_rfft
+        and cfg.nfft <= 4096
+        and n_streams >= 8
+    ):
+        cfg = dataclasses.replace(cfg, fft_impl="dft")
 
     rng = np.random.default_rng(0)
     base = jnp.asarray(
@@ -179,7 +192,9 @@ def time_offline(n1=2, n2=10):
         def run(audio):
             def step(a, _):
                 h, p, r = _two_pass(a, length, cfg_h, cfg_p)
-                return base + 1e-12 * p, None
+                # chain ALL stems: an unused stem would let XLA
+                # dead-code-eliminate its synthesis branch
+                return base + 1e-12 * (h + p + r), None
 
             return (jax.lax.scan(step, audio, None, length=n)[0],)
 

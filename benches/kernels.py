@@ -56,7 +56,7 @@ def chain_time(f, x, n1=16, n2=128, repeats=5):
             y = run(y)
             s = float(jnp.sum(y))
             best = min(best, time.perf_counter() - t0)
-        assert np.isfinite(s) or True
+        assert np.isfinite(s), f"chained kernel diverged at n={n}"
         ts[n] = best
     return (ts[n2] - ts[n1]) / (n2 - n1) * 1e3
 
@@ -66,11 +66,14 @@ def mem_time(f, make_host, iters=10):
     NOTE: in this environment the host<->device path crosses the axon
     tunnel, so this measures tunnel bandwidth more than PCIe/DMA; the
     reference's _MEM/_NOMEM split is preserved for completeness."""
-    x = make_host()
-    y = np.asarray(f(jnp.asarray(x)))
+    # pre-generate distinct buffers OUTSIDE the clock (host RNG for
+    # millions of floats would otherwise contaminate the timing);
+    # distinct per iteration so relay-side caches can't serve repeats
+    pool = [make_host() for _ in range(iters)]
+    y = np.asarray(f(jnp.asarray(pool[0])))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = np.asarray(f(jnp.asarray(make_host())))
+    for x in pool:
+        y = np.asarray(f(jnp.asarray(x)))
     t1 = time.perf_counter()
     return (t1 - t0) / iters * 1e3
 
@@ -128,48 +131,19 @@ def run(csv=None):
     report("median_time_pallas_NOMEM/K11_5180x513", chain_time(pal, x))
 
     # --- full HPR block step (hps.bench.cu analog) ---
+    # shares bench.py's slope-timing machinery so methodology fixes
+    # propagate to both harnesses
+    import bench as bench_mod
     from zen_tpu import HPRConfig, OUTPUT_PERCUSSIVE
-    from zen_tpu.drivers.realtime import _block_step_body, init_state
 
     for hop in (256, 1024, 4096):
         cfg = HPRConfig(
             fs=44100.0, hop=hop, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
         )
         b = 32
-        base = jnp.asarray(rng.standard_normal((b, hop)).astype(np.float32))
-
-        def make_run(n, cfg=cfg, b=b, base=base):
-            @jax.jit
-            def run(state, prev):
-                def step(carry, _):
-                    state, prev = carry
-                    block = base + 1e-12 * prev[1].reshape(b, cfg.hop)
-                    return _block_step_body(cfg, state, block), None
-
-                return jax.lax.scan(
-                    step, (state, prev), None, length=n
-                )[0]
-
-            return run
-
-        ts = {}
-        carry = (init_state(cfg), jnp.zeros((3, b * hop), jnp.float32))
-        for n in (16, 128):
-            run = make_run(n)
-            carry = run(*carry)
-            float(jnp.sum(carry[1]))
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                carry = run(*carry)
-                s = float(jnp.sum(carry[1]))
-                best = min(best, time.perf_counter() - t0)
-            assert np.isfinite(s)
-            ts[n] = best
-        report(
-            f"hpr_block_step_NOMEM/hop{hop}x{b}",
-            (ts[128] - ts[16]) / (128 - 16) * 1e3,
-        )
+        make_run, make_carry = bench_mod.stream_run_factory(cfg, b)
+        per_iter = bench_mod.slope_time(make_run, make_carry, 16, 128)
+        report(f"hpr_block_step_NOMEM/hop{hop}x{b}", per_iter * 1e3)
 
     if csv:
         with open(csv, "w") as fh:

@@ -164,6 +164,7 @@ int zen_wav_read_mono(const char* path, float* dst, uint32_t n_frames) {
     const uint32_t chunk = 4096;
     if (info.format == 1) {
         int16_t* buf = static_cast<int16_t*>(malloc(chunk * ch * 2));
+        if (!buf) { fclose(f); return -7; }
         uint32_t done = 0;
         while (done < n_frames) {
             uint32_t todo = n_frames - done < chunk ? n_frames - done : chunk;
@@ -181,6 +182,7 @@ int zen_wav_read_mono(const char* path, float* dst, uint32_t n_frames) {
         return done == n_frames ? 0 : -6;
     }
     float* buf = static_cast<float*>(malloc((size_t)chunk * ch * 4));
+    if (!buf) { fclose(f); return -7; }
     uint32_t done = 0;
     while (done < n_frames) {
         uint32_t todo = n_frames - done < chunk ? n_frames - done : chunk;
@@ -208,19 +210,20 @@ int zen_wav_write_pcm16(const char* path, uint32_t sample_rate,
     uint32_t byte_rate = sample_rate * 2;
     uint16_t block_align = 2;
     uint32_t fmt_size = 16;
-    fwrite("RIFF", 1, 4, f);
-    fwrite(&riff_size, 4, 1, f);
-    fwrite("WAVE", 1, 4, f);
-    fwrite("fmt ", 1, 4, f);
-    fwrite(&fmt_size, 4, 1, f);
-    fwrite(&fmt, 2, 1, f);
-    fwrite(&channels, 2, 1, f);
-    fwrite(&sample_rate, 4, 1, f);
-    fwrite(&byte_rate, 4, 1, f);
-    fwrite(&block_align, 2, 1, f);
-    fwrite(&bits, 2, 1, f);
-    fwrite("data", 1, 4, f);
-    fwrite(&data_size, 4, 1, f);
+    bool ok = true;
+    ok &= fwrite("RIFF", 1, 4, f) == 4;
+    ok &= fwrite(&riff_size, 4, 1, f) == 1;
+    ok &= fwrite("WAVE", 1, 4, f) == 4;
+    ok &= fwrite("fmt ", 1, 4, f) == 4;
+    ok &= fwrite(&fmt_size, 4, 1, f) == 1;
+    ok &= fwrite(&fmt, 2, 1, f) == 1;
+    ok &= fwrite(&channels, 2, 1, f) == 1;
+    ok &= fwrite(&sample_rate, 4, 1, f) == 1;
+    ok &= fwrite(&byte_rate, 4, 1, f) == 1;
+    ok &= fwrite(&block_align, 2, 1, f) == 1;
+    ok &= fwrite(&bits, 2, 1, f) == 1;
+    ok &= fwrite("data", 1, 4, f) == 4;
+    ok &= fwrite(&data_size, 4, 1, f) == 1;
     const uint32_t chunk = 4096;
     int16_t buf[4096];
     uint32_t done = 0;
@@ -233,11 +236,13 @@ int zen_wav_write_pcm16(const char* path, uint32_t sample_rate,
             float scaled = v * 32767.0f;
             buf[i] = (int16_t)(scaled >= 0 ? scaled + 0.5f : scaled - 0.5f);
         }
-        fwrite(buf, 2, todo, f);
+        ok &= fwrite(buf, 2, todo, f) == todo;
         done += todo;
     }
-    fclose(f);
-    return 0;
+    // a truncated/partial file must not report success (disk full,
+    // I/O error): check every write and the final flush
+    if (fclose(f) != 0) ok = false;
+    return ok ? 0 : -8;
 }
 
 }  // extern "C"

@@ -282,6 +282,12 @@ def tp_separate(
 
     if cfg.border != "wrap":
         raise ZenError("tp_separate supports the wrap border only")
+    n_tp = mesh.shape[tp_axis]
+    if cfg.nfft % n_tp != 0:
+        raise ZenError(
+            f"tp width {n_tp} must divide nfft {cfg.nfft} (a remainder "
+            "would silently drop the top bins from every shard)"
+        )
     if cfg.fast_rfft:
         cfg = dataclasses.replace(cfg, fast_rfft=False)
     audio = jnp.asarray(audio, jnp.float32)
