@@ -45,17 +45,33 @@ def main():
         chunk = ls.pull("percussive", hop)
         if chunk is not None:
             out.append(chunk)
-    # drain
-    deadline = time.perf_counter() + 2.0
-    while time.perf_counter() < deadline:
+    # drain: poll() only consumes whole blocks, so zero-pad the input
+    # ring up to the next full block boundary (plus the tail samples
+    # of a non-hop-multiple file), then pull until everything pushed
+    # has come back out
+    pushed = n_hops * hop
+    tail = audio[n_hops * hop :]
+    if len(tail):
+        ls.push(tail)
+        pushed += len(tail)
+    block = ls.block_hops * hop
+    pad = (-pushed) % block
+    if pad:
+        ls.push(np.zeros(pad, np.float32))
+    expected = pushed  # every pushed sample yields one output sample
+    deadline = time.perf_counter() + 5.0
+    got = sum(len(c) for c in out)
+    while got < expected and time.perf_counter() < deadline:
         ls.poll()
-        chunk = ls.pull("percussive", hop)
+        chunk = ls.pull("percussive", min(hop, expected - got))
         if chunk is None:
-            time.sleep(0.005)
+            time.sleep(0.002)
             continue
         out.append(chunk)
+        got += len(chunk)
     ls.stop()
     y = np.concatenate(out) if out else np.zeros(0, np.float32)
+    y = y[: len(audio)]
     print(
         f"streamed {n_hops} hops at real time; recovered {len(y)} samples; "
         f"input overruns={ls.in_ring.overruns}"

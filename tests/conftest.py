@@ -19,4 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Pin the CPU platform (this image exports JAX_PLATFORMS=axon
+# globally, so that env var cannot signal intent). For a manual
+# hardware run of e.g. tests/test_pallas.py, opt in explicitly:
+#   ZEN_TPU_TEST_PLATFORM=axon pytest tests/test_pallas.py
+jax.config.update(
+    "jax_platforms", os.environ.get("ZEN_TPU_TEST_PLATFORM", "cpu")
+)

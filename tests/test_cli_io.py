@@ -9,14 +9,12 @@ import pytest
 from zen_tpu.io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
 
 
-def make_wav(path, fs=8000, seconds=0.5, stereo=False):
+def make_wav(path, fs=8000, seconds=0.5):
     n = int(fs * seconds)
     t = np.arange(n) / fs
     x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
     x[n // 2 : n // 2 + 50] += 0.4
-    if stereo:
-        x = np.stack([x, 0.5 * x], axis=1)
-    write_wav_pcm16(str(path), fs, x if not stereo else x)
+    write_wav_pcm16(str(path), fs, x)
     return x
 
 
@@ -54,7 +52,7 @@ def run_cli(args, cwd):
         [sys.executable, "-m", "zen_tpu.cli", *args],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=str(cwd),
         env={
             "PATH": "/usr/bin:/bin",
             "JAX_PLATFORMS": "cpu",

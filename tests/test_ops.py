@@ -63,10 +63,11 @@ def test_median_causal_valid(t, f, fl):
     out = np.asarray(median2d(jnp.asarray(x), fl, TIME_CAUSAL, VALID))
     for i in range(t):
         for j in range(f):
-            if j == f // 2 and i > fl:
-                assert out[i, j] == 8
-            elif j != f // 2:
-                assert out[i, j] == 0
+            if j == f // 2:
+                # exact valid-ROI start boundary: rows < fl unwritten
+                assert out[i, j] == (8 if i >= fl else 0), (i, j)
+            else:
+                assert out[i, j] == 0, (i, j)
 
 
 @pytest.mark.parametrize("t,f,fl", SIZES)
@@ -77,10 +78,13 @@ def test_median_anticausal_valid(t, f, fl):
     fm = fl // 2
     for i in range(t):
         for j in range(f):
-            if j == f // 2 and fm < i < t - fm - 1:
-                assert out[i, j] == 8
-            elif j != f // 2:
-                assert out[i, j] == 0
+            if j == f // 2:
+                # exact written range [fm, t-fm-2] (mfilt.h:123-145)
+                assert out[i, j] == (8 if fm <= i <= t - fm - 2 else 0), (
+                    i, j,
+                )
+            else:
+                assert out[i, j] == 0, (i, j)
 
 
 @pytest.mark.parametrize("t,f,fl", SIZES)
@@ -91,10 +95,11 @@ def test_median_frequency_valid(t, f, fl):
     out = np.asarray(median2d(jnp.asarray(x), fl, FREQUENCY, VALID))
     for i in range(t):
         for j in range(f):
-            if i == t // 2 and j < f - fl:
-                assert out[i, j] == 5
-            elif i != t // 2:
-                assert out[i, j] == 0
+            if i == t // 2:
+                # exact top-bin boundary: cols > f-fl-1 unwritten
+                assert out[i, j] == (5 if j <= f - fl - 1 else 0), (i, j)
+            else:
+                assert out[i, j] == 0, (i, j)
 
 
 @pytest.mark.parametrize("direction", [TIME_CAUSAL, TIME_ANTICAUSAL, FREQUENCY])

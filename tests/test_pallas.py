@@ -3,7 +3,7 @@
 These need a real TPU (Mosaic kernels don't run on the CPU backend
 without interpret mode); by default they run in interpret mode on CPU
 so CI stays hermetic, and run compiled when a TPU is present.
-Run manually on hardware: JAX_PLATFORMS=axon pytest tests/test_pallas.py
+Run manually on hardware: ZEN_TPU_TEST_PLATFORM=axon pytest tests/test_pallas.py
 """
 import numpy as np
 import pytest
@@ -82,6 +82,8 @@ def test_time_kernel_inf_fill():
 def test_sharded_engine_with_pallas_impl():
     """Pallas kernels inside shard_map (the TPU production path) —
     must trace and match the unsharded engine."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs an 8-device mesh (single-chip hardware run)")
     from zen_tpu import HPRConfig, OUTPUT_ALL
     from zen_tpu.drivers.offline import hpr_separate
     from zen_tpu.parallel.mesh import make_mesh

@@ -120,7 +120,7 @@ def test_corpus_driver_resumes(tmp_path):
     mesh = make_mesh({"dp": 2, "sp": 4})
     out = str(tmp_path / "stems")
     res = separate_corpus(
-        paths, out, mesh, hop_h=16, hop_p=8, fs_default=fs
+        paths, out, mesh, hop_h=16, hop_p=8
     )
     assert res["processed"] == 4
     for i in range(4):
@@ -154,13 +154,23 @@ def test_bucket_len():
 def test_compilation_cache_helper(tmp_path, monkeypatch):
     from zen_tpu.runtime.xla_cache import enable_compilation_cache
 
-    d = str(tmp_path / "xla")
-    assert enable_compilation_cache(d) == d
-    import os
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        d = str(tmp_path / "xla")
+        assert enable_compilation_cache(d) == d
+        import os
 
-    assert os.path.isdir(d)
-    monkeypatch.setenv("ZEN_TPU_CACHE_DIR", "0")
-    assert enable_compilation_cache() is None
+        assert os.path.isdir(d)
+        monkeypatch.setenv("ZEN_TPU_CACHE_DIR", "0")
+        assert enable_compilation_cache() is None
+    finally:
+        # restore process-wide jax config (a tmp_path cache dir must
+        # not leak into later tests' compilations)
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
 
 
 def test_profiling_scan_slope_ms():

@@ -36,8 +36,11 @@ def _hlo(fn, *args) -> str:
 
 
 def _count(hlo: str, op: str) -> int:
-    # "-start"/"-done" pairs count once
-    return len(re.findall(rf"{op}(?!-done)", hlo))
+    # count opcode occurrences only: an opcode is directly followed by
+    # '(' — LHS names (%op-start.N = ...) and operand references
+    # (%op-start.N) are followed by '.' or ')', and async -start/-done
+    # pairs count once via the optional suffix
+    return len(re.findall(rf"{op}(?:-start)?\(", hlo))
 
 
 def _sp_program(dp: int, sp: int):

@@ -542,6 +542,18 @@ def main(argv=None) -> int:
     from .runtime.xla_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if os.environ.get("JAX_PLATFORMS"):
+        # some accelerator plugins (axon) ignore the JAX_PLATFORMS env
+        # var; make the CLI honor it via jax.config so subprocess tests
+        # and users get the backend they asked for
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_platforms", os.environ["JAX_PLATFORMS"]
+            )
+        except RuntimeError:
+            pass
     if os.environ.get("ZEN_TPU_DEBUG_NANS"):
         # sanitizer analog (SURVEY.md §5.2): fail loudly on NaN/Inf in
         # any jitted computation (reference: cuda-memcheck CTest label)

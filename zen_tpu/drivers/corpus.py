@@ -32,7 +32,6 @@ def separate_corpus(
     track_paths,
     out_dir: str,
     mesh,
-    fs_default: float = 44100.0,
     hop_h: int = 4096,
     hop_p: int = 256,
     beta_h: float = 2.0,
