@@ -24,7 +24,12 @@ from .engine.config import (  # noqa: F401
 )
 from .errors import ZenError  # noqa: F401
 from .drivers.offline import HPRIOffline, hpr_separate  # noqa: F401
-from .drivers.realtime import HPRRealtime, block_step, init_state  # noqa: F401
+from .drivers.realtime import (  # noqa: F401
+    HPRRealtime,
+    MultiStreamHPR,
+    block_step,
+    init_state,
+)
 from .runtime.xla_cache import enable_compilation_cache  # noqa: F401
 
 __version__ = "0.1.0"
