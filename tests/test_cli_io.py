@@ -55,7 +55,8 @@ def run_cli(args, cwd):
         cwd=str(cwd),
         env={
             "PATH": "/usr/bin:/bin",
-            "JAX_PLATFORMS": "cpu",
+            "ZEN_TPU_PLATFORM": "cpu",  # the CLI's explicit backend
+            # selector (JAX_PLATFORMS is unreliable under plugins)
             "HOME": "/root",
             "PYTHONPATH": "/root/repo",
         },
@@ -203,7 +204,7 @@ def test_stream_pipe_mode(tmp_path):
     rng = np.random.default_rng(5)
     audio = rng.standard_normal(n).astype(np.float32)
     env = dict(os.environ) if (os := __import__("os")) else {}
-    env["JAX_PLATFORMS"] = "cpu"
+    env["ZEN_TPU_PLATFORM"] = "cpu"
     proc = subprocess.run(
         [
             _sys.executable, "-m", "zen_tpu.cli", "stream",

@@ -542,15 +542,17 @@ def main(argv=None) -> int:
     from .runtime.xla_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    if os.environ.get("JAX_PLATFORMS"):
-        # some accelerator plugins (axon) ignore the JAX_PLATFORMS env
-        # var; make the CLI honor it via jax.config so subprocess tests
-        # and users get the backend they asked for
+    if os.environ.get("ZEN_TPU_PLATFORM"):
+        # explicit backend selection for the CLI. (Deliberately NOT
+        # JAX_PLATFORMS: accelerator plugins like axon ignore that env
+        # var AND this image exports it globally, so it cannot signal
+        # user intent — honoring it here would hijack in-process
+        # callers' platform.)
         import jax
 
         try:
             jax.config.update(
-                "jax_platforms", os.environ["JAX_PLATFORMS"]
+                "jax_platforms", os.environ["ZEN_TPU_PLATFORM"]
             )
         except RuntimeError:
             pass
