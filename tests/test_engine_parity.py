@@ -344,3 +344,35 @@ def test_valid_anticausal_unwritten_lag_row(fs, hop):
         np.testing.assert_allclose(
             np.asarray(got[k]) / scale, want[k] / scale, atol=1e-3
         )
+
+
+def test_split_stream_state_continuity():
+    """Regression (review finding): streaming a signal in two
+    process_stream calls with a ragged block boundary must equal one
+    continuous call — tail padding must not advance the state."""
+    rng = np.random.default_rng(50)
+    cfg_kw = dict(fs=1000.0, hop=8, beta=2.0, outputs=OUTPUT_ALL)
+    audio = rng.standard_normal(8 * 13).astype(np.float32)  # 13 hops
+
+    rt = HPRRealtime(**cfg_kw)
+    whole = rt.process_stream(audio, block_hops=4)
+
+    rt2 = HPRRealtime(**cfg_kw)
+    a = rt2.process_stream(audio[: 8 * 6], block_hops=4)  # ragged: 6 hops
+    b = rt2.process_stream(audio[8 * 6 :], block_hops=4)
+    np.testing.assert_allclose(
+        np.concatenate([a, b], axis=1), whole, atol=1e-5
+    )
+
+
+def test_copy_reads_return_one_hop():
+    """copy_* return exactly the newest hop even after a block call
+    (the reference per-hop OLA read, hps.cu:342-363)."""
+    rng = np.random.default_rng(51)
+    rt = HPRRealtime(fs=1000.0, hop=8, beta=2.0, outputs=OUTPUT_ALL)
+    block = rng.standard_normal((4, 8)).astype(np.float32)
+    outs = rt.process_block(block)
+    assert rt.copy_percussive().shape == (8,)
+    np.testing.assert_allclose(
+        rt.copy_percussive(), np.asarray(outs[1])[-8:]
+    )

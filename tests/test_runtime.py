@@ -220,3 +220,30 @@ def test_corpus_mixed_sample_rates(tmp_path):
         for stem in ("harm", "perc", "residual"):
             wp = str(tmp_path / "out" / f"{base}_{stem}.wav")
             assert written[wp][0] == fs
+
+
+def test_corpus_basename_collision(tmp_path):
+    """Tracks sharing a basename in different dirs must not overwrite
+    each other's stems (review finding)."""
+    import numpy as np
+
+    from zen_tpu.drivers.corpus import separate_corpus
+    from zen_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    store = {
+        str(tmp_path / d / "track.wav"): (
+            1000, rng.standard_normal(400).astype(np.float32)
+        )
+        for d in ("a", "b")
+    }
+    written = {}
+    res = separate_corpus(
+        list(store), str(tmp_path / "out"), make_mesh({"dp": 1, "sp": 2}),
+        hop_h=16, hop_p=8,
+        reader=lambda p: store[p],
+        writer=lambda p, fs, a: written.setdefault(p, 0) or written.update({p: written.get(p, 0) + 1}),
+    )
+    assert res["processed"] == 2
+    # 2 tracks x 3 stems, all distinct paths, none written twice
+    assert len(written) == 6

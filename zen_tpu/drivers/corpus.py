@@ -48,6 +48,8 @@ def separate_corpus(
     """
     from ..io.audio import read_wav_mono, write_wav_pcm16
 
+    import hashlib
+
     reader = reader or read_wav_mono
     writer = writer or write_wav_pcm16
     os.makedirs(out_dir, exist_ok=True)
@@ -56,12 +58,34 @@ def separate_corpus(
     )
     n_dp = mesh.shape.get("dp", 1)
 
+    # unique output stem names: tracks in different directories may
+    # share a basename — disambiguate colliding ones with a short
+    # path hash so stems are never silently overwritten
+    bases = {}
+    seen: dict = {}
+    for p in track_paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        seen.setdefault(base, []).append(p)
+    for base, paths_with_base in seen.items():
+        if len(paths_with_base) == 1:
+            bases[paths_with_base[0]] = base
+        else:
+            for p in paths_with_base:
+                digest = hashlib.sha1(p.encode()).hexdigest()[:8]
+                bases[p] = f"{base}-{digest}"
+
     pending = [p for p in track_paths if not journal.is_done(p)]
     done = len(track_paths) - len(pending)
     results = {"done": done, "processed": 0}
 
     def flush(fs, batch_paths, batch_audio):
-        max_len = max(len(a) for a in batch_audio)
+        from .offline import _bucket_len
+
+        # pad batches to power-of-two length buckets: the sharded
+        # 2-pass program compiles per shape, and per-batch max lengths
+        # would recompile the pod-scale executable for nearly every
+        # batch of a non-uniform corpus (O(log L) compiles instead)
+        max_len = _bucket_len(max(len(a) for a in batch_audio), hop_h)
         batch = np.zeros((n_dp, max_len), np.float32)
         for j, a in enumerate(batch_audio):
             batch[j, : len(a)] = a
@@ -78,7 +102,7 @@ def separate_corpus(
         h, p, r = sharded_hpri_offline(batch, cfg_h, cfg_p, mesh)
         h, p, r = np.asarray(h), np.asarray(p), np.asarray(r)
         for j, path in enumerate(batch_paths):
-            base = os.path.splitext(os.path.basename(path))[0]
+            base = bases[path]
             n = len(batch_audio[j])
             for stem, data in (("harm", h), ("perc", p), ("residual", r)):
                 writer(

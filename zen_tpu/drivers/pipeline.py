@@ -12,8 +12,6 @@ the structure is what the pipeline axis of a pod slice uses.
 """
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
@@ -37,10 +35,17 @@ class PipelinedHPRIOffline:
         self.dev_b = devs[1 % len(devs)]
 
     def _pass(self, audio, cfg, device, length):
-        n_frames = math.ceil(length / cfg.hop) + cfg.lag
+        from .offline import _bucket_len
+
+        # power-of-two length buckets (as HPRIOffline): without them
+        # every distinct track length would recompile both stage
+        # programs, dwarfing the pipeline overlap this driver provides
+        nb = _bucket_len(length, cfg.hop)
+        n_frames = nb // cfg.hop + cfg.lag
         padded = jnp.pad(audio, (0, n_frames * cfg.hop - length))
         padded = jax.device_put(padded, device)
-        return _offline_pass(padded, cfg, n_frames, length)
+        outs = _offline_pass(padded, cfg, n_frames, nb)
+        return {k: v[..., :length] for k, v in outs.items()}
 
     def process_stream(self, tracks):
         """tracks: iterable of [L] float arrays. Yields (h, p, r) per

@@ -222,7 +222,12 @@ class HPRRealtime:
         """Stream a whole [L] signal through the causal engine in
         blocks; pads the tail with zeros (clean tail handling — the
         reference fakert chunker drops trailing partial chunks,
-        zen/fakert.h:15-34). Returns [3, ceil(L/hop)*hop]."""
+        zen/fakert.h:15-34). Returns [3, ceil(L/hop)*hop].
+
+        A ragged final block is processed at its exact size (one extra
+        compile per distinct tail length) — padding it with zero hops
+        would advance the stream state past hops that were never part
+        of the signal, corrupting any later call on this object."""
         audio = np.asarray(audio, np.float32)
         hop = self.cfg.hop
         n_hops = -(-len(audio) // hop)
@@ -232,25 +237,20 @@ class HPRRealtime:
         outs = []
         for start in range(0, n_hops, block_hops):
             chunk = blocks[start : start + block_hops]
-            if chunk.shape[0] != block_hops:  # ragged tail: pad hops
-                full = np.zeros((block_hops, hop), np.float32)
-                full[: chunk.shape[0]] = chunk
-                valid = chunk.shape[0] * hop
-                out = self.process_block(jnp.asarray(full))
-                outs.append(np.asarray(out)[:, :valid])
-            else:
-                outs.append(np.asarray(self.process_block(jnp.asarray(chunk))))
+            outs.append(np.asarray(self.process_block(jnp.asarray(chunk))))
         return np.concatenate(outs, axis=1)
 
-    # -- per-hop output reads (hps.cu:342-363) --
+    # -- per-hop output reads (hps.cu:342-363): always the NEWEST hop,
+    # matching the reference's one-hop OLA read regardless of whether
+    # the last call processed one hop or a block --
     def copy_harmonic(self):
-        return np.asarray(self._last[0])
+        return np.asarray(self._last[0])[-self.cfg.hop :]
 
     def copy_percussive(self):
-        return np.asarray(self._last[1])
+        return np.asarray(self._last[1])[-self.cfg.hop :]
 
     def copy_residual(self):
-        return np.asarray(self._last[2])
+        return np.asarray(self._last[2])[-self.cfg.hop :]
 
 
 class MultiStreamHPR:
@@ -292,6 +292,9 @@ class MultiStreamHPR:
             and self.cfg.fast_rfft
             and self.cfg.nfft <= 4096
             and n_streams >= 8
+            and jax.default_backend() == "tpu"  # the DFT-matmul path
+            # is an MXU play; on CPU/GPU it is strictly slower than
+            # the FFT, matching the 'auto' rule's own gate
         ):
             import dataclasses
 

@@ -99,6 +99,12 @@ class HPRConfig:
             # half spectrum's reflect boundary cannot emulate near bin
             # 0 — both need the full C2C path
             object.__setattr__(self, "fast_rfft", False)
+        if self.fast_rfft and self.freq_filter_len // 2 >= self.nfft // 2 + 1:
+            # the half-spectrum reflect pad needs fm < bins (very low
+            # fs: the frequency window spans more than the half
+            # spectrum); the full C2C path handles it like the
+            # reference's full-matrix filter
+            object.__setattr__(self, "fast_rfft", False)
 
     # ---- derived parameters (hps.h:222-268) ----
     @property
