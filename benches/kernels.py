@@ -93,12 +93,22 @@ def run(csv=None):
         print(f"{name:<48s} {ms:10.4f} ms", flush=True)
 
     # --- FFT sweep (fftw.bench.cu analog): sizes 2^8..2^14 ---
+    fft_pts = []
     for p in range(8, 15):
         n = 1 << p
         t = max(1, (1 << 22) // n)  # ~4M elements per call
         x = jnp.asarray(rng.standard_normal((t, n)).astype(np.float32))
         f_fwd = jax.jit(lambda v: jnp.fft.irfft(jnp.fft.rfft(v, axis=-1), n=v.shape[-1], axis=-1))
-        report(f"fft_roundtrip_NOMEM/{n}x{t}", chain_time(f_fwd, x))
+        ms = chain_time(f_fwd, x)
+        fft_pts.append((n, ms / t))  # per-row ms at length n
+        report(f"fft_roundtrip_NOMEM/{n}x{t}", ms)
+
+    # Complexity() fitting analog (google-benchmark): least-squares
+    # exponent of per-row time vs transform length
+    ln = np.log([p[0] for p in fft_pts])
+    lt = np.log([max(p[1], 1e-9) for p in fft_pts])
+    b, a = np.polyfit(ln, lt, 1)
+    print(f"fft per-row complexity fit: t ~ n^{b:.2f}  (n log n ~ 1.1)")
 
     # --- median sweep (mfilt.bench.cu analog) ---
     for (t, f, k) in [(5180, 513, 13), (1296, 2049, 47), (330, 8193, 187)]:
