@@ -114,3 +114,15 @@ def test_btrack_locks_onto_click_track():
         abs(med - target) / target < 0.06 for target in (60.0, 120.0, 240.0)
     ), med
     assert beats.sum() >= seconds  # roughly >= 1 beat/sec detected
+
+
+def test_btrack_high_sample_rate_no_crash():
+    """Regression (review finding): beat_period > buffer/2 at
+    fs >= 88.2 kHz made the cumulative-score window slice negative
+    (numpy broadcast crash / C++ OOB read in the reference)."""
+    rng = np.random.default_rng(9)
+    bt = BTrack(96000)
+    bt.beat_period = 290  # the low-tempo regime that overflowed
+    for _ in range(40):
+        bt.process_odf_sample(float(abs(rng.standard_normal())))
+    assert np.isfinite(bt.latest_cumulative_score)

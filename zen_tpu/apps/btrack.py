@@ -57,6 +57,9 @@ def tempo_transition_matrix(n: int = 41) -> np.ndarray:
     return t.astype(np.float32)
 
 
+_ODF_WINDOW = None
+
+
 def _hanning_symmetric(n: int) -> np.ndarray:
     """Symmetric hann (denominator n-1) — the demo window
     (demos/beat-tracking/Window.h:31-40), unlike the engine's
@@ -65,6 +68,16 @@ def _hanning_symmetric(n: int) -> np.ndarray:
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * k / np.float32(n - 1)))).astype(
         np.float32
     )
+
+
+def _odf_window() -> np.ndarray:
+    """The 512-point demo window, computed once (the streaming ODF
+    runs at ~172 Hz per stream; recomputing the constant per hop is
+    pure host waste)."""
+    global _ODF_WINDOW
+    if _ODF_WINDOW is None:
+        _ODF_WINDOW = _hanning_symmetric(FRAME_SIZE)
+    return _ODF_WINDOW
 
 
 @jax.jit
@@ -162,7 +175,7 @@ class BTrack:
         self.process_odf_sample(sample)
 
     def _odf_sample(self) -> float:
-        win = _hanning_symmetric(FRAME_SIZE)
+        win = _odf_window()
         xw = self._frame * win
         fft_in = np.concatenate([xw[HOP_SIZE:], xw[:HOP_SIZE]])
         spec = np.fft.fft(fft_in)
@@ -207,10 +220,17 @@ class BTrack:
         ).astype(np.float32)
 
     def _update_cumulative_score(self, odf_sample: float) -> None:
-        """(BTrack.cpp:120-134)."""
+        """(BTrack.cpp:120-134). Deviation: the reference indexes
+        cumulativeScore[start..] with start possibly negative when
+        beat_period > buffer/2 (fs >= ~88.2 kHz -> C++ out-of-bounds
+        read / numpy broadcast crash); clamp the window to the buffer
+        and trim the weights to match."""
         start = int(ONSET_DF_BUFFER_SIZE - round(2.0 * self.beat_period))
         end = int(ONSET_DF_BUFFER_SIZE - round(self.beat_period / 2.0))
         w1 = self._w1(start, end)
+        if start < 0:
+            w1 = w1[-start:]
+            start = 0
         window = self.cumulative_score[start : end + 1] * w1
         m = float(window.max(initial=0.0))
         self.latest_cumulative_score = (1.0 - ALPHA) * odf_sample + ALPHA * m
@@ -235,9 +255,13 @@ class BTrack:
         ):
             start = int(i - round(2.0 * self.beat_period))
             end = int(i - round(self.beat_period / 2.0))
+            w = w1
+            if start < 0:  # same clamp as _update_cumulative_score
+                w = w1[-start:]
+                start = 0
             seg = future[start : end + 1]
-            k = min(len(seg), len(w1))
-            future[i] = float((seg[:k] * w1[:k]).max(initial=0.0))
+            k = min(len(seg), len(w))
+            future[i] = float((seg[:k] * w[:k]).max(initial=0.0))
         fut = future[ONSET_DF_BUFFER_SIZE:] * w2
         self.beat_counter = int(np.argmax(fut))
         self.m0 = int(self.beat_counter + round(self.beat_period / 2.0))

@@ -185,7 +185,10 @@ def cmd_fakert(args) -> int:
             soft_mask=args.soft_mask,
         )
         block_hops = max(1, int(args.block_hops))
-        rt.warmup(block_sizes=(block_hops,))
+        tail = n_hops % block_hops
+        warm = (block_hops, tail) if tail else (block_hops,)
+        rt.warmup(block_sizes=warm)  # incl. the ragged tail shape —
+        # a fresh compile inside the timed loop would corrupt avg_us
         t1 = time.perf_counter()
         outs = rt.process_stream(audio, block_hops=block_hops)
         t2 = time.perf_counter()
@@ -217,8 +220,6 @@ def cmd_fakert(args) -> int:
 def cmd_pitch_track(args) -> int:
     """Pitch tracking demo: MPM on harmonic-separated 4096-hops vs raw
     (reference: demos/pitch-tracking/main.cu:33-125)."""
-    import numpy as np
-
     from .apps.mpm import MPM
     from .drivers.realtime import HPRRealtime
     from .engine.config import OUTPUT_HARMONIC
@@ -299,12 +300,15 @@ def cmd_stream(args) -> int:
         OUTPUT_PERCUSSIVE,
         OUTPUT_RESIDUAL,
     )
-    from .io.audio import peak_normalize  # noqa: F401 (raw passthrough)
+    from .engine.config import OUTPUT_ALL
 
     stem_flags = {
         "harmonic": (OUTPUT_HARMONIC, 0),
         "percussive": (OUTPUT_PERCUSSIVE, 1),
-        "residual": (OUTPUT_RESIDUAL, 2),
+        # residual is defined as 1-(hmask+pmask): both other masks
+        # must be computed or it degenerates to a passthrough (the
+        # reference has the same trap — unwritten mask buffers)
+        "residual": (OUTPUT_ALL, 2),
     }
     outputs, idx = stem_flags[args.stem]
     rt = HPRRealtime(
@@ -332,6 +336,15 @@ def cmd_stream(args) -> int:
         buf = stdin.read(block_bytes)
         if not buf:
             break
+        if len(buf) % 4:  # producer died mid-sample: drop the partial
+            print(
+                f"zen stream: dropping {len(buf) % 4} trailing bytes "
+                "(not a whole float32)",
+                file=sys.stderr,
+            )
+            buf = buf[: len(buf) - len(buf) % 4]
+            if not buf:
+                break
         samples = np.frombuffer(buf, np.float32)
         n = len(samples)
         if n < args.block_hops * args.hop:  # tail: zero-pad
@@ -366,6 +379,15 @@ def cmd_corpus(args) -> int:
         for part in args.mesh.split(","):
             k, v = part.split("=")
             axes[k.strip()] = int(v)
+        unknown = set(axes) - {"dp", "sp"}
+        if unknown:
+            print(
+                f"corpus mesh supports axes dp,sp only (got {sorted(unknown)})",
+                file=sys.stderr,
+            )
+            return 1
+        axes.setdefault("dp", 1)
+        axes.setdefault("sp", 1)
         mesh = make_mesh(axes)
     else:
         mesh = default_mesh(n_channels_hint=len(paths))
@@ -397,7 +419,7 @@ def cmd_synth(args) -> int:
     """Write a deterministic synthetic test mixture (+ ground truth)."""
     import numpy as np
 
-    from .io.audio import peak_normalize, write_wav_pcm16
+    from .io.audio import write_wav_pcm16
     from .io.synth import synth_mixture
 
     harm, perc, mix = synth_mixture(

@@ -99,7 +99,12 @@ def separate_corpus(
             causal=False,
             outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
         )
-        h, p, r = sharded_hpri_offline(batch, cfg_h, cfg_p, mesh)
+        lengths = [len(a) for a in batch_audio] + [0] * (
+            n_dp - len(batch_audio)
+        )
+        h, p, r = sharded_hpri_offline(
+            batch, cfg_h, cfg_p, mesh, lengths=lengths
+        )
         h, p, r = np.asarray(h), np.asarray(p), np.asarray(r)
         for j, path in enumerate(batch_paths):
             base = bases[path]

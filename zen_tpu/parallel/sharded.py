@@ -187,11 +187,29 @@ def sharded_separate(
 
 
 def sharded_hpri_offline(
-    audio, cfg_h: HPRConfig, cfg_p: HPRConfig, mesh: Mesh, **axes
+    audio,
+    cfg_h: HPRConfig,
+    cfg_p: HPRConfig,
+    mesh: Mesh,
+    lengths=None,
+    **axes,
 ) -> tuple:
-    """Sharded 2-pass HPR-I (the pod-scale flagship pipeline step)."""
+    """Sharded 2-pass HPR-I (the pod-scale flagship pipeline step).
+
+    ``lengths`` (optional, [C] ints): each channel's true clip length
+    when channels are zero-padded to a shared batch length. Pass 1's
+    OLA spill beyond a clip must not feed pass 2 (the reference
+    truncates between passes, hps.cu:171-178; HPRIOffline._two_pass
+    masks identically) — without this, a track's stems near its end
+    would depend on which longer tracks shared its batch."""
     pass1 = sharded_separate(audio, cfg_h, mesh, **axes)
     inter = pass1["percussive"] + pass1["residual"]
+    if lengths is not None:
+        keep = (
+            jnp.arange(inter.shape[-1])[None, :]
+            < jnp.asarray(lengths)[:, None]
+        )
+        inter = jnp.where(keep, inter, 0.0)
     pass2 = sharded_separate(inter, cfg_p, mesh, **axes)
     return pass1["harmonic"], pass2["percussive"], pass2["residual"]
 
