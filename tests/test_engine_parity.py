@@ -376,3 +376,60 @@ def test_copy_reads_return_one_hop():
     np.testing.assert_allclose(
         rt.copy_percussive(), np.asarray(outs[1])[-8:]
     )
+
+
+@pytest.mark.parametrize(
+    "fs,hop,border,causal,soft,sse",
+    [
+        # sampled sweep across the whole config space (the targeted
+        # tests above pin specific behaviors; this is breadth insurance)
+        (1000.0, 8, "wrap", False, False, False),
+        (1000.0, 8, "wrap", True, True, False),
+        (1000.0, 16, "replicate", False, False, False),
+        (1000.0, 16, "replicate", True, False, False),
+        (2000.0, 8, "valid", False, False, False),
+        (2000.0, 8, "valid", True, False, False),
+        (1000.0, 8, "wrap", False, False, True),
+        (1000.0, 16, "wrap", True, False, True),
+        (4000.0, 32, "wrap", False, True, False),
+        (8000.0, 64, "replicate", False, True, False),
+        (16000.0, 32, "valid", False, False, False),
+    ],
+)
+def test_config_fuzz_matches_oracle(fs, hop, border, causal, soft, sse):
+    """Engine == oracle across a sampled grid of every config axis."""
+    cfg = HPRConfig(
+        fs=fs, hop=hop, causal=causal, border=border,
+        soft_mask=soft, use_sse=sse, outputs=OUTPUT_ALL,
+        fast_rfft=False, fft_impl="xla", median_impl="xla",
+    )
+    rng = np.random.default_rng(hash((fs, hop, border)) % 2**32)
+    audio = rng.standard_normal(hop * 20).astype(np.float32)
+    if causal:
+        want = oracle_realtime_stream(audio, cfg)
+        rt = HPRRealtime(fs, hop, 2.0, outputs=OUTPUT_ALL)
+        rt.cfg = cfg
+        rt.reset_buffers()
+        got_arr = rt.process_stream(audio, block_hops=7)
+        got = {
+            k: got_arr[i]
+            for i, k in enumerate(("harmonic", "percussive", "residual"))
+        }
+    else:
+        want = oracle_offline_pass(audio, cfg)
+        got = {k: np.asarray(v) for k, v in hpr_separate(audio, cfg).items()}
+    for k in ("harmonic", "percussive", "residual"):
+        w = np.nan_to_num(want[k], posinf=0, neginf=0)
+        g = np.nan_to_num(np.asarray(got[k])[: len(w)], posinf=0, neginf=0)
+        scale = max(1.0, np.abs(w).max())
+        np.testing.assert_allclose(
+            g / scale, w / scale, atol=2e-4,
+            err_msg=f"{k} diverges for cfg {cfg}",
+        )
+
+
+def test_degenerate_low_fs_raises():
+    """fs <= 500 Hz makes l_perc reach nfft (filter > matrix) — must
+    raise like the reference (mfilt.h:80-87), not mis-separate."""
+    with pytest.raises(Exception):
+        HPRConfig(fs=500.0, hop=8, causal=True)
