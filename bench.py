@@ -117,17 +117,13 @@ def time_multistream(cfg, n_streams, block_hops, n1=16, n2=128):
     the same fft_impl override MultiStreamHPR applies (the vmapped
     step hides the channel dim from the DFT heuristic — measure the
     production path)."""
-    import dataclasses
+    from zen_tpu.drivers.realtime import (
+        _block_step_body,
+        init_state,
+        resolve_multistream_fft_impl,
+    )
 
-    from zen_tpu.drivers.realtime import _block_step_body, init_state
-
-    if (
-        cfg.fft_impl == "auto"
-        and cfg.fast_rfft
-        and cfg.nfft <= 4096
-        and n_streams >= 8
-    ):
-        cfg = dataclasses.replace(cfg, fft_impl="dft")
+    cfg = resolve_multistream_fft_impl(cfg, n_streams)
 
     rng = np.random.default_rng(0)
     base = jnp.asarray(

@@ -27,38 +27,13 @@ sys.path.insert(0, ".")
 
 
 def chain_time(f, x, n1=16, n2=128, repeats=5):
-    """Output-chained device ms/call, slope-timed (see bench.py's
-    methodology): jax.block_until_ready does not wait on the axon
-    runtime and a sync value readback costs a large variable constant,
-    so the per-iteration cost is the slope of best-of-N readback-synced
-    wall time between scan lengths n1 and n2.
+    """Output-chained device ms/call — delegates to the library's
+    slope timer (zen_tpu.runtime.profiling.scan_slope_ms) so the
+    subtle methodology (readback sync, chaining, best-of-N slope)
+    has a single source of truth. f must be shape-preserving."""
+    from zen_tpu.runtime.profiling import scan_slope_ms
 
-    f must be shape-preserving on x (chained as y = f(y))."""
-
-    def make_run(n):
-        @jax.jit
-        def run(x):
-            return jax.lax.scan(
-                lambda c, _: (f(c), None), x, None, length=n
-            )[0]
-
-        return run
-
-    ts = {}
-    y = x
-    for n in (n1, n2):
-        run = make_run(n)
-        y = run(y)
-        float(jnp.sum(y))  # compile + true sync
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            y = run(y)
-            s = float(jnp.sum(y))
-            best = min(best, time.perf_counter() - t0)
-        assert np.isfinite(s), f"chained kernel diverged at n={n}"
-        ts[n] = best
-    return (ts[n2] - ts[n1]) / (n2 - n1) * 1e3
+    return scan_slope_ms(f, x, n1=n1, n2=n2, repeats=repeats)
 
 
 def mem_time(f, make_host, iters=10):

@@ -126,7 +126,9 @@ int zen_wav_info(const char* path, WavInfo* info) {
             memcpy(&channels, buf + 2, 2);
             memcpy(&rate, buf + 4, 4);
             memcpy(&bits, buf + 14, 2);
-            if (sz > 16) fseek(f, sz - 16, SEEK_CUR);
+            // skip the fmt remainder including the RIFF odd-size
+            // pad byte (chunks are word-aligned)
+            if (sz > 16 || (sz & 1)) fseek(f, (sz - 16) + (sz & 1), SEEK_CUR);
         } else if (!memcmp(tag, "data", 4)) {
             data_size = sz;
             break;

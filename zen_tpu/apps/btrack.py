@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..engine.config import _roundf as _cround  # C round(): half away
+# from zero — Python's round() is banker's and drifts from the
+# reference for odd beat periods (e.g. round(42.5))
+
 FRAME_SIZE = 512
 HOP_SIZE = 256
 ONSET_DF_BUFFER_SIZE = 512
@@ -102,7 +106,11 @@ def odf_batch(frames: jnp.ndarray) -> jnp.ndarray:
     zero = jnp.zeros((1, FRAME_SIZE), mag.dtype)
     mag_p = jnp.concatenate([zero, mag[:-1]], axis=0)
     ph_p = jnp.concatenate([zero, phase[:-1]], axis=0)
-    ph_p2 = jnp.concatenate([zero, zero, phase[:-2]], axis=0)
+    # slice back to T rows: for T=1, concat([zero, zero, empty]) would
+    # broadcast a phantom second frame through the whole ODF
+    ph_p2 = jnp.concatenate([zero, zero, phase[:-2]], axis=0)[
+        : mag.shape[0]
+    ]
     dev = phase - 2.0 * ph_p + ph_p2
     mag_diff = mag - mag_p
     csd = jnp.sqrt(
@@ -143,7 +151,7 @@ class BTrack:
     def __init__(self, sample_rate: int):
         self.sample_rate = sample_rate
         self.tempo_to_lag_factor = 60.0 * sample_rate / HOP_SIZE
-        self.beat_period = round(
+        self.beat_period = _cround(
             60.0 / ((HOP_SIZE / sample_rate) * 120.0)
         )
         self.m0 = 10
@@ -155,7 +163,7 @@ class BTrack:
         self.cumulative_score = np.zeros(ONSET_DF_BUFFER_SIZE, np.float32)
         # init: a click train at the prior beat period (BTrack.cpp:46-50)
         idx = np.arange(ONSET_DF_BUFFER_SIZE)
-        self.onset_df[idx % int(round(self.beat_period)) == 0] = 1.0
+        self.onset_df[idx % int(_cround(self.beat_period)) == 0] = 1.0
         self.prev_delta = np.ones(41, np.float32)
         self.rayleigh = rayleigh_weighting()
         self.transition = tempo_transition_matrix()
@@ -225,12 +233,15 @@ class BTrack:
         beat_period > buffer/2 (fs >= ~88.2 kHz -> C++ out-of-bounds
         read / numpy broadcast crash); clamp the window to the buffer
         and trim the weights to match."""
-        start = int(ONSET_DF_BUFFER_SIZE - round(2.0 * self.beat_period))
-        end = int(ONSET_DF_BUFFER_SIZE - round(self.beat_period / 2.0))
+        start = int(ONSET_DF_BUFFER_SIZE - _cround(2.0 * self.beat_period))
+        end = int(ONSET_DF_BUFFER_SIZE - _cround(self.beat_period / 2.0))
         w1 = self._w1(start, end)
         if start < 0:
             w1 = w1[-start:]
             start = 0
+        if end >= ONSET_DF_BUFFER_SIZE:  # beat_period <= 1 degenerate
+            w1 = w1[: ONSET_DF_BUFFER_SIZE - start]
+            end = ONSET_DF_BUFFER_SIZE - 1
         window = self.cumulative_score[start : end + 1] * w1
         m = float(window.max(initial=0.0))
         self.latest_cumulative_score = (1.0 - ALPHA) * odf_sample + ALPHA * m
@@ -247,14 +258,14 @@ class BTrack:
             -((v - self.beat_period / 2.0) ** 2)
             / (2.0 * (self.beat_period / 2.0) ** 2)
         )
-        start0 = int(ONSET_DF_BUFFER_SIZE - round(2.0 * self.beat_period))
-        end0 = int(ONSET_DF_BUFFER_SIZE - round(self.beat_period / 2.0))
+        start0 = int(ONSET_DF_BUFFER_SIZE - _cround(2.0 * self.beat_period))
+        end0 = int(ONSET_DF_BUFFER_SIZE - _cround(self.beat_period / 2.0))
         w1 = self._w1(start0, end0)
         for i in range(
             ONSET_DF_BUFFER_SIZE, ONSET_DF_BUFFER_SIZE + window_size
         ):
-            start = int(i - round(2.0 * self.beat_period))
-            end = int(i - round(self.beat_period / 2.0))
+            start = int(i - _cround(2.0 * self.beat_period))
+            end = int(i - _cround(self.beat_period / 2.0))
             w = w1
             if start < 0:  # same clamp as _update_cumulative_score
                 w = w1[-start:]
@@ -264,7 +275,7 @@ class BTrack:
             future[i] = float((seg[:k] * w[:k]).max(initial=0.0))
         fut = future[ONSET_DF_BUFFER_SIZE:] * w2
         self.beat_counter = int(np.argmax(fut))
-        self.m0 = int(self.beat_counter + round(self.beat_period / 2.0))
+        self.m0 = int(self.beat_counter + _cround(self.beat_period / 2.0))
 
     def _calculate_tempo(self) -> None:
         """(BTrack.cpp:196-260)."""
@@ -280,7 +291,7 @@ class BTrack:
         comb = _adaptive_threshold(comb)
         tov = np.zeros(41, np.float32)
         for i in range(41):
-            t_index = int(round(self.tempo_to_lag_factor / (2.0 * i + 80.0)))
+            t_index = int(_cround(self.tempo_to_lag_factor / (2.0 * i + 80.0)))
             t_index2 = t_index // 2
             # clamp: the reference reads comb[t_index-1] which can be
             # one past the end (C++ UB, BTrack.cpp:217-223)
@@ -295,7 +306,7 @@ class BTrack:
             delta = delta / pos.sum()
         self.prev_delta = delta.astype(np.float32)
         maxind = int(np.argmax(delta))
-        self.beat_period = round(
+        self.beat_period = _cround(
             (60.0 * self.sample_rate)
             / ((2.0 * maxind + 80.0) * HOP_SIZE)
         )

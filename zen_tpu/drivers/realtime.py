@@ -137,6 +137,26 @@ def block_step_multi(cfg: HPRConfig, state: StreamState, blocks: jnp.ndarray):
     return jax.vmap(lambda s, b: _block_step_body(cfg, s, b))(state, blocks)
 
 
+def resolve_multistream_fft_impl(cfg: HPRConfig, n_streams: int) -> HPRConfig:
+    """The vmapped multi-stream step hides the channel batch dim from
+    the transform seam's frame-count heuristic
+    (engine/spectral._dft_precision); with >= 8 streams the MXU DFT
+    path always wins ON TPU, so opt in explicitly there. Single
+    source of truth for drivers and benchmarks."""
+    if (
+        cfg.fft_impl == "auto"
+        and cfg.fast_rfft
+        and cfg.nfft <= 4096
+        and n_streams >= 8
+        and jax.default_backend() == "tpu"  # the DFT-matmul path is
+        # an MXU play; on CPU/GPU it is strictly slower than the FFT
+    ):
+        import dataclasses
+
+        return dataclasses.replace(cfg, fft_impl="dft")
+    return cfg
+
+
 class HPRRealtime:
     """Streaming causal HPR, API-compatible with the reference
     HPRRealtime pimpl class (libzen/libzen/hps.h:74-118).
@@ -283,22 +303,7 @@ class MultiStreamHPR:
             outputs=outputs or OUTPUT_ALL,
             **cfg_kw,
         )
-        # the vmapped step hides the channel batch dim from the
-        # transform seam's frame-count heuristic; with >= 8 streams the
-        # MXU DFT path always wins — opt in explicitly (see
-        # engine/spectral._dft_precision)
-        if (
-            self.cfg.fft_impl == "auto"
-            and self.cfg.fast_rfft
-            and self.cfg.nfft <= 4096
-            and n_streams >= 8
-            and jax.default_backend() == "tpu"  # the DFT-matmul path
-            # is an MXU play; on CPU/GPU it is strictly slower than
-            # the FFT, matching the 'auto' rule's own gate
-        ):
-            import dataclasses
-
-            self.cfg = dataclasses.replace(self.cfg, fft_impl="dft")
+        self.cfg = resolve_multistream_fft_impl(self.cfg, n_streams)
         self.n_streams = n_streams
         state = jax.vmap(lambda _: init_state(self.cfg))(
             jnp.arange(n_streams)

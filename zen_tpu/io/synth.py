@@ -53,6 +53,11 @@ def synth_mixture(
 
     perc = np.zeros(n, np.float64)
     period = int(fs * 60.0 / (bpm * max(1, hits_per_beat)))
+    if period < 1:
+        raise ValueError(
+            f"bpm*hits_per_beat = {bpm * hits_per_beat:.0f} exceeds the "
+            f"sample rate ({fs:.0f} Hz): zero samples per hit"
+        )
     burst = int(burst_ms * 1e-3 * fs)
     env = np.exp(-np.arange(burst) / (burst_decay_ms * 1e-3 * fs))
     for s in range(0, n - burst, period):

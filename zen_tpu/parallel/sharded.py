@@ -166,18 +166,19 @@ def sharded_separate(
     if n_ch % n_dp != 0:
         raise ZenError(f"channels ({n_ch}) not divisible by dp ({n_dp})")
     n_frames = math.ceil(length / cfg.hop) + cfg.lag
-    n_frames = -(-n_frames // n_sp) * n_sp  # extra zero frames: harmless
     if cfg.fft_impl == "auto":
         # resolve the transform seam from the GLOBAL frame count: the
         # shard body only sees per-shard frames, so leaving 'auto'
-        # would make sharded != unsharded outputs (and vary with n_sp)
+        # would make sharded != unsharded outputs (and vary with n_sp).
+        # Use the PRE-rounding count — the unsharded path never rounds
+        # to the shard multiple, and near the decision threshold the
+        # rounded count would resolve differently per mesh size.
         from ..engine.spectral import _dft_precision
 
-        # the same count the UNSHARDED path sees ([C, T, nwin] frames),
-        # so sharded and unsharded resolve to the same transform
         total = n_ch * n_frames
         resolved = "dft" if _dft_precision(cfg, total) is not None else "xla"
         cfg = dataclasses.replace(cfg, fft_impl=resolved)
+    n_frames = -(-n_frames // n_sp) * n_sp  # extra zero frames: harmless
     padded = jnp.pad(audio, ((0, 0), (0, n_frames * cfg.hop - length)))
     fn = _build_sp_fn(cfg, mesh, dp_axis, sp_axis)
     out = fn(padded)  # [3, C, T*hop]
@@ -264,7 +265,10 @@ def _tp_shard_fn(audio_rep, cfg: HPRConfig, tp_axis: str, n_tp: int, n_frames: i
     for name in _STEMS:
         enabled = getattr(cfg, f"output_{name}") and masks[name] is not None
         if not enabled:
-            outs.append(jnp.zeros((n_frames * hop,), jnp.float32))
+            # overlap_add_stream(advance=1) yields (T-1)*hop samples —
+            # the placeholder must match or jnp.stack fails for any
+            # config with a disabled stem
+            outs.append(jnp.zeros(((n_frames - 1) * hop,), jnp.float32))
             continue
         masked_l = s_l * masks[name]
         full = jnp.zeros(s.shape, s.dtype)
