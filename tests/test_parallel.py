@@ -102,3 +102,24 @@ def test_sp_halo_too_small_raises():
     audio = multichannel_audio(c=1, length=60)  # tiny: Tl < halo
     with pytest.raises(ZenError):
         sharded_separate(audio, cfg_(), mesh)
+
+
+def test_tp_partial_outputs_and_soft_mask():
+    """Regression (review finding): tp_separate crashed for any config
+    with a disabled stem (placeholder shape mismatched the OLA
+    output); exercise percussive-only and soft-mask configs."""
+    from zen_tpu.engine.config import OUTPUT_PERCUSSIVE
+
+    rng = np.random.default_rng(8)
+    audio = rng.standard_normal(800).astype(np.float32)
+    mesh = make_mesh({"tp": 4})
+    for kw in (dict(outputs=OUTPUT_PERCUSSIVE), dict(soft_mask=True)):
+        cfg = HPRConfig(fs=8000.0, hop=16, causal=False, **kw)
+        got = tp_separate(audio, cfg, mesh)
+        want = hpr_separate(audio, cfg)
+        np.testing.assert_allclose(
+            np.asarray(got["percussive"]),
+            np.asarray(want["percussive"]),
+            rtol=1e-4,
+            atol=1e-2,
+        )
