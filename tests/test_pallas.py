@@ -144,3 +144,57 @@ def test_time_kernel_start_offset(start):
         tap_median_time_pallas(jnp.asarray(x), offsets, start=start)
     )
     np.testing.assert_allclose(tail, full[start:])
+
+
+@pytest.mark.parametrize(
+    "hop,border,causal,soft,sse",
+    [
+        (8, "wrap", False, False, False),
+        (8, "wrap", True, False, False),
+        (16, "replicate", False, False, False),
+        (8, "valid", False, False, False),
+        (8, "wrap", False, True, False),
+        (8, "wrap", False, False, True),
+    ],
+)
+def test_fast_path_fuzz_matches_reference_impls(hop, border, causal, soft, sse):
+    """Fast paths (pallas medians + DFT transforms) == reference impls
+    (xla medians + xla fft) across config axes. Interpret mode on CPU;
+    the real Mosaic/MXU path under ZEN_TPU_TEST_PLATFORM=axon."""
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.offline import hpr_separate
+    from zen_tpu.drivers.realtime import HPRRealtime
+
+    rng = np.random.default_rng(13)
+    audio = rng.standard_normal(hop * 24).astype(np.float32)
+    outs = {}
+    for median_impl, fft_impl in (("xla", "xla"), ("pallas", "dft")):
+        cfg = HPRConfig(
+            fs=1000.0, hop=hop, causal=causal, border=border,
+            soft_mask=soft, use_sse=sse, outputs=OUTPUT_ALL,
+            median_impl=median_impl, fft_impl=fft_impl,
+        )
+        if causal:
+            rt = HPRRealtime(1000.0, hop, 2.0, outputs=OUTPUT_ALL)
+            rt.cfg = cfg
+            rt.reset_buffers()
+            arr = rt.process_stream(audio, block_hops=6)
+            outs[median_impl] = {
+                k: arr[i]
+                for i, k in enumerate(
+                    ("harmonic", "percussive", "residual")
+                )
+            }
+        else:
+            outs[median_impl] = {
+                k: np.asarray(v) for k, v in hpr_separate(audio, cfg).items()
+            }
+    for k in ("harmonic", "percussive", "residual"):
+        a = np.nan_to_num(outs["xla"][k], posinf=0, neginf=0)
+        b = np.nan_to_num(outs["pallas"][k], posinf=0, neginf=0)
+        scale = max(1.0, np.abs(a).max())
+        # hard-mask bit flips near the beta threshold under the DFT's
+        # ~3e-5 transform error can move isolated bins; bound both the
+        # typical and the worst-case deviation
+        assert np.mean(np.abs(a - b)) / scale < 1e-3, k
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.2, err_msg=k)
