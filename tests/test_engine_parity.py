@@ -433,3 +433,47 @@ def test_degenerate_low_fs_raises():
     raise like the reference (mfilt.h:80-87), not mis-separate."""
     with pytest.raises(Exception):
         HPRConfig(fs=500.0, hop=8, causal=True)
+
+
+@pytest.mark.parametrize(
+    "border,causal,variant",
+    [
+        ("wrap", False, {}),
+        ("wrap", True, {}),
+        ("replicate", False, {}),
+        ("valid", False, {}),
+        ("wrap", False, {"soft_mask": True}),
+        ("wrap", False, {"use_sse": True}),
+    ],
+)
+def test_blocked_pass_matches_unblocked(border, causal, variant):
+    """hpr_separate_blocked (constant-memory overlap-save over time
+    blocks, for hours-long tracks) == hpr_separate exactly."""
+    from zen_tpu.drivers.offline import hpr_separate_blocked
+
+    cfg = HPRConfig(
+        fs=1000.0, hop=8, causal=causal, border=border,
+        outputs=OUTPUT_ALL, **variant,
+    )
+    rng = np.random.default_rng(60)
+    audio = rng.standard_normal(8 * 57 + 3).astype(np.float32)
+    want = hpr_separate(audio, cfg)
+    got = hpr_separate_blocked(audio, cfg, block_frames=16)
+    for k in ("harmonic", "percussive", "residual"):
+        w = np.nan_to_num(np.asarray(want[k]), posinf=0, neginf=0)
+        g = np.nan_to_num(np.asarray(got[k]), posinf=0, neginf=0)
+        scale = max(1.0, np.abs(w).max())
+        np.testing.assert_allclose(g / scale, w / scale, atol=1e-4)
+
+
+def test_process_blocked_matches_process():
+    """HPRIOffline.process_blocked == process on the 2-pass cascade."""
+    rng = np.random.default_rng(61)
+    audio = rng.standard_normal(4000).astype(np.float32)
+    sep = HPRIOffline(1000.0, 32, 8, 2.0, 2.0)
+    want = sep.process(audio)
+    got = sep.process_blocked(audio, block_frames_h=16, block_frames_p=64)
+    for w, g in zip(want, got):
+        w, g = np.asarray(w), np.asarray(g)
+        scale = max(1.0, np.abs(w).max())
+        np.testing.assert_allclose(g / scale, w / scale, atol=1e-4)

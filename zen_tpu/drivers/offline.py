@@ -104,9 +104,127 @@ def hpr_separate(audio, cfg: HPRConfig) -> dict:
     Padding mirrors hpss_chunk_padder (hps.cu:109-126): round up to a
     whole number of hops, plus ``lag`` extra warm-up chunks whose output
     is shifted away again by the OLA assembly (advance=1, framing.py).
+
+    Memory is O(frames): the whole spectrogram lives in HBM (~7 MB per
+    second of 44.1 kHz audio across the default cascade). For tracks
+    beyond ~20-30 minutes on one chip use hpr_separate_blocked.
     """
     audio = jnp.asarray(audio, jnp.float32)
     return _one_pass(audio, cfg)
+
+
+def hpr_separate_blocked(
+    audio, cfg: HPRConfig, block_frames: int = 2048
+) -> dict:
+    """Constant-memory offline pass: sequential overlap-save over
+    time blocks — O(block_frames) device memory regardless of track
+    length (the reference's bounded sliding window has the same
+    property, hps.h:233-234; the sharded SP driver realizes the same
+    halo math across devices, parallel/sharded.py).
+
+    Bit-compatible with hpr_separate: each block's feature matrix is
+    computed with ``back``/``fwd`` halo frames of context (the time
+    filter's tap reach), the halo rows are discarded after filtering,
+    and the OLA seam carries one frame tail between blocks. Global
+    edges see the same zero-prefill the unblocked form sees.
+    """
+    audio1 = jnp.asarray(audio, jnp.float32)
+    if audio1.ndim != 1:
+        raise ZenError("hpr_separate_blocked expects [L] audio")
+    hop = cfg.hop
+    length = int(audio1.shape[-1])
+    n_frames = math.ceil(length / hop) + cfg.lag
+    n_blocks = max(1, -(-n_frames // block_frames))
+    # power-of-two block counts: executables are shared across track
+    # lengths (extra blocks process guard zeros and are truncated)
+    n_blocks = 1 << (n_blocks - 1).bit_length()
+    bf = block_frames
+    back = cfg.time_history
+    fwd = max(max(cfg.time_offsets), 0)
+
+    # samples for frame t = concat(zeros(hop), audio)[t*hop : t*hop+2hop]
+    # (ops/framing.py); guard pads cover halos at the global edges and
+    # the final partial block
+    guard_lo = (back + 1) * hop
+    guard_hi = (n_blocks * bf + fwd + 1) * hop - length
+    padded = jnp.pad(audio1, (guard_lo, max(guard_hi, 0)))
+
+    @jax.jit
+    def block_fn(samples, tails):
+        # samples: [(back + bf + fwd + 1) * hop] covering the raw
+        # audio of frames [s-back, s+bf+fwd) (frame t = samples at
+        # global [(t-1)*hop, (t+1)*hop), zeros from the guard pads at
+        # the global edges); tails: [3, hop]
+        n_ext = back + bf + fwd
+        seg = samples.reshape(n_ext + 1, hop)
+        frames = jnp.concatenate([seg[:-1], seg[1:]], axis=-1)
+        from ..engine.spectral import (
+            analyze,
+            compute_masks,
+            feature_transform,
+            finalize_features,
+            freq_filtered,
+            synthesize,
+            time_filtered,
+            time_filtered_tail,
+        )
+
+        s_spec = analyze(frames, cfg)
+        feat = feature_transform(jnp.abs(s_spec), cfg)
+        # time filter only the bf interior rows (halo rows are context)
+        if fwd == 0:
+            h = time_filtered_tail(feat, cfg, back)[:bf]
+        else:
+            h = time_filtered(feat, cfg)[back : back + bf]
+        core = slice(back, back + bf)
+        p = freq_filtered(feat[core], cfg)
+        h, p = finalize_features(h, p, cfg)
+        pm, hm, rm = compute_masks(h, p, cfg)
+        outs = []
+        new_tails = []
+        masks = {"harmonic": hm, "percussive": pm, "residual": rm}
+        for i, name in enumerate(("harmonic", "percussive", "residual")):
+            enabled = (
+                getattr(cfg, f"output_{name}") and masks[name] is not None
+            )
+            if not enabled:
+                outs.append(jnp.zeros((bf * hop,), jnp.float32))
+                new_tails.append(tails[i])
+                continue
+            y = synthesize(s_spec[core], masks[name], cfg)  # [bf, nwin]
+            prev = jnp.concatenate([tails[i][None], y[:-1, hop:]], axis=0)
+            outs.append((y[:, :hop] + prev).reshape(bf * hop))
+            new_tails.append(y[-1, hop:])
+        return jnp.stack(outs), jnp.stack(new_tails)
+
+    span = (back + bf + fwd + 1) * hop
+
+    @functools.partial(jax.jit, static_argnames=("nb",))
+    def run_all(padded, nb: int):
+        # ONE device dispatch for the whole track: scan over blocks
+        # with the OLA tails as carry; per-step spectrogram memory
+        # stays O(block_frames) while the stems stream to HBM
+        def scan_body(tails, b):
+            samples = jax.lax.dynamic_slice(
+                padded, (b * (bf * hop),), (span,)
+            )
+            out, tails = block_fn(samples, tails)
+            return tails, out
+
+        tails0 = jnp.zeros((3, hop), jnp.float32)
+        _, outs = jax.lax.scan(scan_body, tails0, jnp.arange(nb))
+        return outs.transpose(1, 0, 2).reshape(3, nb * bf * hop)
+
+    full = run_all(padded, n_blocks)
+    # blocked chunk for frame t lands at t*hop; the unblocked
+    # advance=1 assembly emits out[k] = y[k+1][:hop] + y[k][hop:] at
+    # k*hop — i.e. the blocked stream shifted by exactly one hop
+    # (frame 0's chunk is the zero warm-up the unblocked form never
+    # emits)
+    return {
+        name: full[name_i, hop : hop + length]
+        for name_i, name in enumerate(("harmonic", "percussive", "residual"))
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -163,6 +281,25 @@ class HPRIOffline:
 
         self.cfg_h = dataclasses.replace(self.cfg_h, soft_mask=True)
         self.cfg_p = dataclasses.replace(self.cfg_p, soft_mask=True)
+
+    def process_blocked(
+        self, audio, block_frames_h: int = 512, block_frames_p: int = 8192
+    ):
+        """Constant-memory 2-pass separation for arbitrarily long
+        tracks (hours) on one chip: each pass streams overlap-save
+        time blocks (hpr_separate_blocked) instead of materializing
+        the whole spectrogram. Identical output to process()."""
+        audio = jnp.asarray(audio, jnp.float32)
+        if audio.ndim != 1:
+            raise ZenError("process_blocked expects [L] audio")
+        pass1 = hpr_separate_blocked(audio, self.cfg_h, block_frames_h)
+        inter = pass1["percussive"] + pass1["residual"]
+        pass2 = hpr_separate_blocked(inter, self.cfg_p, block_frames_p)
+        return (
+            pass1["harmonic"],
+            pass2["percussive"],
+            pass2["residual"],
+        )
 
     def process(self, audio):
         # xp1 + xr1 feeds pass 2 (hps.cu:152-158); residual is zero for
