@@ -98,8 +98,18 @@ def cmd_offline(args) -> int:
             use_sse=args.sse,
             soft_mask=args.soft_mask,
         )
+        # constant-memory overlap-save for long tracks (the batched
+        # form needs ~7 MB of HBM per second of 44.1 kHz audio)
+        long_track = len(audio) / fs > 600.0
         t1 = time.perf_counter()
-        h, p, r = sep.process(audio)
+        if args.blocked or long_track:
+            if long_track and not args.blocked:
+                print(
+                    f"track > 10 min: using constant-memory blocked mode"
+                )
+            h, p, r = sep.process_blocked(audio)
+        else:
+            h, p, r = sep.process(audio)
         import jax
 
         jax.block_until_ready((h, p, r))
@@ -465,6 +475,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     off.add_argument("-o", "--out-prefix", default="")
     off.add_argument("--only-percussive", action="store_true")
+    off.add_argument(
+        "--blocked",
+        action="store_true",
+        help="constant-memory overlap-save mode (auto for tracks > 10 min)",
+    )
     off.set_defaults(func=cmd_offline)
 
     frt = sub.add_parser(
