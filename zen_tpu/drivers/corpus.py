@@ -118,12 +118,35 @@ def separate_corpus(
             journal.mark_done(path, {"samples": n})
             results["processed"] += 1
 
+    def flush_long(fs, path, audio):
+        # hours-long tracks: the batched spectrogram would exhaust HBM
+        # (~7 MB per second of 44.1 kHz audio); stream the 2-pass
+        # cascade in constant-memory overlap-save blocks instead
+        from .offline import HPRIOffline
+
+        sep = HPRIOffline(fs, hop_h, hop_p, beta_h, beta_p)
+        h, p, r = sep.process_blocked(audio)
+        base = bases[path]
+        for stem, data in (("harm", h), ("perc", p), ("residual", r)):
+            writer(
+                os.path.join(out_dir, f"{base}_{stem}.wav"),
+                fs,
+                np.asarray(data),
+            )
+        journal.mark_done(path, {"samples": len(audio)})
+        results["processed"] += 1
+
+    long_samples = 600 * 48000  # ~10 min: switch to blocked mode
+
     # one lazy pass, batching up to n_dp tracks of EQUAL sample rate
     # (the engine config is a function of fs; a silent mixed-fs batch
     # would mis-separate) — a batch flushes when full or when fs changes
     batch_paths, batch_audio, batch_fs = [], [], None
     for path in pending:
         fs, audio = reader(path)
+        if len(audio) > long_samples:
+            flush_long(fs, path, audio)
+            continue
         if batch_paths and (fs != batch_fs or len(batch_paths) == n_dp):
             flush(batch_fs, batch_paths, batch_audio)
             batch_paths, batch_audio = [], []
