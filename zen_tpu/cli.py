@@ -98,14 +98,17 @@ def cmd_offline(args) -> int:
             use_sse=args.sse,
             soft_mask=args.soft_mask,
         )
-        # constant-memory overlap-save for long tracks (the batched
-        # form needs ~7 MB of HBM per second of 44.1 kHz audio)
-        long_track = len(audio) / fs > 600.0
+        # overlap-save for long tracks (the batched form's
+        # spectrogram costs ~160 floats of HBM per SAMPLE — duration
+        # alone doesn't determine memory); same threshold as corpus
+        from .drivers.offline import LONG_TRACK_SAMPLES
+
+        long_track = len(audio) > LONG_TRACK_SAMPLES
         t1 = time.perf_counter()
         if args.blocked or long_track:
             if long_track and not args.blocked:
                 print(
-                    f"track > 10 min: using constant-memory blocked mode"
+                    "long track: using constant-memory blocked mode"
                 )
             h, p, r = sep.process_blocked(audio)
         else:

@@ -136,7 +136,11 @@ def separate_corpus(
         journal.mark_done(path, {"samples": len(audio)})
         results["processed"] += 1
 
-    long_samples = 600 * 48000  # ~10 min: switch to blocked mode
+    from .offline import LONG_TRACK_SAMPLES
+
+    # SP shards the time axis, dividing per-chip spectrogram memory —
+    # a wider mesh keeps longer tracks on the sharded collective path
+    long_samples = LONG_TRACK_SAMPLES * max(1, mesh.shape.get("sp", 1))
 
     # one lazy pass, batching up to n_dp tracks of EQUAL sample rate
     # (the engine config is a function of fs; a silent mixed-fs batch

@@ -113,27 +113,124 @@ def hpr_separate(audio, cfg: HPRConfig) -> dict:
     return _one_pass(audio, cfg)
 
 
+# switch to the blocked (overlap-save) offline mode above this many
+# samples: the batched spectrogram costs ~160 floats of HBM per input
+# sample across the default cascade, so ~28.8M samples (~10 min at
+# 48 kHz) stays comfortably inside one chip. Sample-count based —
+# memory scales with samples, not seconds. Shared by the CLI and the
+# corpus driver so their routing agrees.
+LONG_TRACK_SAMPLES = 600 * 48000
+
+
+def _blocked_block(cfg: HPRConfig, bf: int, back: int, fwd: int, samples, tails):
+    """One overlap-save block (traceable): samples
+    [(back+bf+fwd+1)*hop] covering the raw audio of frames
+    [s-back, s+bf+fwd) (frame t = samples at global
+    [(t-1)*hop, (t+1)*hop); global edges read the guard pads' zeros);
+    tails [3, hop] = each stem's carried OLA tail."""
+    from ..engine.spectral import (
+        analyze,
+        compute_masks,
+        feature_transform,
+        finalize_features,
+        freq_filtered,
+        synthesize,
+        time_filtered,
+        time_filtered_tail,
+    )
+
+    hop = cfg.hop
+    n_ext = back + bf + fwd
+    seg = samples.reshape(n_ext + 1, hop)
+    frames = jnp.concatenate([seg[:-1], seg[1:]], axis=-1)
+
+    s_spec = analyze(frames, cfg)
+    feat = feature_transform(jnp.abs(s_spec), cfg)
+    # time filter only the bf interior rows (halo rows are context)
+    if fwd == 0:
+        h = time_filtered_tail(feat, cfg, back)[:bf]
+    else:
+        h = time_filtered(feat, cfg)[back : back + bf]
+    core = slice(back, back + bf)
+    p = freq_filtered(feat[core], cfg)
+    h, p = finalize_features(h, p, cfg)
+    pm, hm, rm = compute_masks(h, p, cfg)
+    outs = []
+    new_tails = []
+    masks = {"harmonic": hm, "percussive": pm, "residual": rm}
+    for i, name in enumerate(("harmonic", "percussive", "residual")):
+        enabled = getattr(cfg, f"output_{name}") and masks[name] is not None
+        if not enabled:
+            outs.append(jnp.zeros((bf * hop,), jnp.float32))
+            new_tails.append(tails[i])
+            continue
+        y = synthesize(s_spec[core], masks[name], cfg)  # [bf, nwin]
+        # chunk j = y[j][:hop] + y[j-1][hop:], with the carried tail as
+        # frame -1 — overlap_add_stream(advance=1) on [tail_row ++ y]
+        tail_row = jnp.concatenate([jnp.zeros((hop,), jnp.float32), tails[i]])
+        outs.append(
+            overlap_add_stream(
+                jnp.concatenate([tail_row[None], y], axis=0), hop, advance=1
+            )
+        )
+        new_tails.append(y[-1, hop:])
+    return jnp.stack(outs), jnp.stack(new_tails)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "bf", "back", "fwd", "nb")
+)
+def _blocked_scan(padded, cfg: HPRConfig, bf: int, back: int, fwd: int, nb: int):
+    """ONE device dispatch for a whole track: scan over overlap-save
+    blocks with the OLA tails as carry. Module-level jit: repeat calls
+    with the same (cfg, bf, nb) reuse the compiled executable."""
+    hop = cfg.hop
+    span = (back + bf + fwd + 1) * hop
+
+    def scan_body(tails, b):
+        samples = jax.lax.dynamic_slice(padded, (b * (bf * hop),), (span,))
+        out, tails = _blocked_block(cfg, bf, back, fwd, samples, tails)
+        return tails, out
+
+    tails0 = jnp.zeros((3, hop), jnp.float32)
+    _, outs = jax.lax.scan(scan_body, tails0, jnp.arange(nb))
+    return outs.transpose(1, 0, 2).reshape(3, nb * bf * hop)
+
+
 def hpr_separate_blocked(
     audio, cfg: HPRConfig, block_frames: int = 2048
 ) -> dict:
-    """Constant-memory offline pass: sequential overlap-save over
-    time blocks — O(block_frames) device memory regardless of track
-    length (the reference's bounded sliding window has the same
-    property, hps.h:233-234; the sharded SP driver realizes the same
-    halo math across devices, parallel/sharded.py).
+    """Offline pass as sequential overlap-save over time blocks: the
+    spectrogram working set is O(block_frames) instead of O(track
+    frames) — the dominant memory term of the batched form, ~160
+    floats per input sample across the default cascade (the waveform
+    input/stems themselves remain O(track), ~4 floats/sample). The
+    reference's bounded sliding window has the same property
+    (hps.h:233-234); the sharded SP driver realizes the same halo
+    math across devices (parallel/sharded.py).
 
-    Bit-compatible with hpr_separate: each block's feature matrix is
-    computed with ``back``/``fwd`` halo frames of context (the time
-    filter's tap reach), the halo rows are discarded after filtering,
-    and the OLA seam carries one frame tail between blocks. Global
-    edges see the same zero-prefill the unblocked form sees.
-    """
+    Matches hpr_separate: each block's feature matrix is computed
+    with ``back``/``fwd`` halo frames of context (the time filter's
+    tap reach), the halo rows are discarded after filtering, and the
+    OLA seam carries one frame tail between blocks. Global edges see
+    the same zero-prefill the unblocked form sees. The fft seam is
+    resolved from the track's total frame count (as the unblocked
+    trace would see it), so the transform choice cannot differ."""
+    import dataclasses
+
     audio1 = jnp.asarray(audio, jnp.float32)
     if audio1.ndim != 1:
         raise ZenError("hpr_separate_blocked expects [L] audio")
     hop = cfg.hop
     length = int(audio1.shape[-1])
     n_frames = math.ceil(length / hop) + cfg.lag
+    if cfg.fft_impl == "auto":
+        from ..engine.spectral import _dft_precision
+
+        resolved = (
+            "dft" if _dft_precision(cfg, n_frames) is not None else "xla"
+        )
+        cfg = dataclasses.replace(cfg, fft_impl=resolved)
     n_blocks = max(1, -(-n_frames // block_frames))
     # power-of-two block counts: executables are shared across track
     # lengths (extra blocks process guard zeros and are truncated)
@@ -149,73 +246,7 @@ def hpr_separate_blocked(
     guard_hi = (n_blocks * bf + fwd + 1) * hop - length
     padded = jnp.pad(audio1, (guard_lo, max(guard_hi, 0)))
 
-    @jax.jit
-    def block_fn(samples, tails):
-        # samples: [(back + bf + fwd + 1) * hop] covering the raw
-        # audio of frames [s-back, s+bf+fwd) (frame t = samples at
-        # global [(t-1)*hop, (t+1)*hop), zeros from the guard pads at
-        # the global edges); tails: [3, hop]
-        n_ext = back + bf + fwd
-        seg = samples.reshape(n_ext + 1, hop)
-        frames = jnp.concatenate([seg[:-1], seg[1:]], axis=-1)
-        from ..engine.spectral import (
-            analyze,
-            compute_masks,
-            feature_transform,
-            finalize_features,
-            freq_filtered,
-            synthesize,
-            time_filtered,
-            time_filtered_tail,
-        )
-
-        s_spec = analyze(frames, cfg)
-        feat = feature_transform(jnp.abs(s_spec), cfg)
-        # time filter only the bf interior rows (halo rows are context)
-        if fwd == 0:
-            h = time_filtered_tail(feat, cfg, back)[:bf]
-        else:
-            h = time_filtered(feat, cfg)[back : back + bf]
-        core = slice(back, back + bf)
-        p = freq_filtered(feat[core], cfg)
-        h, p = finalize_features(h, p, cfg)
-        pm, hm, rm = compute_masks(h, p, cfg)
-        outs = []
-        new_tails = []
-        masks = {"harmonic": hm, "percussive": pm, "residual": rm}
-        for i, name in enumerate(("harmonic", "percussive", "residual")):
-            enabled = (
-                getattr(cfg, f"output_{name}") and masks[name] is not None
-            )
-            if not enabled:
-                outs.append(jnp.zeros((bf * hop,), jnp.float32))
-                new_tails.append(tails[i])
-                continue
-            y = synthesize(s_spec[core], masks[name], cfg)  # [bf, nwin]
-            prev = jnp.concatenate([tails[i][None], y[:-1, hop:]], axis=0)
-            outs.append((y[:, :hop] + prev).reshape(bf * hop))
-            new_tails.append(y[-1, hop:])
-        return jnp.stack(outs), jnp.stack(new_tails)
-
-    span = (back + bf + fwd + 1) * hop
-
-    @functools.partial(jax.jit, static_argnames=("nb",))
-    def run_all(padded, nb: int):
-        # ONE device dispatch for the whole track: scan over blocks
-        # with the OLA tails as carry; per-step spectrogram memory
-        # stays O(block_frames) while the stems stream to HBM
-        def scan_body(tails, b):
-            samples = jax.lax.dynamic_slice(
-                padded, (b * (bf * hop),), (span,)
-            )
-            out, tails = block_fn(samples, tails)
-            return tails, out
-
-        tails0 = jnp.zeros((3, hop), jnp.float32)
-        _, outs = jax.lax.scan(scan_body, tails0, jnp.arange(nb))
-        return outs.transpose(1, 0, 2).reshape(3, nb * bf * hop)
-
-    full = run_all(padded, n_blocks)
+    full = _blocked_scan(padded, cfg, bf, back, fwd, n_blocks)
     # blocked chunk for frame t lands at t*hop; the unblocked
     # advance=1 assembly emits out[k] = y[k+1][:hop] + y[k][hop:] at
     # k*hop — i.e. the blocked stream shifted by exactly one hop
@@ -285,18 +316,25 @@ class HPRIOffline:
     def process_blocked(
         self, audio, block_frames_h: int = 512, block_frames_p: int = 8192
     ):
-        """Constant-memory 2-pass separation for arbitrarily long
-        tracks (hours) on one chip: each pass streams overlap-save
-        time blocks (hpr_separate_blocked) instead of materializing
-        the whole spectrogram. Identical output to process()."""
+        """2-pass separation for very long tracks on one chip: each
+        pass streams overlap-save time blocks (hpr_separate_blocked),
+        so the spectrogram working set is O(block) instead of the
+        batched form's ~160 floats/sample. Device memory still holds
+        the waveforms (~6x track floats peak: input + intermediate +
+        3 stems) — a multi-hour 44.1 kHz track peaks at a few GB, vs
+        hundreds for the batched form. Identical output to process().
+        """
         audio = jnp.asarray(audio, jnp.float32)
         if audio.ndim != 1:
             raise ZenError("process_blocked expects [L] audio")
         pass1 = hpr_separate_blocked(audio, self.cfg_h, block_frames_h)
         inter = pass1["percussive"] + pass1["residual"]
+        harmonic = pass1["harmonic"]
+        del pass1  # release the pass-1 perc/residual buffers before
+        # pass 2 allocates its own three stems (peak memory)
         pass2 = hpr_separate_blocked(inter, self.cfg_p, block_frames_p)
         return (
-            pass1["harmonic"],
+            harmonic,
             pass2["percussive"],
             pass2["residual"],
         )
