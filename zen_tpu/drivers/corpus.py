@@ -50,12 +50,35 @@ def separate_corpus(
 
     import hashlib
 
+    import jax
+
     reader = reader or read_wav_mono
     writer = writer or write_wav_pcm16
+    # multi-host: every process enters the collective flushes, but
+    # only process 0 writes stems and journal entries (a shared
+    # filesystem would otherwise get concurrent duplicate writes)
+    if jax.process_index() != 0:
+        _writer = writer
+
+        def writer(path, fs, audio):  # noqa: F811
+            del path, fs, audio
+
+        class _NullJournalWrap:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def is_done(self, key):
+                return self._inner.is_done(key)
+
+            def mark_done(self, key, meta=None):
+                pass
+
     os.makedirs(out_dir, exist_ok=True)
     journal = ProgressJournal(
         journal_path or os.path.join(out_dir, "progress.jsonl")
     )
+    if jax.process_index() != 0:
+        journal = _NullJournalWrap(journal)
     n_dp = mesh.shape.get("dp", 1)
 
     # unique output stem names: tracks in different directories may
