@@ -14,11 +14,17 @@ sys.path.insert(0, ".")
 
 
 def si_snr(ref, est) -> float:
+    """Standard scale-invariant SDR (Le Roux et al.): project the
+    ESTIMATE onto the reference; 10log10(||s_t||^2/||e||^2) with
+    s_t = (<est,ref>/||ref||^2) ref."""
     ref = np.asarray(ref, np.float64)
     est = np.asarray(est, np.float64)
-    a = np.dot(ref, est) / max(np.dot(est, est), 1e-30)
-    e = ref - a * est
-    return 10 * np.log10(np.dot(ref, ref) / max(np.dot(e, e), 1e-30))
+    a = np.dot(est, ref) / max(np.dot(ref, ref), 1e-30)
+    s_t = a * ref
+    e = est - s_t
+    return 10 * np.log10(
+        max(np.dot(s_t, s_t), 1e-30) / max(np.dot(e, e), 1e-30)
+    )
 
 
 def run(fs: float, seconds: float):

@@ -54,11 +54,12 @@ def separate_corpus(
 
     reader = reader or read_wav_mono
     writer = writer or write_wav_pcm16
-    # multi-host: every process enters the collective flushes, but
-    # only process 0 writes stems and journal entries (a shared
-    # filesystem would otherwise get concurrent duplicate writes)
+    multi_host = jax.process_count() > 1
+    # multi-host: every process enters the collective flushes (all
+    # hosts read the same tracks from the shared filesystem and build
+    # identical batches), but only process 0 writes stems and journal
+    # entries
     if jax.process_index() != 0:
-        _writer = writer
 
         def writer(path, fs, audio):  # noqa: F811
             del path, fs, audio
@@ -125,10 +126,31 @@ def separate_corpus(
         lengths = [len(a) for a in batch_audio] + [0] * (
             n_dp - len(batch_audio)
         )
+        batch_in = batch
+        if multi_host:
+            # each host holds an identical full copy of the batch;
+            # present it as a replicated global array so the sharded
+            # program can consume it across processes
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            batch_in = multihost_utils.host_local_array_to_global_array(
+                batch, mesh, P()
+            )
         h, p, r = sharded_hpri_offline(
-            batch, cfg_h, cfg_p, mesh, lengths=lengths
+            batch_in, cfg_h, cfg_p, mesh, lengths=lengths
         )
-        h, p, r = np.asarray(h), np.asarray(p), np.asarray(r)
+        if multi_host:
+            # shards span non-addressable devices: gather to numpy on
+            # every host (np.asarray would raise)
+            from jax.experimental import multihost_utils
+
+            h, p, r = (
+                multihost_utils.process_allgather(x, tiled=True)
+                for x in (h, p, r)
+            )
+        else:
+            h, p, r = np.asarray(h), np.asarray(p), np.asarray(r)
         for j, path in enumerate(batch_paths):
             base = bases[path]
             n = len(batch_audio[j])
@@ -144,7 +166,14 @@ def separate_corpus(
     def flush_long(fs, path, audio):
         # hours-long tracks: the batched spectrogram would exhaust HBM
         # (~7 MB per second of 44.1 kHz audio); stream the 2-pass
-        # cascade in constant-memory overlap-save blocks instead
+        # cascade in constant-memory overlap-save blocks instead.
+        # Single-device program with no collectives: in a multi-host
+        # run only process 0 computes it (the others would produce
+        # identical stems for the no-op writer to discard)
+        if multi_host and jax.process_index() != 0:
+            journal.mark_done(path, {"samples": len(audio)})
+            results["processed"] += 1
+            return
         from .offline import HPRIOffline
 
         sep = HPRIOffline(fs, hop_h, hop_p, beta_h, beta_p)

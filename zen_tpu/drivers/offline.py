@@ -114,11 +114,12 @@ def hpr_separate(audio, cfg: HPRConfig) -> dict:
 
 
 # switch to the blocked (overlap-save) offline mode above this many
-# samples: the batched spectrogram costs ~160 floats of HBM per input
-# sample across the default cascade, so ~28.8M samples (~10 min at
-# 48 kHz) stays comfortably inside one chip. Sample-count based —
-# memory scales with samples, not seconds. Shared by the CLI and the
-# corpus driver so their routing agrees.
+# samples: the batched spectrogram costs ~160 BYTES of HBM per input
+# sample across the default cascade (~7 MB per second at 44.1 kHz),
+# so ~28.8M samples (~10 min at 48 kHz) costs ~4.6 GB — comfortably
+# inside one chip. Sample-count based — memory scales with samples,
+# not seconds. Shared by the CLI and the corpus driver so their
+# routing agrees.
 LONG_TRACK_SAMPLES = 600 * 48000
 
 
@@ -203,8 +204,8 @@ def hpr_separate_blocked(
     """Offline pass as sequential overlap-save over time blocks: the
     spectrogram working set is O(block_frames) instead of O(track
     frames) — the dominant memory term of the batched form, ~160
-    floats per input sample across the default cascade (the waveform
-    input/stems themselves remain O(track), ~4 floats/sample). The
+    bytes per input sample across the default cascade (the waveform
+    input/stems themselves remain O(track), 4 bytes/sample each). The
     reference's bounded sliding window has the same property
     (hps.h:233-234); the sharded SP driver realizes the same halo
     math across devices (parallel/sharded.py).
@@ -231,11 +232,13 @@ def hpr_separate_blocked(
             "dft" if _dft_precision(cfg, n_frames) is not None else "xla"
         )
         cfg = dataclasses.replace(cfg, fft_impl=resolved)
-    n_blocks = max(1, -(-n_frames // block_frames))
+    # short inputs: shrink the block to the track's own pow2 bucket
+    # (a 110-frame clip must not pay for a 2048-frame block of zeros)
+    bf = min(block_frames, 1 << (max(1, n_frames) - 1).bit_length())
+    n_blocks = max(1, -(-n_frames // bf))
     # power-of-two block counts: executables are shared across track
     # lengths (extra blocks process guard zeros and are truncated)
     n_blocks = 1 << (n_blocks - 1).bit_length()
-    bf = block_frames
     back = cfg.time_history
     fwd = max(max(cfg.time_offsets), 0)
 
