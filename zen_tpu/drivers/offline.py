@@ -106,8 +106,9 @@ def hpr_separate(audio, cfg: HPRConfig) -> dict:
     is shifted away again by the OLA assembly (advance=1, framing.py).
 
     Memory is O(frames): the whole spectrogram lives in HBM (~7 MB per
-    second of 44.1 kHz audio across the default cascade). For tracks
-    beyond ~20-30 minutes on one chip use hpr_separate_blocked.
+    second of 44.1 kHz audio across the default cascade). Above
+    LONG_TRACK_SAMPLES (~10 min) the drivers route to
+    hpr_separate_blocked, which bounds the spectrogram working set.
     """
     audio = jnp.asarray(audio, jnp.float32)
     return _one_pass(audio, cfg)
