@@ -168,22 +168,39 @@ def test_corpus_cli_e2e(tmp_path):
 
     from zen_tpu.cli import main
 
+    import numpy as np
+    from scipy.io import wavfile
+
     for i in range(3):
         main(
             [
                 "synth", "-o", str(tmp_path / f"t{i}.wav"),
                 "--fs", "4000", "--seconds", "1", "--seed", str(i),
+                "--stems",
             ]
         )
     out = tmp_path / "stems"
     args = [
-        "corpus", "-i", str(tmp_path / "t*.wav"), "-o", str(out),
+        "corpus", "-i", str(tmp_path / "t[0-9].wav"), "-o", str(out),
         "--hps", "64", "2.0", "16", "2.0", "--mesh", "dp=2,sp=2",
     ]
     assert main(args) == 0
     for i in range(3):
         for stem in ("harm", "perc", "residual"):
-            assert (out / f"t{i}_{stem}.wav").exists()
+            path = out / f"t{i}_{stem}.wav"
+            assert path.exists()
+            _, pcm = wavfile.read(str(path))
+            # regression (review finding): unnormalized engine-scale
+            # stems were clipped to square-wave garbage by the PCM16
+            # encoder — saturated fraction must be tiny
+            assert np.mean(np.abs(pcm) >= 32700) < 0.05, (i, stem)
+    # stems must resemble their ground truth, not just exist
+    _, perc_true = wavfile.read(str(tmp_path / "t0_perc.wav"))
+    _, perc_est = wavfile.read(str(out / "t0_perc.wav"))
+    n = min(len(perc_true), len(perc_est))
+    assert np.corrcoef(
+        perc_est[:n].astype(float), perc_true[:n].astype(float)
+    )[0, 1] > 0.5
     assert main(args) == 0  # resume: journal says all done
     journal = (out / "progress.jsonl").read_text().strip().splitlines()
     assert len(journal) == 3
@@ -219,9 +236,12 @@ def test_stream_pipe_mode(tmp_path):
     assert proc.returncode == 0, proc.stderr.decode()[-2000:]
     got = np.frombuffer(proc.stdout, np.float32)
     assert len(got) == n
-    # --cpu selects the replicate border (the reference IPP behavior)
+    # --cpu selects the replicate border (the reference IPP behavior);
+    # stream mode calibrates the pipe to unit gain (1/synth_scale)
     rt = HPRRealtime(
         fs, hop, 2.0, outputs=OUTPUT_PERCUSSIVE, border="replicate"
     )
-    want = rt.process_stream(audio, block_hops=8)[1][:n]
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    want = rt.process_stream(audio, block_hops=8)[1][:n] / rt.cfg.synth_scale
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # unit gain: output magnitudes are input-order, not engine-scaled
+    assert np.abs(got).max() < 10 * np.abs(audio).max()

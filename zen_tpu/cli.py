@@ -333,6 +333,12 @@ def cmd_stream(args) -> int:
         use_sse=args.sse,
         soft_mask=args.soft_mask,
     )
+    # calibrate the pipe to unit gain: the engine carries the
+    # reference's nfft*COLA synthesis scale (docs/PERFORMANCE.md);
+    # dividing by synth_scale returns input-scale float32 PCM (within
+    # the sqrt-Hann OLA's inherent +-1.5 dB frame ripple). --raw-scale
+    # keeps the engine scale.
+    out_scale = 1.0 if args.raw_scale else 1.0 / rt.cfg.synth_scale
     rt.warmup(block_sizes=(args.block_hops,))
     print(
         f"zen stream ready: fs={args.fs:.0f} hop={args.hop} "
@@ -365,7 +371,10 @@ def cmd_stream(args) -> int:
             full[:n] = samples
             samples = full
         outs = rt.process_block(samples.reshape(-1, args.hop))
-        stdout.write(np.asarray(outs[idx])[:n].tobytes())
+        chunk = np.asarray(outs[idx])[:n]
+        if out_scale != 1.0:
+            chunk = chunk * np.float32(out_scale)
+        stdout.write(chunk.tobytes())
         stdout.flush()
         hops_out += -(-n // args.hop)
     print(f"zen stream done: {hops_out} hops", file=sys.stderr)
@@ -526,6 +535,11 @@ def build_parser() -> argparse.ArgumentParser:
         default="percussive",
     )
     stp.add_argument("--block-hops", type=int, default=16)
+    stp.add_argument(
+        "--raw-scale",
+        action="store_true",
+        help="emit the engine's unnormalized scale instead of unit gain",
+    )
     stp.add_argument("--cpu", action="store_true")
     stp.add_argument("--sse", action="store_true")
     stp.add_argument("--soft-mask", action="store_true")
@@ -602,6 +616,7 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_debug_infs", True)
     args = build_parser().parse_args(argv)
     if getattr(args, "cpu", False):
         # the reference's --cpu selects the IPP backend; here it pins

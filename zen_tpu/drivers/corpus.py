@@ -46,7 +46,7 @@ def separate_corpus(
     Tracks are processed in dp-sized batches (shorter tracks are
     zero-padded to the batch max and truncated on write).
     """
-    from ..io.audio import read_wav_mono, write_wav_pcm16
+    from ..io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
 
     import hashlib
 
@@ -158,7 +158,11 @@ def separate_corpus(
                 writer(
                     os.path.join(out_dir, f"{base}_{stem}.wav"),
                     fs,
-                    data[j, :n],
+                    # stems carry the reference's engine gain
+                    # (~nfft^2/sum(win^2) per pass) — normalize before
+                    # the clipping PCM16 encode, as the offline CLI
+                    # does (offline.h:182-191)
+                    peak_normalize(data[j, :n]),
                 )
             journal.mark_done(path, {"samples": n})
             results["processed"] += 1
@@ -183,7 +187,7 @@ def separate_corpus(
             writer(
                 os.path.join(out_dir, f"{base}_{stem}.wav"),
                 fs,
-                np.asarray(data),
+                peak_normalize(np.asarray(data)),
             )
         journal.mark_done(path, {"samples": len(audio)})
         results["processed"] += 1

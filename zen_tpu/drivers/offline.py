@@ -148,11 +148,9 @@ def _blocked_block(cfg: HPRConfig, bf: int, back: int, fwd: int, samples, tails)
 
     s_spec = analyze(frames, cfg)
     feat = feature_transform(jnp.abs(s_spec), cfg)
-    # time filter only the bf interior rows (halo rows are context)
-    if fwd == 0:
-        h = time_filtered_tail(feat, cfg, back)[:bf]
-    else:
-        h = time_filtered(feat, cfg)[back : back + bf]
+    # time filter only rows >= back (halo rows are tap context; the
+    # kept rows' forward taps stay inside the extended block)
+    h = time_filtered_tail(feat, cfg, back)[:bf]
     core = slice(back, back + bf)
     p = freq_filtered(feat[core], cfg)
     h, p = finalize_features(h, p, cfg)

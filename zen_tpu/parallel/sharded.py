@@ -106,7 +106,12 @@ def _sp_shard_fn(local, cfg: HPRConfig, sp_axis: str, n_sp: int):
         parts.append(rh)
     feats_ext = jnp.concatenate(parts, axis=-2)
 
-    h = time_filtered(feats_ext, cfg)[..., back : back + tl, :]
+    from ..engine.spectral import time_filtered_tail
+
+    # rows >= back only (the back halo rows are tap context whose
+    # filtered values are discarded); forward taps of the kept rows
+    # stay inside feats_ext
+    h = time_filtered_tail(feats_ext, cfg, back)[..., :tl, :]
     p = freq_filtered(feat, cfg)
     h, p = finalize_features(h, p, cfg)
     pm, hm, rm = compute_masks(h, p, cfg)
@@ -247,11 +252,17 @@ def _tp_shard_fn(audio_rep, cfg: HPRConfig, tp_axis: str, n_tp: int, n_frames: i
     fm = cfg.freq_filter_len // 2
     if fm > fb:
         raise ZenError("tp shards smaller than the frequency halo")
-    ring_r = [(i, (i + 1) % n_tp) for i in range(n_tp)]
-    ring_l = [((i + 1) % n_tp, i) for i in range(n_tp)]
-    lh = jax.lax.ppermute(feat_l[..., -fm:], tp_axis, ring_r)
-    rh = jax.lax.ppermute(feat_l[..., :fm], tp_axis, ring_l)
-    feat_ext = jnp.concatenate([lh, feat_l, rh], axis=-1)
+    if fm:
+        ring_r = [(i, (i + 1) % n_tp) for i in range(n_tp)]
+        ring_l = [((i + 1) % n_tp, i) for i in range(n_tp)]
+        lh = jax.lax.ppermute(feat_l[..., -fm:], tp_axis, ring_r)
+        rh = jax.lax.ppermute(feat_l[..., :fm], tp_axis, ring_l)
+        feat_ext = jnp.concatenate([lh, feat_l, rh], axis=-1)
+    else:
+        # fm=0 (l_perc=0 at tiny nfft/fs): feat_l[..., -0:] would be
+        # the WHOLE block and the output slice would then return the
+        # left neighbor's features
+        feat_ext = feat_l
     if cfg.use_sse:
         p_l = sliding_mean(feat_ext, cfg.freq_offsets, -1, "zero")
     else:

@@ -50,6 +50,7 @@ class LiveStream:
         self._ready = threading.Event()
         self._thread: threading.Thread | None = None
         self.blocks_processed = 0
+        self.dropped_out_samples = 0
 
     # -- producer side (audio callback) --
     def push(self, samples: np.ndarray) -> int:
@@ -80,7 +81,12 @@ class LiveStream:
             self.rt.process_block(jnp.asarray(block.reshape(-1, self.hop)))
         )
         for i, k in enumerate(_STEMS):
-            self.out_rings[k].write(outs[i])
+            wrote = self.out_rings[k].write(outs[i])
+            if wrote != len(outs[i]):
+                # a lagging consumer lost samples: every later pull is
+                # time-shifted — surface it instead of silently
+                # desynchronizing the stream
+                self.dropped_out_samples += len(outs[i]) - wrote
         self.blocks_processed += 1
         return True
 
