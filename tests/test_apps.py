@@ -51,6 +51,39 @@ def test_mpm_pure_tone():
         assert abs(p - f0) < 1.5, (f0, p)
 
 
+def test_mpm_strict_ref_reproduces_reference_quirk():
+    """strict_ref=True reproduces the reference's half-scaled ACF
+    spectrum (pitch.cpp:49-52): still a usable pitch estimator on a
+    pure tone, but numerically different from the corrected ACF (the
+    leakage terms bias chord estimates — module docstring)."""
+    fs, n = 44100, 4096
+    t = np.arange(n) / fs
+    # A major chord — the input where the quirk's bias is documented
+    chord = sum(
+        0.3 * np.sin(2 * np.pi * f * t) for f in (220.0, 275.0, 330.0)
+    ).astype(np.float32)
+    import jax.numpy as jnp
+
+    from zen_tpu.apps.mpm import _autocorr_batch
+
+    acf_fix = np.asarray(_autocorr_batch(jnp.asarray(chord), n, False))
+    acf_ref = np.asarray(_autocorr_batch(jnp.asarray(chord), n, True))
+    # the two ACFs genuinely differ (the quirk leaks O(|X|) terms) ...
+    assert not np.allclose(acf_fix, acf_ref, rtol=1e-3, atol=1e-3)
+    # ... and lag 0 of the corrected ACF is the signal energy, while
+    # the strict one reproduces the reference's biased mixture.
+    energy = float(np.dot(chord, chord))
+    assert abs(acf_fix[0] - energy) / energy < 1e-4
+    # the quirk measurably biases even a clean pure tone (the leakage
+    # terms shift the NSDF peak), while the default mode is exact —
+    # the whole reason the corrected ACF is the default
+    tone = 0.6 * np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+    p_fix = MPM(n, fs).pitch(tone)
+    p_ref = MPM(n, fs, strict_ref=True).pitch(tone)
+    assert abs(p_fix - 220.0) < 1.5, p_fix
+    assert p_ref > 0 and abs(p_ref - p_fix) > 5.0, (p_ref, p_fix)
+
+
 def test_mpm_rejects_low_and_silence():
     fs, n = 44100, 4096
     mpm = MPM(n, fs)

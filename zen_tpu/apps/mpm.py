@@ -19,8 +19,11 @@ bins N..2N-1 as the raw forward spectrum — the resulting "ACF" mixes
 the true autocorrelation with O(|X|) leakage terms and biases the
 pitch estimate (e.g. ~193 Hz for a 220 Hz chord in a direct
 transcription). Here the textbook ACF (power over ALL bins) is
-computed, which the NSDF/MPM derivation assumes; tests assert the
-mathematically correct pitch (220.01 Hz for the same input).
+computed by default, which the NSDF/MPM derivation assumes; tests
+assert the mathematically correct pitch (220.01 Hz for the same
+input). For byte-for-byte A/B against the upstream demo binary,
+``MPM(..., strict_ref=True)`` reproduces the reference's half-scaled
+spectrum exactly.
 """
 from __future__ import annotations
 
@@ -35,14 +38,30 @@ MPM_SMALL_CUTOFF = 0.5
 MPM_LOWER_PITCH_CUTOFF = 80.0
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _autocorr_batch(chunks: jnp.ndarray, n: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("n", "strict_ref"))
+def _autocorr_batch(
+    chunks: jnp.ndarray, n: int, strict_ref: bool = False
+) -> jnp.ndarray:
     """Real autocorrelation via zero-padded FFT: [..., N] -> [..., N].
 
     Mirrors real_autocorrelation (pitch.cpp:38-60): X = FFT(x, 2N),
     X <- X * conj(X) / (2N), acf = Re(IFFT(X))[:N] — with the
     reference's unnormalized IPP inverse folded in (x 2N).
+
+    strict_ref=True reproduces the reference's quirk verbatim: the
+    |X|^2/(2N) scaling touches only bins [0, N) of the 2N C2C
+    spectrum (pitch.cpp:49-52), leaving [N, 2N) as the raw forward
+    spectrum — bit-compatible with the upstream demo, mathematically
+    a biased ACF (module docstring).
     """
+    if strict_ref:
+        x = jnp.fft.fft(chunks.astype(jnp.complex64), n=2 * n, axis=-1)
+        scaled = x * jnp.conj(x) / jnp.float32(2 * n)
+        mixed = jnp.concatenate(
+            [scaled[..., :n], x[..., n:]], axis=-1
+        )
+        acf = jnp.fft.ifft(mixed, axis=-1).real * jnp.float32(2 * n)
+        return acf[..., :n]
     x = jnp.fft.rfft(chunks, n=2 * n, axis=-1)
     power = (x * jnp.conj(x)).real / jnp.float32(2 * n)
     acf = jnp.fft.irfft(power, n=2 * n, axis=-1) * jnp.float32(2 * n)
@@ -128,23 +147,28 @@ class MPM:
     """Chunk-wise pitch detector, API analog of the reference MPM class
     (pitch_detection.h:14-94)."""
 
-    def __init__(self, n: int, sample_rate: float):
+    def __init__(self, n: int, sample_rate: float, strict_ref: bool = False):
         if n <= 0:
             raise ValueError("chunk size must be positive")
         self.n = n
         self.sample_rate = float(sample_rate)
+        self.strict_ref = bool(strict_ref)
 
     def pitch(self, audio_chunk) -> float:
         chunk = np.zeros(self.n, np.float32)
         a = np.asarray(audio_chunk, np.float32)[: self.n]
         chunk[: len(a)] = a
-        acf = np.asarray(_autocorr_batch(jnp.asarray(chunk), self.n))
+        acf = np.asarray(
+            _autocorr_batch(jnp.asarray(chunk), self.n, self.strict_ref)
+        )
         return pitch_from_acf(acf, self.sample_rate)
 
     def pitch_batch(self, chunks) -> np.ndarray:
         """All chunks' ACFs in one device dispatch, then host decisions."""
         chunks = np.asarray(chunks, np.float32)
-        acfs = np.asarray(_autocorr_batch(jnp.asarray(chunks), self.n))
+        acfs = np.asarray(
+            _autocorr_batch(jnp.asarray(chunks), self.n, self.strict_ref)
+        )
         return np.array(
             [pitch_from_acf(acf, self.sample_rate) for acf in acfs],
             np.float32,

@@ -350,9 +350,26 @@ def cmd_stream(args) -> int:
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer
     block_bytes = args.block_hops * args.hop * 4
+
+    def read_full_block():
+        # BufferedReader.read(n) only guarantees a full read at EOF for
+        # regular pipes; interactive/raw stdin can short-read mid-stream.
+        # Treating a short read as the ragged tail would zero-pad and
+        # advance the engine past phantom silence hops, desynchronizing
+        # all later output — so loop until the block is full or true EOF.
+        parts = []
+        got = 0
+        while got < block_bytes:
+            part = stdin.read(block_bytes - got)
+            if not part:
+                break
+            parts.append(part)
+            got += len(part)
+        return b"".join(parts)
+
     hops_out = 0
     while True:
-        buf = stdin.read(block_bytes)
+        buf = read_full_block()
         if not buf:
             break
         if len(buf) % 4:  # producer died mid-sample: drop the partial

@@ -89,6 +89,23 @@ def _two_pass(audio, length, cfg_h: HPRConfig, cfg_p: HPRConfig):
     return pass1["harmonic"], pass2["percussive"], pass2["residual"]
 
 
+def _resolve_auto_fft(cfg: HPRConfig, length: int, batch: int = 1) -> HPRConfig:
+    """Pin fft_impl='auto' to 'dft'/'xla' from the clip's TRUE frame
+    count (ceil(length/hop) + lag, times any leading batch dims — what
+    an unbucketed trace would see in engine/spectral._dft_precision),
+    so process(), hpr_separate and process_blocked all take the same
+    transform path for a given clip regardless of padding buckets."""
+    if cfg.fft_impl != "auto":
+        return cfg
+    import dataclasses
+
+    from ..engine.spectral import _dft_precision
+
+    n_frames = (math.ceil(length / cfg.hop) + cfg.lag) * max(1, batch)
+    resolved = "dft" if _dft_precision(cfg, n_frames) is not None else "xla"
+    return dataclasses.replace(cfg, fft_impl=resolved)
+
+
 def _bucket_len(length: int, hop: int) -> int:
     """Smallest power-of-two frame count covering ``length`` — clips
     share compiled executables per bucket instead of recompiling the
@@ -216,21 +233,13 @@ def hpr_separate_blocked(
     the same zero-prefill the unblocked form sees. The fft seam is
     resolved from the track's total frame count (as the unblocked
     trace would see it), so the transform choice cannot differ."""
-    import dataclasses
-
     audio1 = jnp.asarray(audio, jnp.float32)
     if audio1.ndim != 1:
         raise ZenError("hpr_separate_blocked expects [L] audio")
     hop = cfg.hop
     length = int(audio1.shape[-1])
     n_frames = math.ceil(length / hop) + cfg.lag
-    if cfg.fft_impl == "auto":
-        from ..engine.spectral import _dft_precision
-
-        resolved = (
-            "dft" if _dft_precision(cfg, n_frames) is not None else "xla"
-        )
-        cfg = dataclasses.replace(cfg, fft_impl=resolved)
+    cfg = _resolve_auto_fft(cfg, length)
     # short inputs: shrink the block to the track's own pow2 bucket
     # (a 110-frame clip must not pay for a 2048-frame block of zeros)
     bf = min(block_frames, 1 << (max(1, n_frames) - 1).bit_length())
@@ -349,10 +358,19 @@ class HPRIOffline:
         # _two_pass).
         audio = jnp.asarray(audio, jnp.float32)
         length = audio.shape[-1]
+        # Resolve the fft_impl='auto' transform seam from the TRUE
+        # frame count before bucketing: _dft_precision inside the trace
+        # would otherwise see the power-of-two-padded count, taking a
+        # different transform path than hpr_separate/process_blocked
+        # near the nfft=4096/256-frame threshold — and a clip's result
+        # could change when its bucket changes.
+        batch = math.prod(audio.shape[:-1]) if audio.ndim > 1 else 1
+        cfg_h = _resolve_auto_fft(self.cfg_h, length, batch)
+        cfg_p = _resolve_auto_fft(self.cfg_p, length, batch)
         nb = _bucket_len(length, self.cfg_h.hop)
         if nb != length:
             padding = [(0, 0)] * (audio.ndim - 1) + [(0, nb - length)]
             audio = jnp.pad(audio, padding)
-        h, p, r = _two_pass(audio, length, self.cfg_h, self.cfg_p)
+        h, p, r = _two_pass(audio, length, cfg_h, cfg_p)
         return h[..., :length], p[..., :length], r[..., :length]
 

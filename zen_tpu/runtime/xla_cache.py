@@ -29,7 +29,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     if env == "0":
         return None
     path = cache_dir or env or _DEFAULT
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        # read-only HOME (or an unwritable override): the cache is an
+        # optimization, not a requirement — run uncached rather than
+        # breaking every CLI command including `zen version`.
+        return None
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return path
