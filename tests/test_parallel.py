@@ -79,6 +79,80 @@ def test_sharded_two_pass_matches_hpri_offline():
         assert_close(g, w)
 
 
+@pytest.mark.parametrize("sp", [1, 2, 4, 8])
+def test_sharded_blocked_matches_single_device(sp):
+    """The sharded constant-memory scan must be BIT-exact vs the
+    single-device blocked scan (same blocks, same priming math) at
+    every mesh width — the VERDICT r1 long-track path."""
+    from zen_tpu.drivers.offline import hpr_separate_blocked
+    from zen_tpu.parallel.sharded import sharded_separate_blocked
+
+    mesh = make_mesh({"sp": sp})
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(HOP * 280 + 13).astype(np.float32) * 0.3
+    cfg = cfg_()
+    want = hpr_separate_blocked(audio, cfg, block_frames=32)
+    got = sharded_separate_blocked(audio, cfg, mesh, block_frames=32)
+    for k in ("harmonic", "percussive", "residual"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+        )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [dict(soft_mask=True), dict(border="replicate"), dict(use_sse=True)],
+    ids=["soft", "replicate", "sse"],
+)
+def test_sharded_blocked_variants(kw):
+    from zen_tpu.drivers.offline import hpr_separate_blocked
+    from zen_tpu.parallel.sharded import sharded_separate_blocked
+
+    mesh = make_mesh({"sp": 4})
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal(HOP * 200).astype(np.float32) * 0.3
+    cfg = cfg_(**kw)
+    want = hpr_separate_blocked(audio, cfg, block_frames=16)
+    got = sharded_separate_blocked(audio, cfg, mesh, block_frames=16)
+    for k in ("harmonic", "percussive"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+        )
+
+
+def test_sharded_blocked_two_pass_matches_process_blocked():
+    from zen_tpu.parallel.sharded import sharded_hpri_blocked
+
+    mesh = make_mesh({"sp": 4})
+    rng = np.random.default_rng(6)
+    audio = rng.standard_normal(3000).astype(np.float32) * 0.3
+    sep = HPRIOffline(FS, 16, 8, 2.0, 2.0)
+    want = sep.process_blocked(audio, 16, 32)
+    got = sharded_hpri_blocked(
+        audio, sep.cfg_h, sep.cfg_p, mesh,
+        block_frames_h=16, block_frames_p=32,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_sharded_blocked_on_dp_sp_mesh():
+    """The corpus hands flush_long its dp x sp mesh: the blocked driver
+    must shard over sp and replicate over dp without caring that the
+    mesh has other axes."""
+    from zen_tpu.drivers.offline import hpr_separate_blocked
+    from zen_tpu.parallel.sharded import sharded_separate_blocked
+
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal(2000).astype(np.float32) * 0.3
+    cfg = cfg_()
+    want = hpr_separate_blocked(audio, cfg, block_frames=16)
+    got = sharded_separate_blocked(audio, cfg, mesh, block_frames=16)
+    for k in ("harmonic", "percussive", "residual"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+
+
 def test_tp_matches_unsharded():
     mesh = make_mesh({"tp": 8})
     rng = np.random.default_rng(1)

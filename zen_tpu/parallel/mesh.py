@@ -10,26 +10,88 @@ Axis conventions:
   dp — data parallel over independent audio channels/streams/tracks
   sp — sequence (time-block) parallel with STFT-frame halo exchange
   tp — tensor parallel over frequency bins (bin-halo exchange + psum)
+
+Axis ORDER is load-bearing: axes dict insertion order = mesh axis
+order, and the LAST axis is the fastest-varying one, which
+mesh_utils.create_device_mesh lays onto physically adjacent chips
+(ICI neighbors on a TPU torus). Callers therefore put dp first and
+sp/tp last, so the per-pass neighbor ppermutes (the only collectives
+with a locality requirement) ride ICI links, while dp — which has
+zero collectives in the hop step — absorbs the DCN splits in
+multi-host meshes (create_hybrid_device_mesh below).
 """
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh
 
+from ..errors import ZenError
+
+
+def _split_dcn(sizes: tuple, n_proc: int) -> tuple:
+    """Factor the process count into the LEADING mesh axes: returns
+    (dcn_shape, per_host_shape) with elementwise product == sizes and
+    prod(dcn_shape) == n_proc. Greedy left-to-right, so dp absorbs the
+    cross-host split first and the trailing (halo-exchanging) axes
+    stay intact within a host. Raises when the factorization doesn't
+    exist (caller falls back to enumeration-order reshape)."""
+    dcn = []
+    r = n_proc
+    for s in sizes:
+        f = math.gcd(r, s)
+        dcn.append(f)
+        r //= f
+    if r != 1:
+        raise ZenError(
+            f"process count {n_proc} does not factor into mesh axes {sizes}"
+        )
+    per_host = tuple(s // f for s, f in zip(sizes, dcn))
+    return tuple(dcn), per_host
+
 
 def make_mesh(axes: dict, devices=None) -> Mesh:
-    """Build a Mesh from {'axis': size}. Sizes must multiply to the
-    device count used. axes order = mesh axis order (majorest first,
-    so dp should lead: time halos then ride the fastest-varying —
-    innermost, ICI-adjacent — axis)."""
+    """Build a Mesh from {'axis': size}, topology-aware.
+
+    Single-host: mesh_utils.create_device_mesh orders the devices so
+    the innermost (last) axis steps between physically adjacent chips
+    — on a 2-D/3-D ICI torus the sp ppermute partners become real
+    neighbors instead of enumeration-order accidents.
+
+    Multi-host: create_hybrid_device_mesh splits the leading axes
+    across processes (DCN) and keeps the trailing axes within each
+    host's ICI domain, so halo exchange never crosses DCN as long as
+    dp covers the host count (tested by scripts/multihost_smoke.py on
+    real processes).
+    """
     names = tuple(axes.keys())
     sizes = tuple(axes.values())
+    n = int(np.prod(sizes))
     if devices is None:
-        n = int(np.prod(sizes))
         devices = jax.devices()[:n]
-    devs = np.asarray(devices).reshape(sizes)
+    devices = list(devices)
+    if len(devices) != n:
+        raise ZenError(
+            f"mesh axes {axes} need {n} devices, got {len(devices)}"
+        )
+    n_proc = len({d.process_index for d in devices})
+    try:
+        from jax.experimental import mesh_utils
+
+        if n_proc > 1:
+            dcn, per_host = _split_dcn(sizes, n_proc)
+            devs = mesh_utils.create_hybrid_device_mesh(
+                per_host, dcn, devices=devices
+            )
+        else:
+            devs = mesh_utils.create_device_mesh(sizes, devices=devices)
+    except Exception:
+        # topology assignment is an optimization, never a correctness
+        # requirement: any reshape yields a valid (if slower) mesh
+        devs = np.asarray(devices).reshape(sizes)
     return Mesh(devs, names)
 
 

@@ -49,8 +49,16 @@ class ProgressJournal:
             with open(path) as fh:
                 for line in fh:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         self._done.add(json.loads(line)["id"])
+                    except (json.JSONDecodeError, KeyError):
+                        # a crash mid-append can leave one truncated
+                        # trailing line; the item it described was NOT
+                        # durably completed, so skipping it is exactly
+                        # the resume semantics we want
+                        continue
 
     def is_done(self, item_id: str) -> bool:
         return item_id in self._done
