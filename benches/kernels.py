@@ -1,21 +1,30 @@
 """Kernel microbenchmark sweep — the google-benchmark analog.
 
-Replicates the reference's bench design (SURVEY.md §4.6): size sweeps
-with RangeMultiplier(2) over the hot ops (FFT fwd/bwd/roundtrip,
-median time/frequency, full HPR block step), each in _MEM (including
-host<->device transfer) and _NOMEM (device-resident) variants
-(reference: libzen/{fftw,mfilt,hps}.bench.cu).
+Replicates the reference's bench design (SURVEY.md §4.6) at the
+reference's breadth: RangeMultiplier(2) size sweeps 2^5..2^14 over the
+hot ops (FFT fwd/bwd/roundtrip, median frequency/time at every HPR K,
+full HPR block step), each in _MEM (including host<->device transfer)
+and _NOMEM (device-resident) variants, with a Complexity() fit per op
+(reference: libzen/{fftw,mfilt,hps}.bench.cu:222-284).
+
+The pallas medians are benched in BOTH network variants (cse = the
+shift-normalized shared network, taps = per-tap slices) so the
+_DEFAULT_CSE choice in ops/median_pallas.py stays measurement-backed,
+and the xla path runs alongside so the median_impl='auto' crossover
+is re-derivable from the CSV artifact (benches/kernels_r{N}.csv is
+checked in per round).
 
 Methodology: NOMEM timings are fully output-chained with a final host
 readback (async dispatch and relay completion shortcuts cannot hide
 work); MEM timings feed fresh host buffers per iteration and read the
 result back.
 
-Usage: python benches/kernels.py [--csv out.csv]
+Usage: python benches/kernels.py [--csv out.csv] [--quick]
 """
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -23,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def chain_time(f, x, n1=16, n2=128, repeats=5):
@@ -53,7 +62,25 @@ def mem_time(f, make_host, iters=10):
     return (t1 - t0) / iters * 1e3
 
 
-def run(csv=None):
+def fit_complexity(points):
+    """google-benchmark Complexity() analog: least-squares exponent of
+    time vs size over (n, ms) points."""
+    pts = [(n, ms) for n, ms in points if ms > 0]
+    if len(pts) < 3:
+        return float("nan")
+    ln = np.log([p[0] for p in pts])
+    lt = np.log([p[1] for p in pts])
+    b, _a = np.polyfit(ln, lt, 1)
+    return float(b)
+
+
+# the K values the HPR engine actually uses (l_perc/l_harm-derived) —
+# benched exactly, like the reference benches its production filter
+# lengths; 187 probes the large-K scaling limit of the networks
+HPR_KS = (13, 47, 187)
+
+
+def run(csv=None, quick=False):
     from zen_tpu.ops.median import sliding_median
     from zen_tpu.ops.median_pallas import (
         sliding_median_last_axis_pallas,
@@ -62,68 +89,164 @@ def run(csv=None):
 
     rng = np.random.default_rng(0)
     rows = []
+    on_tpu = jax.devices()[0].platform == "tpu"
 
-    def report(name, ms):
+    def report(name, ms, n=None):
         rows.append((name, ms))
-        print(f"{name:<48s} {ms:10.4f} ms", flush=True)
+        print(f"{name:<52s} {ms:10.4f} ms", flush=True)
 
-    # --- FFT sweep (fftw.bench.cu analog): sizes 2^8..2^14 ---
+    reps = 2 if quick else 5
+
+    # ---- FFT sweep (fftw.bench.cu:233-284 analog): 2^5..2^14 ----
+    # roundtrip = fwd+bwd chained (fwd-only isn't shape-preserving for
+    # the chain); the separate fwd/bwd split comes from the c2c pair
+    fft_fits = {}
     fft_pts = []
-    for p in range(8, 15):
+    for p in range(5, 15):
         n = 1 << p
         t = max(1, (1 << 22) // n)  # ~4M elements per call
         x = jnp.asarray(rng.standard_normal((t, n)).astype(np.float32))
-        f_fwd = jax.jit(lambda v: jnp.fft.irfft(jnp.fft.rfft(v, axis=-1), n=v.shape[-1], axis=-1))
-        ms = chain_time(f_fwd, x)
-        fft_pts.append((n, ms / t))  # per-row ms at length n
-        report(f"fft_roundtrip_NOMEM/{n}x{t}", ms)
-
-    # Complexity() fitting analog (google-benchmark): least-squares
-    # exponent of per-row time vs transform length
-    ln = np.log([p[0] for p in fft_pts])
-    lt = np.log([max(p[1], 1e-9) for p in fft_pts])
-    b, a = np.polyfit(ln, lt, 1)
-    print(f"fft per-row complexity fit: t ~ n^{b:.2f}  (n log n ~ 1.1)")
-
-    # --- median sweep (mfilt.bench.cu analog) ---
-    for (t, f, k) in [(5180, 513, 13), (1296, 2049, 47), (330, 8193, 187)]:
-        fm = k // 2
-        x = jnp.asarray(rng.standard_normal((t, f)).astype(np.float32))
-        xla = jax.jit(
-            lambda v: sliding_median(v, list(range(-fm, fm + 1)), -1, "reflect")
-        )
-        pal = jax.jit(
-            lambda v: sliding_median_last_axis_pallas(
-                jnp.pad(v, ((0, 0), (fm, fm)), mode="reflect"), k
+        f_rt = jax.jit(
+            lambda v: jnp.fft.irfft(
+                jnp.fft.rfft(v, axis=-1), n=v.shape[-1], axis=-1
             )
         )
-        report(f"median_freq_xla_NOMEM/K{k}_{t}x{f}", chain_time(xla, x))
-        report(f"median_freq_pallas_NOMEM/K{k}_{t}x{f}", chain_time(pal, x))
-        report(
-            f"median_freq_pallas_MEM/K{k}_{t}x{f}",
-            mem_time(
-                pal,
-                lambda t=t, f=f: rng.standard_normal((t, f)).astype(np.float32),
-            ),
-        )
+        ms = chain_time(f_rt, x, repeats=reps)
+        fft_pts.append((n, ms / t))
+        report(f"fft_roundtrip_NOMEM/{n}x{t}", ms)
+        if p in (8, 11, 14):
+            report(
+                f"fft_roundtrip_MEM/{n}x{t}",
+                mem_time(
+                    f_rt,
+                    lambda t=t, n=n: rng.standard_normal((t, n)).astype(
+                        np.float32
+                    ),
+                ),
+            )
+    fft_fits["fft_roundtrip"] = fit_complexity(fft_pts)
+    print(f"fft per-row complexity fit: t ~ n^{fft_fits['fft_roundtrip']:.2f}"
+          "  (n log n ~ 1.1)")
 
-    # time-direction taps
-    x = jnp.asarray(rng.standard_normal((5180, 513)).astype(np.float32))
-    offs = tuple(range(-5, 6))
-    xla = jax.jit(lambda v: sliding_median(v, list(offs), -2, "zero"))
-    pal = jax.jit(lambda v: tap_median_time_pallas(v, offs))
-    report("median_time_xla_NOMEM/K11_5180x513", chain_time(xla, x))
-    report("median_time_pallas_NOMEM/K11_5180x513", chain_time(pal, x))
+    # c2c fwd/bwd separately (complex chain is shape-preserving)
+    xz = jnp.asarray(
+        (rng.standard_normal((1024, 4096))
+         + 1j * rng.standard_normal((1024, 4096))).astype(np.complex64)
+    )
+    report("fft_c2c_fwd_NOMEM/4096x1024",
+           chain_time(jax.jit(lambda v: jnp.fft.fft(v, axis=-1)), xz,
+                      repeats=reps))
+    report("fft_c2c_bwd_NOMEM/4096x1024",
+           chain_time(jax.jit(lambda v: jnp.fft.ifft(v, axis=-1)), xz,
+                      repeats=reps))
 
-    # --- full HPR block step (hps.bench.cu analog) ---
-    # shares bench.py's slope-timing machinery so methodology fixes
-    # propagate to both harnesses
+    # ---- frequency-direction median sweep (mfilt.bench.cu analog) ----
+    # F sweeps 2^5..2^14 at every HPR K; xla vs pallas(cse) vs
+    # pallas(taps) — the data behind median_impl='auto' and
+    # _DEFAULT_CSE
+    med_fits = {}
+    for k in HPR_KS:
+        fm = k // 2
+        pts_xla, pts_cse, pts_taps = [], [], []
+        f_range = range(7, 15, 2) if quick else range(5, 15)
+        for p in f_range:
+            f = (1 << p) + 1  # odd bin counts, like nfft/2+1
+            if f <= k:
+                continue
+            t = max(8, min(4096, (1 << 21) // f))
+            x = jnp.asarray(
+                rng.standard_normal((t, f)).astype(np.float32)
+            )
+            xla = jax.jit(
+                lambda v, fm=fm: sliding_median(
+                    v, list(range(-fm, fm + 1)), -1, "reflect"
+                )
+            )
+            ms = chain_time(xla, x, repeats=reps)
+            pts_xla.append((f, ms / t))
+            report(f"median_freq_xla_NOMEM/K{k}_{t}x{f}", ms)
+            if on_tpu:
+                for nm, cse, pts in (
+                    ("cse", True, pts_cse), ("taps", False, pts_taps)
+                ):
+                    pal = jax.jit(
+                        lambda v, fm=fm, k=k, cse=cse:
+                        sliding_median_last_axis_pallas(
+                            jnp.pad(v, ((0, 0), (fm, fm)), mode="reflect"),
+                            k, cse=cse,
+                        )
+                    )
+                    ms = chain_time(pal, x, repeats=reps)
+                    pts.append((f, ms / t))
+                    report(f"median_freq_pallas_{nm}_NOMEM/K{k}_{t}x{f}", ms)
+            if p == 11:
+                impl = (
+                    (lambda v: sliding_median_last_axis_pallas(
+                        jnp.pad(v, ((0, 0), (fm, fm)), mode="reflect"), k))
+                    if on_tpu else xla
+                )
+                report(
+                    f"median_freq_MEM/K{k}_{t}x{f}",
+                    mem_time(
+                        impl,
+                        lambda t=t, f=f: rng.standard_normal((t, f)).astype(
+                            np.float32
+                        ),
+                    ),
+                )
+        med_fits[f"median_freq_xla_K{k}"] = fit_complexity(pts_xla)
+        if pts_cse:
+            med_fits[f"median_freq_cse_K{k}"] = fit_complexity(pts_cse)
+
+    # ---- time-direction median sweep ----
+    for k in (5, 11, 21):
+        half = k // 2
+        offs = tuple(range(-half, half + 1))
+        pts = []
+        t_range = (8, 11, 14) if quick else range(5, 15)
+        for p in t_range:
+            t = 1 << p
+            f = 513
+            x = jnp.asarray(rng.standard_normal((t, f)).astype(np.float32))
+            xla = jax.jit(lambda v: sliding_median(v, list(offs), -2, "zero"))
+            ms = chain_time(xla, x, repeats=reps)
+            pts.append((t, ms))
+            report(f"median_time_xla_NOMEM/K{k}_{t}x{f}", ms)
+            if on_tpu:
+                for nm, cse in (("cse", True), ("taps", False)):
+                    pal = jax.jit(
+                        lambda v, offs=offs, cse=cse: tap_median_time_pallas(
+                            v, offs, cse=cse
+                        )
+                    )
+                    report(
+                        f"median_time_pallas_{nm}_NOMEM/K{k}_{t}x{f}",
+                        chain_time(pal, x, repeats=reps),
+                    )
+            if p == 11:
+                report(
+                    f"median_time_MEM/K{k}_{t}x{f}",
+                    mem_time(
+                        (jax.jit(lambda v: tap_median_time_pallas(v, offs))
+                         if on_tpu else xla),
+                        lambda t=t, f=f: rng.standard_normal((t, f)).astype(
+                            np.float32
+                        ),
+                    ),
+                )
+        med_fits[f"median_time_xla_K{k}"] = fit_complexity(pts)
+
+    for name, b in {**fft_fits, **med_fits}.items():
+        print(f"complexity fit {name}: t ~ n^{b:.2f}")
+
+    # ---- full HPR block step (hps.bench.cu analog) ----
     import bench as bench_mod
     from zen_tpu import HPRConfig, OUTPUT_PERCUSSIVE
 
     for hop in (256, 1024, 4096):
         cfg = HPRConfig(
-            fs=44100.0, hop=hop, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
+            fs=44100.0, hop=hop, beta=2.0, causal=True,
+            outputs=OUTPUT_PERCUSSIVE,
         )
         b = 32
         make_run, make_carry = bench_mod.stream_run_factory(cfg, b)
@@ -141,4 +264,5 @@ def run(csv=None):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--quick", action="store_true")
     run(**vars(ap.parse_args()))

@@ -1,0 +1,203 @@
+"""Scaling-efficiency instrument: samples/s vs device count.
+
+The BASELINE north star demands >=80% samples/s scaling efficiency
+from 1 to N devices; round-1 proved the structural preconditions
+(zero DP collectives, length-independent SP halos — tests/
+test_scaling.py) but shipped no instrument that MEASURES the
+efficiency. This is that instrument (VERDICT r1 next#5).
+
+Two legs, matching the two pod workloads:
+  * DP  — MultiStreamHPR serving path: K streams per device, weak
+    scaling (work grows with devices; perfect scaling = flat
+    samples/s/device).
+  * SP  — sharded offline pass on one fixed-length track, strong
+    scaling (work fixed; perfect scaling = samples/s grows with
+    devices).
+
+Efficiency(N) = throughput(N) / (N * throughput(1))        [DP, weak]
+Efficiency(N) = throughput(N) / (N * throughput(1))        [SP, strong]
+(throughput = processed audio samples per wall second).
+
+Timing is the repo's standard hazard-proof method (memory:
+axon-tpu-measurement-hazards): wall time of n1 vs n2 CHAINED
+iterations with a value readback at the end — the slope cancels the
+sync constant, chaining defeats relay caching, and the method runs
+unmodified on the virtual CPU mesh today and on real multi-chip
+hardware when it exists.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python benches/scaling.py [--devices 1,2,4,8] [--json out.json]
+On a real pod, run it with no flags; it uses jax.devices().
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# platform pin must precede jax import side effects (the axon plugin
+# ignores JAX_PLATFORMS; a forced host device count implies CPU intent)
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _sync(x):
+    """True device sync: a value readback (block_until_ready is a
+    no-op through the axon tunnel)."""
+    leaves = jax.tree.leaves(x)
+    return float(np.asarray(jnp.sum(leaves[0].ravel()[:8])))
+
+
+def _slope_seconds(run, n1=4, n2=12, repeats=3):
+    """Best-of-N slope of wall time between n1 and n2 chained
+    iterations of run(k) (run executes k chained steps then syncs)."""
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(n1)
+        t1 = time.perf_counter()
+        run(n2)
+        t2 = time.perf_counter()
+        per = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+        best = per if best is None else min(best, per)
+    return max(best, 1e-9)
+
+
+def dp_leg(n_dev: int, streams_per_dev: int, hop: int, block_hops: int, fs: float):
+    """Weak-scaling serving throughput: samples/s across all streams."""
+    from zen_tpu.drivers.realtime import MultiStreamHPR
+    from zen_tpu.parallel.mesh import make_mesh
+
+    n_streams = streams_per_dev * n_dev
+    mesh = make_mesh({"dp": n_dev}, devices=jax.devices()[:n_dev])
+    ms = MultiStreamHPR(n_streams, fs=fs, hop=hop, mesh=mesh)
+    rng = np.random.default_rng(0)
+    blocks = jnp.asarray(
+        rng.standard_normal((n_streams, block_hops, hop)).astype(np.float32)
+    )
+
+    def run(k):
+        out = None
+        for _ in range(k):
+            out = ms.process_block(blocks)  # state chains internally
+        _sync(out)
+
+    run(2)  # compile + warm
+    per_step = _slope_seconds(run)
+    return n_streams * block_hops * hop / per_step
+
+
+def sp_leg(n_dev: int, n_frames: int, hop: int, fs: float):
+    """Strong-scaling offline throughput on one track: samples/s."""
+    from zen_tpu.engine.config import HPRConfig, OUTPUT_ALL
+    from zen_tpu.parallel.mesh import make_mesh
+    from zen_tpu.parallel.sharded import sharded_separate
+
+    cfg = HPRConfig(
+        fs=fs, hop=hop, beta=2.0, causal=False, outputs=OUTPUT_ALL
+    )
+    mesh = make_mesh(
+        {"dp": 1, "sp": n_dev}, devices=jax.devices()[:n_dev]
+    )
+    length = n_frames * hop
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(
+        rng.standard_normal((1, length)).astype(np.float32)
+    )
+
+    def run(k):
+        x = audio
+        out = None
+        for _ in range(k):
+            out = sharded_separate(x, cfg, mesh)
+            # chain: feed the harmonic stem back in (same shape);
+            # normalize so k chained passes can't denormal-flush
+            x = out["harmonic"] * (0.25 / jnp.float32(cfg.synth_scale))
+        _sync(out["harmonic"])
+
+    run(1)  # compile + warm
+    per_step = _slope_seconds(run)
+    return length / per_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", default=None,
+                    help="comma list of device counts (default: 1,2,..,N)")
+    ap.add_argument("--streams-per-dev", type=int, default=8)
+    ap.add_argument("--hop", type=int, default=256)
+    ap.add_argument("--block-hops", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=512,
+                    help="SP leg track length in pass-frames")
+    ap.add_argument("--fs", type=float, default=44100.0)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    n_avail = len(jax.devices())
+    if args.devices:
+        counts = [int(x) for x in args.devices.split(",")]
+    else:
+        counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_avail]
+    print(f"devices available: {n_avail} ({jax.devices()[0].platform}); "
+          f"sweep {counts}", flush=True)
+    if jax.devices()[0].platform == "cpu":
+        cores = os.cpu_count() or 1
+        if cores < counts[-1]:
+            print(
+                f"NOTE: {counts[-1]} virtual CPU devices share {cores} "
+                "physical core(s) — efficiencies below validate the "
+                "instrument, not hardware scaling; run on a real pod "
+                "for the BASELINE >=80% target.",
+                flush=True,
+            )
+
+    result = {"platform": jax.devices()[0].platform, "counts": counts}
+    for leg, fn in (
+        ("dp", lambda n: dp_leg(n, args.streams_per_dev, args.hop,
+                                args.block_hops, args.fs)),
+        ("sp", lambda n: sp_leg(n, args.frames, args.hop, args.fs)),
+    ):
+        tput = {}
+        for n in counts:
+            tput[n] = fn(n)
+            print(f"{leg}: {n} device(s): {tput[n]/1e6:.2f} Msamples/s",
+                  flush=True)
+        base = tput[counts[0]] / counts[0]
+        eff = {n: tput[n] / (n * base) for n in counts}
+        result[f"{leg}_samples_per_s"] = tput
+        result[f"{leg}_efficiency"] = eff
+        for n in counts[1:]:
+            print(f"{leg}: efficiency @ {n} devices: {eff[n]*100:.1f}%",
+                  flush=True)
+
+    nmax = counts[-1]
+    line = {
+        "metric": f"sp_scaling_efficiency_{nmax}dev",
+        "value": round(result["sp_efficiency"][nmax], 4),
+        "unit": "ratio",
+        "dp_efficiency": round(result["dp_efficiency"][nmax], 4),
+        "target": 0.8,
+        "platform": result["platform"],
+    }
+    print(json.dumps(line), flush=True)
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

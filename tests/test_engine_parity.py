@@ -183,6 +183,26 @@ def test_hpri_offline_two_pass_matches_oracle():
     assert_close(r, pass2["residual"])
 
 
+def test_hpri_offline_strict_ref_silent_residual():
+    """strict_ref=True reproduces the reference GPU binary verbatim:
+    pass-2 residual stem is SILENCE (the reference copies its
+    never-written buffer, hps.cu:45-48,200-204) while harmonic and
+    percussive are bit-identical to the default mode."""
+    audio = audio_fixture(200, seed=11)
+    sep = HPRIOffline(FS, 16, 8, 2.0, 2.0)
+    strict = HPRIOffline(FS, 16, 8, 2.0, 2.0, strict_ref=True)
+    h, p, r = sep.process(audio)
+    hs, ps, rs = strict.process(audio)
+    np.testing.assert_array_equal(np.asarray(hs), np.asarray(h))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(p))
+    assert np.abs(np.asarray(r)).max() > 1e-6  # default carries content
+    np.testing.assert_array_equal(np.asarray(rs), 0.0)
+    # blocked mode honors the same quirk
+    hb, pb, rb = strict.process_blocked(audio, 16, 32)
+    np.testing.assert_array_equal(np.asarray(rb), 0.0)
+    np.testing.assert_array_equal(np.asarray(pb), np.asarray(ps))
+
+
 def test_hpri_offline_hop_divisibility():
     from zen_tpu.errors import ZenError
 

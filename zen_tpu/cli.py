@@ -97,6 +97,7 @@ def cmd_offline(args) -> int:
             border=_border(args),
             use_sse=args.sse,
             soft_mask=args.soft_mask,
+            strict_ref=args.strict_ref,
         )
         # overlap-save for long tracks (the batched form's
         # spectrogram costs ~160 floats of HBM per SAMPLE — duration
@@ -508,6 +509,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--blocked",
         action="store_true",
         help="constant-memory overlap-save mode (auto for tracks > 10 min)",
+    )
+    off.add_argument(
+        "--strict-ref",
+        action="store_true",
+        help="bit-compatible reference quirks: pass-2 residual stem is "
+        "silence, exactly like the upstream GPU binary (hps.cu:200-204)",
     )
     off.set_defaults(func=cmd_offline)
 

@@ -292,7 +292,17 @@ class HPRIOffline:
         border: str = WRAP,
         use_sse: bool = False,
         soft_mask: bool = False,
+        strict_ref: bool = False,
     ):
+        """strict_ref=True reproduces the reference GPU binary's
+        residual quirk bit-for-bit: its pass-2 engine is constructed
+        OUTPUT_PERCUSSIVE-only (hps.cu:45-48) yet process() copies the
+        never-written residual buffer to the caller (hps.cu:200-204),
+        so the reference's offline residual stem is SILENCE. The
+        default here deliberately runs pass 2 with residual enabled so
+        the stem carries the actual non-percussive remainder (module
+        docstring); flip this on to A/B separations against the real
+        `zen` binary."""
         if hop_h % hop_p != 0:
             raise ZenError("hop_h and hop_p should be evenly divisible")
         common = dict(
@@ -302,14 +312,22 @@ class HPRIOffline:
             use_sse=use_sse,
             soft_mask=soft_mask,
         )
+        self.strict_ref = bool(strict_ref)
         self.cfg_h = HPRConfig(
             hop=hop_h, beta=beta_h, outputs=OUTPUT_ALL, **common
         )
+        # strict mode mirrors the reference's percussive-only pass-2
+        # engine exactly (skipping the residual synthesis, like the
+        # reference's OUTPUT check does); the percussive stem is
+        # unaffected either way — stems are independent mask
+        # applications of the same spectra
+        p_outputs = (
+            OUTPUT_PERCUSSIVE
+            if self.strict_ref
+            else OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL
+        )
         self.cfg_p = HPRConfig(
-            hop=hop_p,
-            beta=beta_p,
-            outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
-            **common,
+            hop=hop_p, beta=beta_p, outputs=p_outputs, **common
         )
 
     def use_sse_filter(self):

@@ -3,14 +3,25 @@
 SURVEY.md §2.3 PP: the two cascade passes (hop_h pass feeding the
 hop_p pass, hps.cu:128-221) have independent state, so a track stream
 pipelines naturally: pass 1 of track i+1 runs on device group A while
-pass 2 of track i runs on group B. JAX's async dispatch provides the
-overlap — the driver never blocks between stages; each stage is
-jitted and pinned to its device.
+pass 2 of track i runs on group B.
+
+Overlap mechanism: a dedicated stage-1 worker thread feeding a
+bounded queue. Async dispatch alone is NOT sufficient — the CPU
+backend executes a jitted call synchronously on the dispatching host
+thread (measured: two devices' programs dispatched from one thread
+serialize exactly; from two threads they overlap perfectly), and the
+round-2 overlap test (tests/test_runtime.py, injected per-stage
+delays) would catch any regression to enqueue-only "overlap". On TPU
+the extra thread is harmless (dispatch is cheap; execution is async
+either way).
 
 On a single chip this degrades gracefully to sequential execution;
 the structure is what the pipeline axis of a pod slice uses.
 """
 from __future__ import annotations
+
+import queue
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -47,20 +58,41 @@ class PipelinedHPRIOffline:
         outs = _offline_pass(padded, cfg, n_frames, nb)
         return {k: v[..., :length] for k, v in outs.items()}
 
-    def process_stream(self, tracks):
+    def process_stream(self, tracks, prefetch: int = 2):
         """tracks: iterable of [L] float arrays. Yields (h, p, r) per
-        track, with stage overlap via async dispatch."""
-        inflight = []  # (length, pass1 dict) awaiting pass 2
-        for audio in tracks:
-            audio = jnp.asarray(audio, jnp.float32)
-            length = audio.shape[-1]
-            p1 = self._pass(audio, self.cfg_h, self.dev_a, length)
-            inter = p1["percussive"] + p1["residual"]
-            p2 = self._pass(inter, self.cfg_p, self.dev_b, length)
-            inflight.append((p1["harmonic"], p2))
-            # drain lazily: keep at most 2 tracks in flight
-            if len(inflight) > 1:
-                h, p2d = inflight.pop(0)
-                yield h, p2d["percussive"], p2d["residual"]
-        for h, p2d in inflight:
-            yield h, p2d["percussive"], p2d["residual"]
+        track. Pass 1 of track i+1 runs on dev_a (worker thread) while
+        this thread runs pass 2 of track i on dev_b; ``prefetch``
+        bounds the tracks in flight (backpressure on the worker)."""
+        q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        DONE, ERR = object(), object()
+
+        def stage1():
+            try:
+                for audio in tracks:
+                    a = jnp.asarray(audio, jnp.float32)
+                    length = a.shape[-1]
+                    p1 = self._pass(a, self.cfg_h, self.dev_a, length)
+                    inter = p1["percussive"] + p1["residual"]
+                    # materialize on THIS thread: the blocking part of
+                    # a CPU-backend dispatch must not land on the
+                    # consumer thread, or the pipeline re-serializes
+                    jax.block_until_ready(inter)
+                    q.put((p1["harmonic"], inter, length))
+                q.put(DONE)
+            except BaseException as e:  # propagate to the consumer
+                q.put((ERR, e))
+
+        t = threading.Thread(target=stage1, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                if isinstance(item, tuple) and item[0] is ERR:
+                    raise item[1]
+                h, inter, length = item
+                p2 = self._pass(inter, self.cfg_p, self.dev_b, length)
+                yield h, p2["percussive"], p2["residual"]
+        finally:
+            t.join(timeout=1.0)

@@ -122,6 +122,121 @@ def _median_network(taps, rank: int):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _cse_nodes(offsets: tuple, rank: int):
+    """Shift-normalized common-subexpression form of the pruned
+    rank-select network.
+
+    Every tap is a SHIFT of one underlying slab, and min/max commute
+    with shifts: min(shift_a(X), shift_b(Y)) = shift_a(min(X,
+    shift_{b-a}(Y))). Normalizing each comparator to (op, X, Y,
+    delta) and hash-consing therefore collapses whole layers — e.g.
+    the first bitonic layer's k/2 comparator pairs all become ONE
+    shared (min, S, S, 1)/(max, S, S, 1) pair. At K=47 this cuts the
+    live op count from 722 to 438 (+110 single-lane-delta rolls vs 47
+    tap relayouts); measured ~1.5x in benches/kernels.py.
+
+    Returns (nodes, out_id, out_shift): nodes is a topo-ordered tuple
+    of (id, op, id1, id2, delta) restricted to the output's live cone;
+    id 0 is the source slab; a node's value is
+    op(value(id1), shift_by_delta(value(id2))), and the final result
+    is shift_by_out_shift(value(out_id))."""
+    k = len(offsets)
+    n = _pow2_at_least(k)
+    sched = _pruned_schedule(n, k, rank)
+    INF = -1
+    node_key: dict = {}
+    node_def = {0: None}
+    order: list = []
+
+    def mk(op, a, b):
+        (ia, sa), (ib, sb) = a, b
+        if sa <= sb:
+            i1, i2, d, s = ia, ib, sb - sa, sa
+        else:
+            i1, i2, d, s = ib, ia, sa - sb, sb
+        # canonical with d >= 0 always: for d > 0 the lower-shift-first
+        # form is unique (the operand-swapped form would need delta
+        # -d < 0); for d == 0 order operands by id (commutativity)
+        if d == 0 and i1 > i2:
+            i1, i2 = i2, i1
+        key = (op, i1, i2, d)
+        if key not in node_key:
+            nid = len(node_def)
+            node_key[key] = nid
+            node_def[nid] = key
+            order.append(nid)
+        return (node_key[key], s)
+
+    wires = [(0, o) for o in offsets] + [(INF, 0)] * (n - k)
+    for op, i, j, up in sched:
+        a, b = wires[i], wires[j]
+        if op == "swap":
+            da = a if a[0] != INF else b
+            wires[i], wires[j] = (da, (INF, 0)) if up else ((INF, 0), da)
+            continue
+        lo = mk("min", a, b)
+        hi = mk("max", a, b)
+        wires[i], wires[j] = (lo, hi) if up else (hi, lo)
+    out_id, out_shift = wires[rank]
+    live = set()
+    stack = [out_id]
+    while stack:
+        nid = stack.pop()
+        if nid in live or nid == 0:
+            continue
+        live.add(nid)
+        _, i1, i2, _d = node_def[nid]
+        stack.extend((i1, i2))
+    nodes = tuple(
+        (nid,) + node_def[nid] for nid in order if nid in live
+    )
+    return nodes, out_id, out_shift
+
+
+def _median_network_cse(slab, offsets, rank: int, axis: int, out_extent: int):
+    """Rank-select over shifted views of one slab via the CSE'd
+    network (see _cse_nodes): returns an array of ``out_extent`` along
+    ``axis`` with out[..j..] = rank_select(slab[..j+o..] for o in
+    offsets).
+
+    Shifts are realized as plain (possibly misaligned) SLICES — the
+    same cheap vreg-rotate the per-tap network uses — never circular
+    rolls (measured 1.4x slower: a full-width roll moves every vreg).
+    Each node is evaluated once at the maximum extent any parent
+    demands (demand-driven widths, computed statically)."""
+    nodes, out_id, out_shift = _cse_nodes(tuple(offsets), rank)
+    # demand-driven extents: parents read child i1 at offset 0 and
+    # child i2 at offset d, both at the parent's extent
+    need = {out_id: out_shift + out_extent}
+    for nid, _op, i1, i2, d in reversed(nodes):
+        w = need[nid]
+        need[i1] = max(need.get(i1, 0), w)
+        need[i2] = max(need.get(i2, 0), d + w)
+    slab_w = slab.shape[axis]
+    assert need.get(0, 0) <= slab_w, (need.get(0), slab_w)
+
+    vals = {0: slab}
+    read_cache: dict = {}
+
+    def read(nid, off, w):
+        v = vals[nid]
+        vw = v.shape[axis]
+        if off == 0 and vw == w:
+            return v
+        key = (nid, off, w)
+        if key not in read_cache:
+            read_cache[key] = jax.lax.slice_in_dim(v, off, off + w, axis=axis)
+        return read_cache[key]
+
+    for nid, op, i1, i2, d in nodes:
+        w = need[nid]
+        a = read(i1, 0, w)
+        b = read(i2, d, w)
+        vals[nid] = jnp.minimum(a, b) if op == "min" else jnp.maximum(a, b)
+    return read(out_id, out_shift, out_extent)
+
+
 def _align(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -154,9 +269,14 @@ def _fold_batch(x):
 # ---------------- frequency-direction sliding median ----------------
 
 
+# default for the freq/time kernels: the CSE'd network (measured
+# faster at every HPR K on hardware, benches/kernels.py); flip for A/B
+_DEFAULT_CSE = True
+
+
 def _freq_kernel_pipelined(
     x_hbm, out_hbm, slabs, outbufs, in_sems, out_sems,
-    *, k: int, fb: int, tb: int, sw: int, n_t: int,
+    *, k: int, fb: int, tb: int, sw: int, n_t: int, cse: bool,
 ):
     """One (batch c, lane-tile j) program computing ALL n_t time chunks
     with double-buffered input and output DMA: chunk i+1's slab loads
@@ -198,8 +318,13 @@ def _freq_kernel_pipelined(
         def _():
             out_dma(slot, i - 2).wait()
 
-        taps = [slabs[slot, :, t : t + fb] for t in range(k)]
-        outbufs[slot] = _median_network(taps, (k - 1) // 2)
+        if cse:
+            outbufs[slot] = _median_network_cse(
+                slabs[slot], range(k), (k - 1) // 2, 1, fb
+            )
+        else:
+            taps = [slabs[slot, :, t : t + fb] for t in range(k)]
+            outbufs[slot] = _median_network(taps, (k - 1) // 2)
         out_dma(slot, i).start()
         return ()
 
@@ -213,7 +338,9 @@ def _freq_kernel_pipelined(
     out_dma(jax.lax.rem(n_t - 1, 2), n_t - 1).wait()
 
 
-def _freq_kernel(x_hbm, out_ref, slab, sem, *, k: int, fb: int, tb: int, sw: int):
+def _freq_kernel(
+    x_hbm, out_ref, slab, sem, *, k: int, fb: int, tb: int, sw: int, cse: bool
+):
     """One [tb, fb] output tile of batch element c; input slab
     [tb, sw] from HBM, where sw = align128(fb + k - 1) (Mosaic DMA
     slices must be tile-aligned)."""
@@ -227,11 +354,16 @@ def _freq_kernel(x_hbm, out_ref, slab, sem, *, k: int, fb: int, tb: int, sw: int
     )
     cp.start()
     cp.wait()
-    taps = [slab[:, t : t + fb] for t in range(k)]
-    out_ref[0] = _median_network(taps, (k - 1) // 2)
+    if cse:
+        out_ref[0] = _median_network_cse(
+            slab[:], range(k), (k - 1) // 2, 1, fb
+        )
+    else:
+        taps = [slab[:, t : t + fb] for t in range(k)]
+        out_ref[0] = _median_network(taps, (k - 1) // 2)
 
 
-def _freq_impl(x_padded: jnp.ndarray, k: int):
+def _freq_impl(x_padded: jnp.ndarray, k: int, cse: bool):
     xc, lead = _fold_batch(x_padded)
     c, t, fp = xc.shape
     f = fp - (k - 1)
@@ -251,7 +383,8 @@ def _freq_impl(x_padded: jnp.ndarray, k: int):
     if n_t > 1:
         out = pl.pallas_call(
             functools.partial(
-                _freq_kernel_pipelined, k=k, fb=fb, tb=tb, sw=sw, n_t=n_t
+                _freq_kernel_pipelined,
+                k=k, fb=fb, tb=tb, sw=sw, n_t=n_t, cse=cse,
             ),
             out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
             grid=(c, n_f),
@@ -266,7 +399,7 @@ def _freq_impl(x_padded: jnp.ndarray, k: int):
         )(xc)
     else:
         out = pl.pallas_call(
-            functools.partial(_freq_kernel, k=k, fb=fb, tb=tb, sw=sw),
+            functools.partial(_freq_kernel, k=k, fb=fb, tb=tb, sw=sw, cse=cse),
             out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
             grid=(c, n_t, n_f),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -284,10 +417,10 @@ def _freq_impl(x_padded: jnp.ndarray, k: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _freq_entry(k: int):
+def _freq_entry(k: int, cse: bool):
     @jax.custom_batching.custom_vmap
     def f(xp):
-        return _freq_impl(xp, k)
+        return _freq_impl(xp, k, cse)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, xp):  # noqa: ANN001
@@ -298,21 +431,29 @@ def _freq_entry(k: int):
     return f
 
 
-def sliding_median_last_axis_pallas(x_padded: jnp.ndarray, k: int):
+def sliding_median_last_axis_pallas(
+    x_padded: jnp.ndarray, k: int, cse: bool | None = None
+):
     """Valid-mode sliding median along the last axis.
 
     x_padded: [..., T, F + k - 1] float32 (caller applied the boundary
     pad). Returns [..., T, F]:
     out[..., t, j] = median(x_padded[..., t, j : j + k]).
+
+    ``cse`` selects the shift-normalized network (default; see
+    _cse_nodes) vs the per-tap-slice network, for A/B benching.
     """
-    return _freq_entry(int(k))(x_padded)
+    if cse is None:
+        cse = _DEFAULT_CSE
+    return _freq_entry(int(k), bool(cse))(x_padded)
 
 
 # ---------------- time-direction tap median ----------------
 
 
 def _time_kernel(
-    x_hbm, out_ref, slab, sem, *, offsets, back, tb: int, rows: int, base: int
+    x_hbm, out_ref, slab, sem,
+    *, offsets, back, tb: int, rows: int, base: int, cse: bool,
 ):
     """One [tb, f] output tile of the time-direction tap median for
     batch element c. Input slab rows [base + i*tb ..] of the padded
@@ -325,11 +466,17 @@ def _time_kernel(
     )
     cp.start()
     cp.wait()
-    taps = [slab[o + back : o + back + tb, :] for o in offsets]
-    out_ref[0] = _median_network(taps, (k - 1) // 2)
+    if cse:
+        shifted_offsets = tuple(o + back for o in offsets)
+        out_ref[0] = _median_network_cse(
+            slab[:], shifted_offsets, (k - 1) // 2, 0, tb
+        )
+    else:
+        taps = [slab[o + back : o + back + tb, :] for o in offsets]
+        out_ref[0] = _median_network(taps, (k - 1) // 2)
 
 
-def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int):
+def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: bool):
     """Tap median of rows start..T-1 only (out[..., i, :] = median over
     x[..., start + i + o, :]); streaming callers filter just the new
     block's rows instead of the whole history concat."""
@@ -360,6 +507,7 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int):
             tb=tb,
             rows=rows,
             base=base,
+            cse=cse,
         ),
         out_shape=jax.ShapeDtypeStruct((c, t_pad_out, f_pad), jnp.float32),
         grid=(c, n_t),
@@ -376,10 +524,10 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _time_entry(offsets: tuple, fill: float, start: int):
+def _time_entry(offsets: tuple, fill: float, start: int, cse: bool):
     @jax.custom_batching.custom_vmap
     def f(x):
-        return _time_impl(x, offsets, fill, start)
+        return _time_impl(x, offsets, fill, start, cse)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, x):  # noqa: ANN001
@@ -389,7 +537,11 @@ def _time_entry(offsets: tuple, fill: float, start: int):
 
 
 def tap_median_time_pallas(
-    x: jnp.ndarray, offsets: tuple, fill: float = 0.0, start: int = 0
+    x: jnp.ndarray,
+    offsets: tuple,
+    fill: float = 0.0,
+    start: int = 0,
+    cse: bool | None = None,
 ):
     """Time-direction tap median with constant boundary: out[..., i, :]
     = median over x[..., start + i + o, :] for o in offsets
@@ -401,4 +553,6 @@ def tap_median_time_pallas(
     (duplicates allowed — the replicate-border causal mode repeats the
     current frame).
     """
-    return _time_entry(tuple(offsets), float(fill), int(start))(x)
+    if cse is None:
+        cse = _DEFAULT_CSE
+    return _time_entry(tuple(offsets), float(fill), int(start), bool(cse))(x)
