@@ -128,3 +128,24 @@ def test_live_stream_end_to_end():
         np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-4)
     finally:
         ls.stop()
+
+
+@pytest.mark.slow
+def test_native_sanitize_suite():
+    """Build and run the ASAN/UBSAN + TSAN suite (reference analog:
+    cuda-memcheck CTest label + ASAN/UBSAN options,
+    libzen/CMakeLists.txt:56-89,111-133): wav-header fuzzing
+    (truncations at every byte, hostile fields, odd-size chunk walks)
+    and a threaded SPSC ring exerciser under TSAN."""
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    r = subprocess.run(
+        ["make", "-C", native_dir, "sanitize-check"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
+    assert "all ok" in r.stdout
