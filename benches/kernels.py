@@ -166,18 +166,24 @@ def run(csv=None, quick=False):
             pts_xla.append((f, ms / t))
             report(f"median_freq_xla_NOMEM/K{k}_{t}x{f}", ms)
             if on_tpu:
-                for nm, cse, pts in (
-                    ("cse", True, pts_cse), ("taps", False, pts_taps)
+                # default (sublane layout + cse network) vs the two
+                # non-default axes — the data behind the layout and
+                # network choices in ops/median_pallas.py
+                for nm, kw, pts in (
+                    ("sub_cse", {}, pts_cse),
+                    ("sub_taps", {"cse": False}, pts_taps),
+                    ("lane_cse", {"layout": "lane"}, None),
                 ):
                     pal = jax.jit(
-                        lambda v, fm=fm, k=k, cse=cse:
+                        lambda v, fm=fm, k=k, kw=kw:
                         sliding_median_last_axis_pallas(
                             jnp.pad(v, ((0, 0), (fm, fm)), mode="reflect"),
-                            k, cse=cse,
+                            k, **kw,
                         )
                     )
                     ms = chain_time(pal, x, repeats=reps)
-                    pts.append((f, ms / t))
+                    if pts is not None:
+                        pts.append((f, ms / t))
                     report(f"median_freq_pallas_{nm}_NOMEM/K{k}_{t}x{f}", ms)
             if p == 11:
                 impl = (
