@@ -245,3 +245,53 @@ def test_stream_pipe_mode(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
     # unit gain: output magnitudes are input-order, not engine-scaled
     assert np.abs(got).max() < 10 * np.abs(audio).max()
+
+
+def test_stream_pipe_multistream(tmp_path):
+    """zen stream --streams N: N sample-interleaved streams through one
+    pipe == N independent single-stream runs, stream identity intact."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    from zen_tpu.drivers.realtime import HPRRealtime
+    from zen_tpu.engine.config import OUTPUT_PERCUSSIVE
+
+    fs, hop, S = 4000.0, 16, 3
+    n = 16 * 32 + 5  # ragged tail
+    rng = np.random.default_rng(9)
+    t = np.arange(n) / fs
+    streams = np.stack([
+        (0.5 * np.sin(2 * np.pi * f0 * t)
+         + 0.3 * rng.standard_normal(n)).astype(np.float32)
+        for f0 in (200.0, 450.0, 800.0)
+    ])  # [S, n]
+    interleaved = np.ascontiguousarray(streams.T).ravel()
+    env = dict(os.environ)
+    env["ZEN_TPU_PLATFORM"] = "cpu"
+    proc = subprocess.run(
+        [
+            _sys.executable, "-m", "zen_tpu.cli", "stream",
+            "--fs", "4000", "--hop", "16", "--block-hops", "8",
+            "--stem", "percussive", "--cpu", "--streams", str(S),
+        ],
+        input=interleaved.tobytes(),
+        capture_output=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    got = np.frombuffer(proc.stdout, np.float32)
+    assert len(got) == n * S
+    de = got.reshape(n, S).T  # [S, n]
+    for s in range(S):
+        rt = HPRRealtime(
+            fs, hop, 2.0, outputs=OUTPUT_PERCUSSIVE, border="replicate"
+        )
+        want = (
+            rt.process_stream(streams[s], block_hops=8)[1][:n]
+            / rt.cfg.synth_scale
+        )
+        np.testing.assert_allclose(de[s], want, atol=1e-4, err_msg=str(s))

@@ -305,10 +305,16 @@ def cmd_stream(args) -> int:
 
       ffmpeg -i in.wav -f f32le -ac 1 -ar 44100 - \\
         | zen stream --fs 44100 --stem percussive > perc.f32
+
+    --streams N serves N independent streams through ONE pipe and ONE
+    device program (MultiStreamHPR): stdin/stdout carry N
+    sample-interleaved float32 streams, exactly the layout of
+    N-channel f32le PCM (so `ffmpeg -ac N -f f32le` composes
+    directly).
     """
     import numpy as np
 
-    from .drivers.realtime import HPRRealtime
+    from .drivers.realtime import HPRRealtime, MultiStreamHPR
     from .engine.config import (
         OUTPUT_HARMONIC,
         OUTPUT_PERCUSSIVE,
@@ -325,32 +331,41 @@ def cmd_stream(args) -> int:
         "residual": (OUTPUT_ALL, 2),
     }
     outputs, idx = stem_flags[args.stem]
-    rt = HPRRealtime(
-        args.fs,
-        args.hop,
-        args.beta,
+    n_streams = max(1, args.streams)
+    common = dict(
         outputs=outputs,
         border=_border(args),
         use_sse=args.sse,
         soft_mask=args.soft_mask,
     )
+    if n_streams > 1:
+        ms = MultiStreamHPR(
+            n_streams, args.fs, args.hop, args.beta, **common
+        )
+        cfg = ms.cfg
+        latency = args.hop  # same one-hop OLA latency per stream
+    else:
+        rt = HPRRealtime(args.fs, args.hop, args.beta, **common)
+        cfg = rt.cfg
+        latency = rt.latency_samples
+        rt.warmup(block_sizes=(args.block_hops,))
     # calibrate the pipe to unit gain: the engine carries the
     # reference's nfft*COLA synthesis scale (docs/PERFORMANCE.md);
     # dividing by synth_scale returns input-scale float32 PCM (within
     # the sqrt-Hann OLA's inherent +-1.5 dB frame ripple). --raw-scale
     # keeps the engine scale.
-    out_scale = 1.0 if args.raw_scale else 1.0 / rt.cfg.synth_scale
-    rt.warmup(block_sizes=(args.block_hops,))
+    out_scale = 1.0 if args.raw_scale else 1.0 / cfg.synth_scale
     print(
         f"zen stream ready: fs={args.fs:.0f} hop={args.hop} "
         f"stem={args.stem} block={args.block_hops} "
-        f"latency={rt.latency_samples + args.block_hops * args.hop} samples",
+        f"streams={n_streams} "
+        f"latency={latency + args.block_hops * args.hop} samples",
         file=sys.stderr,
         flush=True,
     )
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer
-    block_bytes = args.block_hops * args.hop * 4
+    block_bytes = args.block_hops * args.hop * 4 * n_streams
 
     def read_full_block():
         # BufferedReader.read(n) only guarantees a full read at EOF for
@@ -383,16 +398,31 @@ def cmd_stream(args) -> int:
             if not buf:
                 break
         samples = np.frombuffer(buf, np.float32)
-        n = len(samples)
-        if n < args.block_hops * args.hop:  # tail: zero-pad
-            full = np.zeros(args.block_hops * args.hop, np.float32)
-            full[:n] = samples
+        if n_streams > 1 and len(samples) % n_streams:
+            # producer died mid-frame: drop the partial frame
+            samples = samples[: len(samples) - len(samples) % n_streams]
+            if not len(samples):
+                break
+        n = len(samples) // n_streams  # per-stream samples
+        block_len = args.block_hops * args.hop
+        if n < block_len:  # tail: zero-pad
+            full = np.zeros(block_len * n_streams, np.float32)
+            full[: n * n_streams] = samples
             samples = full
-        outs = rt.process_block(samples.reshape(-1, args.hop))
-        chunk = np.asarray(outs[idx])[:n]
+        if n_streams > 1:
+            # de-interleave [n*streams] -> [streams, B, hop]
+            blocks = np.ascontiguousarray(
+                samples.reshape(-1, n_streams).T
+            ).reshape(n_streams, args.block_hops, args.hop)
+            outs = ms.process_block(blocks)  # [S, 3, B*hop]
+            chunk = np.asarray(outs)[:, idx, :n]  # [S, n]
+            out_frames = np.ascontiguousarray(chunk.T)  # re-interleave
+        else:
+            outs = rt.process_block(samples.reshape(-1, args.hop))
+            out_frames = np.asarray(outs[idx])[:n]
         if out_scale != 1.0:
-            chunk = chunk * np.float32(out_scale)
-        stdout.write(chunk.tobytes())
+            out_frames = out_frames * np.float32(out_scale)
+        stdout.write(out_frames.astype(np.float32, copy=False).tobytes())
         stdout.flush()
         hops_out += -(-n // args.hop)
     print(f"zen stream done: {hops_out} hops", file=sys.stderr)
@@ -559,6 +589,13 @@ def build_parser() -> argparse.ArgumentParser:
         default="percussive",
     )
     stp.add_argument("--block-hops", type=int, default=16)
+    stp.add_argument(
+        "--streams",
+        type=int,
+        default=1,
+        help="serve N sample-interleaved streams (N-channel f32le "
+        "layout) through one pipe and one device program",
+    )
     stp.add_argument(
         "--raw-scale",
         action="store_true",
