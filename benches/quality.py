@@ -10,7 +10,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+import os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def si_snr(ref, est) -> float:

@@ -13,7 +13,7 @@ Usage: python scripts/feed_wav_realtime.py in.wav out_perc.wav [hop]
 import sys
 import time
 
-sys.path.insert(0, ".")
+import os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 

@@ -483,7 +483,16 @@ def sliding_median_last_axis_pallas(
     if cse is None:
         cse = _DEFAULT_CSE
     if layout is None:
-        layout = "sublane"
+        import os
+
+        layout = os.environ.get("ZEN_TPU_MEDIAN_LAYOUT", "auto")
+    if layout == "auto":
+        # the sublane win needs enough time-extent to fill the lanes
+        # of the transposed tiles: a [bins, T] tile with T << 128
+        # wastes most of each vreg and pays the transposes for
+        # nothing. The streaming block step (T = block hops) stays on
+        # the lane layout; big offline feature matrices go sublane.
+        layout = "sublane" if x_padded.shape[-2] >= 512 else "lane"
     if layout not in ("sublane", "lane"):
         raise ValueError(f"unknown layout: {layout}")
     return _freq_entry(int(k), bool(cse), layout)(x_padded)
