@@ -316,11 +316,10 @@ def cmd_stream(args) -> int:
 
     from .drivers.realtime import HPRRealtime, MultiStreamHPR
     from .engine.config import (
+        OUTPUT_ALL,
         OUTPUT_HARMONIC,
         OUTPUT_PERCUSSIVE,
-        OUTPUT_RESIDUAL,
     )
-    from .engine.config import OUTPUT_ALL
 
     stem_flags = {
         "harmonic": (OUTPUT_HARMONIC, 0),

@@ -25,8 +25,6 @@ import jax.numpy as jnp
 from .median import (
     FREQUENCY,
     REPLICATE,
-    TIME_ANTICAUSAL,
-    TIME_CAUSAL,
     WRAP,
     _tap,
     centered_offsets,
