@@ -408,3 +408,35 @@ def test_corpus_multihost_codepath(tmp_path, monkeypatch):
         base = p.rsplit("/", 1)[-1][:-4]
         wp = str(tmp_path / "out" / f"{base}_perc.wav")
         assert written[wp] == len(a)
+
+
+@pytest.mark.slow
+def test_scaling_instrument_runs():
+    """benches/scaling.py must stay runnable (it is the measuring
+    instrument for the BASELINE >=80% efficiency target): tiny sweep
+    on the simulated mesh, JSON line parseable, efficiencies sane."""
+    import json as json_mod
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "benches", "scaling.py"),
+            "--devices", "1,2", "--streams-per-dev", "2",
+            "--hop", "64", "--block-hops", "4", "--frames", "64",
+            "--fs", "8000",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    data = json_mod.loads(line)
+    assert data["metric"].startswith("sp_scaling_efficiency")
+    assert 0.0 < data["value"] < 4.0  # sane ratio, not garbage
