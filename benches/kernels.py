@@ -128,17 +128,22 @@ def run(csv=None, quick=False):
     print(f"fft per-row complexity fit: t ~ n^{fft_fits['fft_roundtrip']:.2f}"
           "  (n log n ~ 1.1)")
 
-    # c2c fwd/bwd separately (complex chain is shape-preserving)
-    xz = jnp.asarray(
-        (rng.standard_normal((1024, 4096))
-         + 1j * rng.standard_normal((1024, 4096))).astype(np.complex64)
-    )
-    report("fft_c2c_fwd_NOMEM/4096x1024",
-           chain_time(jax.jit(lambda v: jnp.fft.fft(v, axis=-1)), xz,
-                      repeats=reps))
-    report("fft_c2c_bwd_NOMEM/4096x1024",
-           chain_time(jax.jit(lambda v: jnp.fft.ifft(v, axis=-1)), xz,
-                      repeats=reps))
+    # c2c fwd/bwd separately (complex chain is shape-preserving);
+    # some backends reject a scan over complex FFTs (observed TPU
+    # UNIMPLEMENTED) — skip rather than abort the sweep
+    try:
+        xz = jnp.asarray(
+            (rng.standard_normal((1024, 4096))
+             + 1j * rng.standard_normal((1024, 4096))).astype(np.complex64)
+        )
+        report("fft_c2c_fwd_NOMEM/4096x1024",
+               chain_time(jax.jit(lambda v: jnp.fft.fft(v, axis=-1)), xz,
+                          repeats=reps))
+        report("fft_c2c_bwd_NOMEM/4096x1024",
+               chain_time(jax.jit(lambda v: jnp.fft.ifft(v, axis=-1)), xz,
+                          repeats=reps))
+    except Exception as e:  # noqa: BLE001
+        print(f"fft_c2c benches skipped: {type(e).__name__}", flush=True)
 
     # ---- frequency-direction median sweep (mfilt.bench.cu analog) ----
     # F sweeps 2^5..2^14 at every HPR K; xla vs pallas(cse) vs

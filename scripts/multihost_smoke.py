@@ -104,7 +104,10 @@ def worker_main(args) -> int:
     from zen_tpu.drivers.corpus import separate_corpus
     from zen_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh({"dp": 2, "sp": (args.nprocs * DEVS_PER_PROC) // 2})
+    # the GLOBAL mesh shape must be identical in the golden
+    # (single-process) and multi-process modes — derive from the
+    # global device count, not nprocs
+    mesh = make_mesh({"dp": 2, "sp": (N_PROCS * DEVS_PER_PROC) // 2})
 
     if args.nprocs > 1:
         # topology assertion (3): every sp ring within one process

@@ -169,6 +169,25 @@ def test_tp_matches_unsharded():
         assert_close(got[k], want[k])
 
 
+def test_tp_realistic_nfft_precision():
+    """Regression (round-2 review): the TP partial-DFT angles must be
+    reduced (k*n mod nfft) in exact integers — raw float32 products
+    lose ~3-4 digits at production nfft. Pin parity at nfft=2048
+    (hop 512 @ 44.1k), where unreduced angles reach ~6e6 radians."""
+    import dataclasses
+
+    mesh = make_mesh({"tp": 4})
+    rng = np.random.default_rng(12)
+    audio = rng.standard_normal(512 * 40).astype(np.float32) * 0.4
+    cfg = dataclasses.replace(
+        cfg_(fs=44100.0, hop=512), fast_rfft=False
+    )
+    want = hpr_separate(audio, cfg)
+    got = tp_separate(audio, cfg, mesh)
+    for k in ("harmonic", "percussive", "residual"):
+        assert_close(got[k], want[k])
+
+
 def test_sp_halo_too_small_raises():
     from zen_tpu.errors import ZenError
 

@@ -343,6 +343,9 @@ def cmd_stream(args) -> int:
         )
         cfg = ms.cfg
         latency = args.hop  # same one-hop OLA latency per stream
+        ms.warmup(block_sizes=(args.block_hops,))  # compile before
+        # 'ready': a live producer must not see the pipe stall for
+        # the first block's jit
     else:
         rt = HPRRealtime(args.fs, args.hop, args.beta, **common)
         cfg = rt.cfg

@@ -65,10 +65,25 @@ class PipelinedHPRIOffline:
         bounds the tracks in flight (backpressure on the worker)."""
         q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
         DONE, ERR = object(), object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer is gone — an
+            # abandoned generator must not leave this thread blocked
+            # forever pinning prefetched device buffers
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def stage1():
             try:
                 for audio in tracks:
+                    if stop.is_set():
+                        return
                     a = jnp.asarray(audio, jnp.float32)
                     length = a.shape[-1]
                     p1 = self._pass(a, self.cfg_h, self.dev_a, length)
@@ -77,10 +92,11 @@ class PipelinedHPRIOffline:
                     # a CPU-backend dispatch must not land on the
                     # consumer thread, or the pipeline re-serializes
                     jax.block_until_ready(inter)
-                    q.put((p1["harmonic"], inter, length))
-                q.put(DONE)
+                    if not put((p1["harmonic"], inter, length)):
+                        return
+                put(DONE)
             except BaseException as e:  # propagate to the consumer
-                q.put((ERR, e))
+                put((ERR, e))
 
         t = threading.Thread(target=stage1, daemon=True)
         t.start()
@@ -95,4 +111,10 @@ class PipelinedHPRIOffline:
                 p2 = self._pass(inter, self.cfg_p, self.dev_b, length)
                 yield h, p2["percussive"], p2["residual"]
         finally:
-            t.join(timeout=1.0)
+            stop.set()
+            while True:  # unblock a worker stuck mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)

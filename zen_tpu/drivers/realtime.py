@@ -320,6 +320,24 @@ class MultiStreamHPR:
             )
         self.state = state
 
+    def warmup(self, block_sizes=(16,)):
+        """Compile the block step for the given block sizes ahead of
+        the stream (hps.cu:392-409 analog) and restore the pristine
+        state — warmup blocks must not advance the streams past
+        phantom silence hops. The step DONATES its state input, so the
+        warmup runs on a copied scratch state; the original buffers
+        are never donated."""
+        import numpy as np
+
+        state0 = self.state
+        self.state = jax.tree.map(jnp.copy, state0)
+        for b in block_sizes:
+            out = self.process_block(
+                np.zeros((self.n_streams, b, self.cfg.hop), np.float32)
+            )
+        jax.block_until_ready(out)
+        self.state = state0
+
     def process_block(self, blocks):
         """blocks: [C, B, hop] -> outs [C, 3, B*hop]."""
         blocks = jnp.asarray(blocks, jnp.float32)

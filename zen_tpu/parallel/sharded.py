@@ -368,6 +368,14 @@ def sharded_hpri_blocked(
     inter = pass1["percussive"] + pass1["residual"]
     harmonic = pass1["harmonic"]
     del pass1
+    if jax.process_count() > 1:
+        # pass 1's stems are sharded over the multi-process mesh (they
+        # span non-addressable devices); pass 2's window construction
+        # needs host-local values on every process, so gather the
+        # intermediate first (same requirement corpus.flush documents)
+        from jax.experimental import multihost_utils
+
+        inter = multihost_utils.process_allgather(inter, tiled=True)
     pass2 = sharded_separate_blocked(
         inter, cfg_p, mesh, block_frames_p, sp_axis
     )
@@ -402,9 +410,15 @@ def _tp_shard_fn(audio_rep, cfg: HPRConfig, tp_axis: str, n_tp: int, n_frames: i
     # weak #7) — now forward AND inverse work are both ∝ 1/n_tp.
     win = jnp.asarray(cfg.window)
     xw = frames.astype(jnp.float32) * win  # [T, nwin]
-    nn_f = jax.lax.broadcasted_iota(jnp.float32, (cfg.nwin, fb), 0)
-    kk_f = start + jax.lax.broadcasted_iota(jnp.float32, (cfg.nwin, fb), 1)
-    ang_f = (2.0 * jnp.pi / nfft) * kk_f * nn_f
+    # angles via exact int32 (k*n) mod nfft BEFORE the float cast:
+    # raw float32 k*n reaches 2^27 at nfft=16384 (not even
+    # representable) and costs ~3-4 digits of trig accuracy at
+    # nfft=4096; reduced angles stay in [0, 2pi)
+    nn_i = jax.lax.broadcasted_iota(jnp.int32, (cfg.nwin, fb), 0)
+    kk_i = start + jax.lax.broadcasted_iota(jnp.int32, (cfg.nwin, fb), 1)
+    ang_f = (2.0 * jnp.pi / nfft) * jax.lax.rem(
+        kk_i * nn_i, jnp.int32(nfft)
+    ).astype(jnp.float32)
     s_l = jax.lax.complex(
         jnp.matmul(xw, jnp.cos(ang_f), precision=jax.lax.Precision.HIGHEST),
         -jnp.matmul(xw, jnp.sin(ang_f), precision=jax.lax.Precision.HIGHEST),
@@ -443,9 +457,11 @@ def _tp_shard_fn(audio_rep, cfg: HPRConfig, tp_axis: str, n_tp: int, n_frames: i
     # (VERDICT r1 weak #7). Exact: Re(ifft(full))[:nwin] splits by
     # linearity into sum over shards of S_re @ cos - S_im @ sin over
     # the shard's own bins; psum assembles the sum over ICI.
-    kk = start + jax.lax.broadcasted_iota(jnp.float32, (fb, cfg.nwin), 0)
-    nn = jax.lax.broadcasted_iota(jnp.float32, (fb, cfg.nwin), 1)
-    ang = (2.0 * jnp.pi / nfft) * kk * nn
+    kk_ii = start + jax.lax.broadcasted_iota(jnp.int32, (fb, cfg.nwin), 0)
+    nn_ii = jax.lax.broadcasted_iota(jnp.int32, (fb, cfg.nwin), 1)
+    ang = (2.0 * jnp.pi / nfft) * jax.lax.rem(
+        kk_ii * nn_ii, jnp.int32(nfft)
+    ).astype(jnp.float32)
     inv_c = jnp.cos(ang) * jnp.float32(cfg.synth_scale / nfft)
     inv_s = jnp.sin(ang) * jnp.float32(cfg.synth_scale / nfft)
 
