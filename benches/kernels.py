@@ -128,23 +128,6 @@ def run(csv=None, quick=False):
     print(f"fft per-row complexity fit: t ~ n^{fft_fits['fft_roundtrip']:.2f}"
           "  (n log n ~ 1.1)")
 
-    # c2c fwd/bwd separately (complex chain is shape-preserving);
-    # some backends reject a scan over complex FFTs (observed TPU
-    # UNIMPLEMENTED) — skip rather than abort the sweep
-    try:
-        xz = jnp.asarray(
-            (rng.standard_normal((1024, 4096))
-             + 1j * rng.standard_normal((1024, 4096))).astype(np.complex64)
-        )
-        report("fft_c2c_fwd_NOMEM/4096x1024",
-               chain_time(jax.jit(lambda v: jnp.fft.fft(v, axis=-1)), xz,
-                          repeats=reps))
-        report("fft_c2c_bwd_NOMEM/4096x1024",
-               chain_time(jax.jit(lambda v: jnp.fft.ifft(v, axis=-1)), xz,
-                          repeats=reps))
-    except Exception as e:  # noqa: BLE001
-        print(f"fft_c2c benches skipped: {type(e).__name__}", flush=True)
-
     # ---- frequency-direction median sweep (mfilt.bench.cu analog) ----
     # F sweeps 2^5..2^14 at every HPR K; xla vs pallas(cse) vs
     # pallas(taps) — the data behind median_impl='auto' and
@@ -247,6 +230,39 @@ def run(csv=None, quick=False):
                 )
         med_fits[f"median_time_xla_K{k}"] = fit_complexity(pts)
 
+    # ---- transform-seam sweep: the data behind fft_impl='auto' ----
+    # engine/spectral._dft_precision picks the MXU DFT for nfft<=2048
+    # always and nfft=4096 only with >=256 frames; this sweep measures
+    # both paths at the decision points so the thresholds stay
+    # re-derivable from the CSV artifact
+    if on_tpu:
+        from zen_tpu.ops.fft import rfft_forward, rfft_forward_dft
+
+        for nfft in (1024, 2048, 4096, 8192):
+            nwin = nfft // 2
+            for frames in (32, 256, 2048):
+                x = jnp.asarray(
+                    rng.standard_normal((frames, nwin)).astype(np.float32)
+                )
+                xla_f = jax.jit(
+                    lambda v, nfft=nfft: jnp.abs(
+                        rfft_forward(v, nfft)
+                    )[..., : v.shape[-1]]
+                )
+                dft_f = jax.jit(
+                    lambda v, nfft=nfft: jnp.abs(
+                        rfft_forward_dft(v, nfft, jax.lax.Precision.HIGH)
+                    )[..., : v.shape[-1]]
+                )
+                report(
+                    f"rfft_xla_NOMEM/n{nfft}_T{frames}",
+                    chain_time(xla_f, x, repeats=reps),
+                )
+                report(
+                    f"rfft_dft_NOMEM/n{nfft}_T{frames}",
+                    chain_time(dft_f, x, repeats=reps),
+                )
+
     for name, b in {**fft_fits, **med_fits}.items():
         print(f"complexity fit {name}: t ~ n^{b:.2f}")
 
@@ -263,6 +279,25 @@ def run(csv=None, quick=False):
         make_run, make_carry = bench_mod.stream_run_factory(cfg, b)
         per_iter = bench_mod.slope_time(make_run, make_carry, 16, 128)
         report(f"hpr_block_step_NOMEM/hop{hop}x{b}", per_iter * 1e3)
+
+    # c2c fwd/bwd separately (complex chain is shape-preserving).
+    # LAST on purpose: some backends reject complex-FFT scans
+    # (observed TPU UNIMPLEMENTED) and the failure can wedge the
+    # process's device client — nothing below it may need the device
+    try:
+        xz = jnp.asarray(
+            (rng.standard_normal((1024, 4096))
+             + 1j * rng.standard_normal((1024, 4096))).astype(np.complex64)
+        )
+        report("fft_c2c_fwd_NOMEM/4096x1024",
+               chain_time(jax.jit(lambda v: jnp.fft.fft(v, axis=-1)), xz,
+                          repeats=reps))
+        report("fft_c2c_bwd_NOMEM/4096x1024",
+               chain_time(jax.jit(lambda v: jnp.fft.ifft(v, axis=-1)), xz,
+                          repeats=reps))
+    except Exception as e:  # noqa: BLE001
+        print(f"fft_c2c benches skipped: {type(e).__name__}", flush=True)
+
 
     if csv:
         with open(csv, "w") as fh:

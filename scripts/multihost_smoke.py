@@ -65,7 +65,13 @@ def _make_corpus(corpus_dir: str) -> list:
     os.makedirs(corpus_dir, exist_ok=True)
     paths = []
     rng = np.random.default_rng(7)
-    for i, (f0, secs) in enumerate([(220.0, 1.3), (330.0, 1.7), (147.0, 1.1)]):
+    # track3 is "long": workers drop LONG_TRACK_SAMPLES so it exceeds
+    # threshold*sp and routes through flush_long -> sharded_hpri_blocked
+    # — the hours-long-track pod path, executed as REAL processes
+    # (round-2 review: its multi-host gather had never actually run)
+    for i, (f0, secs) in enumerate(
+        [(220.0, 1.3), (330.0, 1.7), (147.0, 1.1), (262.0, 2.2)]
+    ):
         n = int(FS * secs)
         t = np.arange(n) / FS
         harm = 0.5 * np.sin(2 * np.pi * f0 * t)
@@ -101,8 +107,13 @@ def worker_main(args) -> int:
     )
     assert jax.device_count() == n_global
 
+    import zen_tpu.drivers.offline as offline_mod
     from zen_tpu.drivers.corpus import separate_corpus
     from zen_tpu.parallel.mesh import make_mesh
+
+    # route the 2.2 s track through the long-track (sharded blocked)
+    # path: threshold*sp = 2*8000 = 16000 < 17600 samples
+    offline_mod.LONG_TRACK_SAMPLES = 8000
 
     # the GLOBAL mesh shape must be identical in the golden
     # (single-process) and multi-process modes — derive from the
@@ -223,7 +234,7 @@ def orchestrate(quick: bool) -> int:
         print(r.stdout.decode(), r.stderr.decode())
         return 1
     golden = _stems(golden_dir)
-    assert len(golden) == 9, sorted(golden)  # 3 tracks x 3 stems
+    assert len(golden) == 12, sorted(golden)  # 4 tracks x 3 stems
     print(f"golden run ok: {len(golden)} stems", flush=True)
 
     # --- multi-process run, byte-compare ---
@@ -273,8 +284,8 @@ def orchestrate(quick: bool) -> int:
         f"(killed_early={killed_early})",
         flush=True,
     )
-    assert 0 < done_before < 3, (
-        f"kill landed after {done_before}/3 tracks; the resume leg needs "
+    assert 0 < done_before < 4, (
+        f"kill landed after {done_before}/4 tracks; the resume leg needs "
         "a partial journal — retune the corpus sizes"
     )
 
