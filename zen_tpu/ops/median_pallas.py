@@ -430,11 +430,19 @@ def _freq_impl_sublane(x_padded: jnp.ndarray, k: int, cse: bool):
 
     T is chunked onto the batch grid axis so the transposed tile's
     lane count stays bounded (a [bins, T] tile with unchunked T would
-    not fit VMEM for long tracks)."""
+    not fit VMEM for long tracks). The chunk width is also capped by
+    network feasibility: the row-tap kernel's minimum tile height is 8
+    rows, so n_pad wires of [8, tc] must fit the VMEM budget — at
+    K=187 an uncapped tc=2048 allocates 256 x 64 KB of live wires and
+    OOMs the 16 MB VMEM (caught by the r02 sweep)."""
     xc, lead = _fold_batch(x_padded)
     c, t, fp = xc.shape
     f = fp - (k - 1)
-    tc = min(2048, _align(t, 128))
+    tc_budget = max(
+        128,
+        (_NET_BUDGET_BYTES // (4 * 8 * _pow2_at_least(k))) // 128 * 128,
+    )
+    tc = min(2048, tc_budget, _align(t, 128))
     n_c = -(-t // tc)
     if n_c * tc != t:
         xc = jnp.pad(xc, ((0, 0), (0, n_c * tc - t), (0, 0)))
