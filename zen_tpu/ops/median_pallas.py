@@ -495,12 +495,22 @@ def sliding_median_last_axis_pallas(
 
         layout = os.environ.get("ZEN_TPU_MEDIAN_LAYOUT", "auto")
     if layout == "auto":
-        # the sublane win needs enough time-extent to fill the lanes
-        # of the transposed tiles: a [bins, T] tile with T << 128
-        # wastes most of each vreg and pays the transposes for
-        # nothing. The streaming block step (T = block hops) stays on
-        # the lane layout; big offline feature matrices go sublane.
-        layout = "sublane" if x_padded.shape[-2] >= 512 else "lane"
+        # data-derived crossover (benches/kernels_r02.csv, v5e): the
+        # sublane route needs (a) enough time extent to fill the
+        # transposed tiles' lanes (T >= 128; a 32-hop streaming block
+        # wastes 3/4 of each vreg and measured 1.7x slower), and (b)
+        # enough bins for the row-tiling + transposes to amortize —
+        # narrow-F shapes keep the lane layout unless K is large
+        # enough that its k relayouts dominate anyway (K=47 flips at
+        # F=513 where K=13 does not).
+        t = x_padded.shape[-2]
+        f = x_padded.shape[-1] - (k - 1)
+        layout = (
+            "sublane"
+            if (f >= 1024 and t >= 128)
+            or (k >= 25 and f >= 256 and t >= 256)
+            else "lane"
+        )
     if layout not in ("sublane", "lane"):
         raise ValueError(f"unknown layout: {layout}")
     return _freq_entry(int(k), bool(cse), layout)(x_padded)
