@@ -503,12 +503,18 @@ def sliding_median_last_axis_pallas(
         # narrow-F shapes keep the lane layout unless K is large
         # enough that its k relayouts dominate anyway (K=47 flips at
         # F=513 where K=13 does not).
+        # at k > 128 the VMEM wire budget caps the transposed chunk
+        # width (_freq_impl_sublane) to <= 512 lanes and the sublane
+        # route measures ~3x SLOWER than lane (K=187 rows of the CSV)
         t = x_padded.shape[-2]
         f = x_padded.shape[-1] - (k - 1)
         layout = (
             "sublane"
-            if (f >= 1024 and t >= 128)
-            or (k >= 25 and f >= 256 and t >= 256)
+            if k <= 128
+            and (
+                (f >= 1024 and t >= 128)
+                or (k >= 25 and f >= 256 and t >= 256)
+            )
             else "lane"
         )
     if layout not in ("sublane", "lane"):
