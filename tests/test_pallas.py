@@ -198,3 +198,43 @@ def test_fast_path_fuzz_matches_reference_impls(hop, border, causal, soft, sse):
         # typical and the worst-case deviation
         assert np.mean(np.abs(a - b)) / scale < 1e-3, k
         np.testing.assert_allclose(b / scale, a / scale, atol=0.2, err_msg=k)
+
+
+def test_freq_median_layout_auto_decisions():
+    """Pin the data-derived layout crossover (benches/kernels_r02.csv)
+    at the shapes the ENGINE actually produces — a regression here
+    means someone changed the heuristic without re-measuring."""
+    import zen_tpu.ops.median_pallas as mp
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def spy(k, cse, layout):
+        captured["layout"] = layout
+        raise _Stop  # decision captured; skip the actual kernel
+
+    cases = [
+        # (T, F, K) -> expected layout
+        ((32, 2049, 47), "lane"),     # hop-1024 streaming block
+        ((32, 513, 13), "lane"),      # hop-256 streaming block
+        ((631, 513, 13), "lane"),     # offline pass-2 (hop 256)
+        ((631, 513, 47), "sublane"),  # large-K narrow-bin offline
+        ((1023, 2049, 47), "sublane"),# hop-1024 offline pass
+        ((40, 8193, 187), "lane"),    # hop-4096 pass-1 (huge K)
+        ((4088, 8193, 187), "lane"),  # huge K stays lane at any T
+        ((2048, 2049, 13), "sublane"),# long blocked pass, wide bins
+    ]
+    import unittest.mock as um
+
+    import numpy as np
+
+    for (t, f, k), want in cases:
+        x = np.zeros((t, f + k - 1), np.float32)
+        with um.patch.object(mp, "_freq_entry", side_effect=spy):
+            try:
+                mp.sliding_median_last_axis_pallas(x, k)
+            except _Stop:
+                pass  # only the layout decision matters
+        assert captured["layout"] == want, ((t, f, k), captured)
