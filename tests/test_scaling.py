@@ -101,3 +101,25 @@ def test_tp_uses_ring_permutes_and_psum_only():
     assert _count(hlo, "all-to-all") == 0
     assert _count(hlo, "collective-permute") >= 1  # freq halos
     assert _count(hlo, "all-reduce") >= 1  # psum (iFFT linearity)
+
+
+def test_sharded_blocked_has_zero_collectives():
+    """The long-track pod path's core claim: blocks sharded over sp
+    with locally-primed OLA tails exchange NOTHING — every device
+    scans independently (the halo context travels as overlapping host
+    sample windows). Zero collectives in the compiled HLO is the
+    structural precondition for its scaling."""
+    from zen_tpu.parallel.sharded import _build_sharded_blocked_fn
+
+    cfg = HPRConfig(**CFG)
+    mesh = make_mesh({"sp": 8})
+    bf, nbl = 8, 2
+    back = cfg.time_history
+    fwd = max(max(cfg.time_offsets), 0)
+    fn = _build_sharded_blocked_fn(cfg, mesh, "sp", bf, back, fwd, nbl)
+    w = (nbl * bf + back + fwd + 2) * cfg.hop
+    x = jnp.zeros((8, w), jnp.float32)
+    hlo = _hlo(fn, x)
+    for op in ("collective-permute", "all-reduce", "all-gather",
+               "all-to-all", "reduce-scatter"):
+        assert _count(hlo, op) == 0, f"unexpected {op} in blocked program"
