@@ -656,6 +656,24 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     import os
 
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "axon":
+        # this image exports JAX_PLATFORMS=axon globally, but the axon
+        # plugin's discovery silently fails under ANY PYTHONPATH
+        # setting (observed: only ['cpu','tpu'] register), which would
+        # crash every CLI command with "Unable to initialize backend
+        # 'axon'". The var cannot signal user intent here (it is
+        # exported for everyone); ZEN_TPU_PLATFORM below is the CLI's
+        # explicit knob. Scrub it BEFORE anything imports jax (the env
+        # value is latched at import) and let jax auto-pick the best
+        # registered backend (axon/tpu when present, cpu otherwise).
+        del os.environ["JAX_PLATFORMS"]
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", None)
+        except RuntimeError:
+            pass  # backend already initialized (in-process caller)
+
     from .runtime.xla_cache import enable_compilation_cache
 
     enable_compilation_cache()
