@@ -666,13 +666,23 @@ def main(argv=None) -> int:
         # explicit knob. Scrub it BEFORE anything imports jax (the env
         # value is latched at import) and let jax auto-pick the best
         # registered backend (axon/tpu when present, cpu otherwise).
+        # ENV only — never jax.config: an in-process caller (tests,
+        # host apps) may have pinned its own platform already, and
+        # jax imported before us latched the env anyway.
         del os.environ["JAX_PLATFORMS"]
-        import jax
+        import sys as _sys
 
-        try:
-            jax.config.update("jax_platforms", None)
-        except RuntimeError:
-            pass  # backend already initialized (in-process caller)
+        if "jax" in _sys.modules:
+            # jax already imported: the env was latched. If its value
+            # was the broken axon alias AND no backend exists yet,
+            # clear the latched config so first init auto-discovers.
+            import jax
+
+            try:
+                if jax.config.jax_platforms == "axon":
+                    jax.config.update("jax_platforms", None)
+            except (AttributeError, RuntimeError):
+                pass
 
     from .runtime.xla_cache import enable_compilation_cache
 
