@@ -158,8 +158,12 @@ def run(csv=None, quick=False):
                 # non-default axes — the data behind the layout and
                 # network choices in ops/median_pallas.py
                 for nm, kw, pts in (
-                    ("sub_cse", {}, pts_cse),
-                    ("sub_taps", {"cse": False}, pts_taps),
+                    # layouts EXPLICIT: auto would silently relabel
+                    # rows after any heuristic change, corrupting the
+                    # A/B data the heuristic is re-derived from
+                    ("sub_cse", {"layout": "sublane"}, pts_cse),
+                    ("sub_taps", {"cse": False, "layout": "sublane"},
+                     pts_taps),
                     ("lane_cse", {"layout": "lane"}, None),
                 ):
                     pal = jax.jit(

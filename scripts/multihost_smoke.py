@@ -55,8 +55,9 @@ def _worker_env(n_devs: int) -> dict:
 
 
 def _make_corpus(corpus_dir: str) -> list:
-    """Three distinct synthetic tracks, unequal lengths (exercises the
-    batch zero-pad + truncate-on-write path)."""
+    """Four distinct synthetic tracks, unequal lengths (exercises the
+    batch zero-pad + truncate-on-write path); the last one is the
+    long-track that routes through the sharded blocked path."""
     sys.path.insert(0, REPO)
     import numpy as np
 

@@ -656,33 +656,30 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     import os
 
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "axon":
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
         # this image exports JAX_PLATFORMS=axon globally, but the axon
         # plugin's discovery silently fails under ANY PYTHONPATH
         # setting (observed: only ['cpu','tpu'] register), which would
         # crash every CLI command with "Unable to initialize backend
         # 'axon'". The var cannot signal user intent here (it is
         # exported for everyone); ZEN_TPU_PLATFORM below is the CLI's
-        # explicit knob. Scrub it BEFORE anything imports jax (the env
-        # value is latched at import) and let jax auto-pick the best
-        # registered backend (axon/tpu when present, cpu otherwise).
-        # ENV only — never jax.config: an in-process caller (tests,
-        # host apps) may have pinned its own platform already, and
-        # jax imported before us latched the env anyway.
-        del os.environ["JAX_PLATFORMS"]
-        import sys as _sys
+        # explicit knob. Importing zen_tpu already imported jax, so
+        # the env value is LATCHED into jax.config — rewrite the
+        # latched value to full auto whenever it names the axon alias
+        # (directly or in a list like 'axon,cpu'): auto-discovery
+        # picks the best registered backend in every case (axon/tpu
+        # when the plugin registered, cpu otherwise). An in-process
+        # caller that pinned its own platform has a non-axon config
+        # and is left untouched.
+        os.environ.pop("JAX_PLATFORMS", None)  # and for subprocesses
+        import jax
 
-        if "jax" in _sys.modules:
-            # jax already imported: the env was latched. If its value
-            # was the broken axon alias AND no backend exists yet,
-            # clear the latched config so first init auto-discovers.
-            import jax
-
-            try:
-                if jax.config.jax_platforms == "axon":
-                    jax.config.update("jax_platforms", None)
-            except (AttributeError, RuntimeError):
-                pass
+        try:
+            latched = jax.config.jax_platforms or ""
+            if "axon" in latched.split(","):
+                jax.config.update("jax_platforms", None)
+        except (AttributeError, RuntimeError):
+            pass  # backend already initialized; nothing to fix
 
     from .runtime.xla_cache import enable_compilation_cache
 

@@ -428,21 +428,15 @@ def _freq_impl_sublane(x_padded: jnp.ndarray, k: int, cse: bool):
     into the pipeline. Net: 1.6x (K=13) to 2.05x (K=47) over the
     lane-shift kernel, bit-identical output.
 
-    T is chunked onto the batch grid axis so the transposed tile's
-    lane count stays bounded (a [bins, T] tile with unchunked T would
-    not fit VMEM for long tracks). The chunk width is also capped by
-    network feasibility: the row-tap kernel's minimum tile height is 8
-    rows, so n_pad wires of [8, tc] must fit the VMEM budget — at
-    K=187 an uncapped tc=2048 allocates 256 x 64 KB of live wires and
-    OOMs the 16 MB VMEM (caught by the r02 sweep)."""
+    T is chunked onto the batch grid axis so the transposed chunk
+    stays a modest array (a [bins, T] chunk with unchunked T would be
+    huge for long tracks); VMEM feasibility itself is enforced inside
+    _time_impl, which lane-tiles to the network wire budget for every
+    caller (the K=187 OOM caught by the r02 sweep)."""
     xc, lead = _fold_batch(x_padded)
     c, t, fp = xc.shape
     f = fp - (k - 1)
-    tc_budget = max(
-        128,
-        (_NET_BUDGET_BYTES // (4 * 8 * _pow2_at_least(k))) // 128 * 128,
-    )
-    tc = min(2048, tc_budget, _align(t, 128))
+    tc = min(2048, _align(t, 128))
     n_c = -(-t // tc)
     if n_c * tc != t:
         xc = jnp.pad(xc, ((0, 0), (0, n_c * tc - t), (0, 0)))
@@ -527,16 +521,19 @@ def sliding_median_last_axis_pallas(
 
 def _time_kernel(
     x_hbm, out_ref, slab, sem,
-    *, offsets, back, tb: int, rows: int, base: int, cse: bool,
+    *, offsets, back, tb: int, rows: int, base: int, fb: int, cse: bool,
 ):
-    """One [tb, f] output tile of the time-direction tap median for
-    batch element c. Input slab rows [base + i*tb ..] of the padded
-    array (rows = aligned span)."""
+    """One [tb, fb] output tile of the time-direction tap median for
+    batch element c. Input slab rows [base + i*tb ..] x lane block j
+    of the padded array (rows = aligned span)."""
     c = pl.program_id(0)
     i = pl.program_id(1)
+    j = pl.program_id(2)
     k = len(offsets)
     cp = pltpu.make_async_copy(
-        x_hbm.at[c, pl.ds(base + i * tb, rows), :], slab, sem
+        x_hbm.at[c, pl.ds(base + i * tb, rows), pl.ds(j * fb, fb)],
+        slab,
+        sem,
     )
     cp.start()
     cp.wait()
@@ -562,7 +559,19 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
     top_pad = max(0, back - start)
     base = start - back + top_pad  # first padded row a slab reads
     f_pad = _align(f, 128)
-    tb = _pick_tb(_pow2_at_least(len(offsets)), f_pad, t_out)
+    n_pad = _pow2_at_least(len(offsets))
+    # lane tiling keeps the network's live wires inside the VMEM
+    # budget for ANY caller: the minimum tile height is 8 rows, so
+    # n_pad wires of [8, fb] must fit (wide-f big-k calls — e.g.
+    # nfft=16384 feature matrices or the transposed freq route —
+    # would otherwise OOM the 16 MB VMEM; caught by the r02 sweep)
+    fb = min(
+        f_pad,
+        max(128, (_NET_BUDGET_BYTES // (4 * 8 * n_pad)) // 128 * 128),
+    )
+    n_f = -(-f_pad // fb)
+    f_pad = n_f * fb
+    tb = _pick_tb(n_pad, fb, t_out)
     n_t = -(-t_out // tb)
     t_pad_out = n_t * tb
     rows = _align(tb + back + fwd, 8)  # aligned slab rows
@@ -581,16 +590,17 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
             tb=tb,
             rows=rows,
             base=base,
+            fb=fb,
             cse=cse,
         ),
         out_shape=jax.ShapeDtypeStruct((c, t_pad_out, f_pad), jnp.float32),
-        grid=(c, n_t),
+        grid=(c, n_t, n_f),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, tb, f_pad), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+            (1, tb, fb), lambda c, i, j: (c, i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, f_pad), jnp.float32),
+            pltpu.VMEM((rows, fb), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(xp)
