@@ -220,7 +220,7 @@ def test_freq_median_layout_auto_decisions():
         ((32, 2049, 47), "lane"),     # hop-1024 streaming block
         ((32, 513, 13), "lane"),      # hop-256 streaming block
         ((631, 513, 13), "lane"),     # offline pass-2 (hop 256)
-        ((631, 513, 47), "sublane"),  # large-K narrow-bin offline
+        ((631, 513, 47), "lane"),     # narrow bins lose at any K
         ((1023, 2049, 47), "sublane"),# hop-1024 offline pass
         ((40, 8193, 187), "lane"),    # hop-4096 pass-1 (huge K)
         ((4088, 8193, 187), "lane"),  # huge K stays lane at any T

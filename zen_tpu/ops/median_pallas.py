@@ -489,27 +489,19 @@ def sliding_median_last_axis_pallas(
 
         layout = os.environ.get("ZEN_TPU_MEDIAN_LAYOUT", "auto")
     if layout == "auto":
-        # data-derived crossover (benches/kernels_r02.csv, v5e): the
-        # sublane route needs (a) enough time extent to fill the
-        # transposed tiles' lanes (T >= 128; a 32-hop streaming block
-        # wastes 3/4 of each vreg and measured 1.7x slower), and (b)
-        # enough bins for the row-tiling + transposes to amortize —
-        # narrow-F shapes keep the lane layout unless K is large
-        # enough that its k relayouts dominate anyway (K=47 flips at
-        # F=513 where K=13 does not).
-        # at k > 128 the VMEM wire budget caps the transposed chunk
-        # width (_freq_impl_sublane) to <= 512 lanes and the sublane
-        # route measures ~3x SLOWER than lane (K=187 rows of the CSV)
+        # data-derived crossover (benches/kernels_r02_full.csv plus a
+        # clean interleaved A/B at the one disputed point, v5e): the
+        # sublane route wins ONLY with wide bins and enough time
+        # extent — F >= 1024 (narrow-F shapes lose the row-tiling +
+        # transpose overhead: lane is 1.55x faster at (4088,513,K47)
+        # and 1.8x at (4088,513,K13)) and T >= 128 (a 32-hop streaming
+        # block wastes 3/4 of each transposed vreg, measured 1.7x
+        # slower) — and only for K <= 128 (larger networks' VMEM wire
+        # budget forces narrow tiles, lane ~3x faster at K=187).
         t = x_padded.shape[-2]
         f = x_padded.shape[-1] - (k - 1)
         layout = (
-            "sublane"
-            if k <= 128
-            and (
-                (f >= 1024 and t >= 128)
-                or (k >= 25 and f >= 256 and t >= 256)
-            )
-            else "lane"
+            "sublane" if k <= 128 and f >= 1024 and t >= 128 else "lane"
         )
     if layout not in ("sublane", "lane"):
         raise ValueError(f"unknown layout: {layout}")
