@@ -238,3 +238,21 @@ def test_freq_median_layout_auto_decisions():
             except _Stop:
                 pass  # only the layout decision matters
         assert captured["layout"] == want, ((t, f, k), captured)
+
+
+def test_exact_c2c_borders_compile_and_run():
+    """The exact-C2C transform path (fast_rfft=False — every 'valid'
+    and 'replicate' border config) must compile and run on the active
+    platform: a TPU backend was observed rejecting some complex-FFT
+    scan forms (benches/kernels.py c2c note), and the CPU-only suite
+    would never notice if the engine's form regressed the same way.
+    Runs on hardware under ZEN_TPU_TEST_PLATFORM=axon."""
+    import numpy as np
+
+    from zen_tpu.drivers.offline import HPRIOffline
+
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(3000).astype(np.float32) * 0.3
+    for border in ("valid", "replicate"):
+        h, p, r = HPRIOffline(1000.0, 16, 8, border=border).process(audio)
+        assert np.isfinite(np.asarray(p)).all(), border
