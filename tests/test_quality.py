@@ -150,6 +150,32 @@ def test_offline_quality_inharmonic_drift_cymbal():
     assert si_snr(cym, p) < -15.0
 
 
+@pytest.mark.parametrize(
+    "kw,harm_floor,perc_floor",
+    [
+        (dict(soft_mask=True), 12.0, 2.0),
+        (dict(use_sse=True), 15.0, 0.5),
+    ],
+    ids=["soft", "sse"],
+)
+def test_offline_hard_mixture_variants(kw, harm_floor, perc_floor):
+    """Soft-mask and SSE variants on the hard mixture: weaker than the
+    hard-mask flagship (as the reference README cautions for the box
+    filters) but still real separations with bounded cymbal leakage.
+    Floors calibrated ~2 dB under measured (soft: 14.5/3.8; sse:
+    17.7/1.9)."""
+    harm, perc, cym, mix = make_hard_mixture()
+    n = len(mix)
+    h, p, r = (
+        np.asarray(x)[:n]
+        for x in HPRIOffline(FS, 1024, 256, 2.0, 2.0, **kw).process(mix)
+    )
+    assert si_snr(harm, h) > harm_floor
+    assert si_snr(perc, p) > perc_floor
+    assert si_snr(perc, p) - si_snr(perc, mix) > 12.0
+    assert si_snr(cym, p) < -3.0  # cymbal mostly rejected
+
+
 def test_offline_quality_inharmonic_drift_no_wash():
     """Same without the wash: thresholds tighten (the residual-bound
     energy was the hard part)."""
