@@ -440,3 +440,331 @@ def test_scaling_instrument_runs():
     data = json_mod.loads(line)
     assert data["metric"].startswith("sp_scaling_efficiency")
     assert 0.0 < data["value"] < 4.0  # sane ratio, not garbage
+
+
+def test_midtrack_checkpoint_resume_single_device(tmp_path):
+    """Mid-track crash/resume (round-2 verdict #2): kill the blocked
+    scan after 2 durable segments, resume, and the stems must
+    byte-match both an uninterrupted checkpointed run and the plain
+    hpr_separate_blocked output."""
+    import numpy as np
+
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.offline import (
+        hpr_separate_blocked,
+        hpr_separate_blocked_checkpointed,
+    )
+
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal(900).astype(np.float32)
+    cfg = HPRConfig(fs=1000.0, hop=8, causal=False, outputs=OUTPUT_ALL)
+
+    want = hpr_separate_blocked(audio, cfg, block_frames=4)
+
+    class _Crash(Exception):
+        pass
+
+    def bomb(next_block, n_blocks):
+        if next_block >= 4:  # 2 segments of 2 blocks
+            raise _Crash
+
+    kw = dict(block_frames=4, ckpt_every_blocks=2, tag="trk")
+    crashed_dir = str(tmp_path / "crashed")
+    try:
+        hpr_separate_blocked_checkpointed(
+            audio, cfg, ckpt_dir=crashed_dir, on_segment=bomb, **kw
+        )
+        raise AssertionError("crash hook did not fire")
+    except _Crash:
+        pass
+    # the checkpoint recorded partial progress
+    import json
+
+    assert (tmp_path / "crashed" / "trk.ckpt.npz").exists()
+    # resume to completion
+    resumed = hpr_separate_blocked_checkpointed(
+        audio, cfg, ckpt_dir=crashed_dir, **kw
+    )
+    # uninterrupted checkpointed run in a fresh dir
+    clean = hpr_separate_blocked_checkpointed(
+        audio, cfg, ckpt_dir=str(tmp_path / "clean"), **kw
+    )
+    for k in ("harmonic", "percussive", "residual"):
+        a, b, w = np.asarray(resumed[k]), np.asarray(clean[k]), np.asarray(want[k])
+        np.testing.assert_array_equal(a, b, err_msg=k)  # byte-match
+        np.testing.assert_array_equal(a, w, err_msg=k)  # == monolithic scan
+
+
+def test_midtrack_checkpoint_rejects_stale_config(tmp_path):
+    """A checkpoint written under different parameters must be ignored
+    (restart from zero), not silently continued."""
+    import numpy as np
+
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.offline import hpr_separate_blocked_checkpointed
+
+    rng = np.random.default_rng(12)
+    audio = rng.standard_normal(600).astype(np.float32)
+    cfg_a = HPRConfig(fs=1000.0, hop=8, causal=False, outputs=OUTPUT_ALL)
+    cfg_b = HPRConfig(
+        fs=1000.0, hop=8, beta=3.0, causal=False, outputs=OUTPUT_ALL
+    )
+    d = str(tmp_path)
+    kw = dict(block_frames=4, ckpt_every_blocks=2, tag="t")
+    first = hpr_separate_blocked_checkpointed(audio, cfg_a, ckpt_dir=d, **kw)
+    # same tag, different config: must NOT reuse the stale buffers
+    second = hpr_separate_blocked_checkpointed(audio, cfg_b, ckpt_dir=d, **kw)
+    from zen_tpu.drivers.offline import hpr_separate_blocked
+
+    want_b = hpr_separate_blocked(audio, cfg_b, block_frames=4)
+    np.testing.assert_array_equal(
+        np.asarray(second["percussive"]), np.asarray(want_b["percussive"])
+    )
+
+
+def test_midtrack_checkpoint_resume_sharded(tmp_path):
+    """Sharded pod form of the mid-track resume: crash after 1 segment
+    on a dp=2 x sp=4 mesh, resume, byte-match the uninterrupted run
+    and the unsharded blocked driver."""
+    import numpy as np
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.offline import hpr_separate_blocked
+    from zen_tpu.parallel.mesh import make_mesh
+    from zen_tpu.parallel.sharded import (
+        sharded_separate_blocked_checkpointed,
+    )
+
+    rng = np.random.default_rng(13)
+    audio = rng.standard_normal(2000).astype(np.float32)
+    cfg = HPRConfig(fs=1000.0, hop=8, causal=False, outputs=OUTPUT_ALL)
+    mesh = make_mesh({"sp": 4})
+
+    class _Crash(Exception):
+        pass
+
+    def bomb(next_block, n_blocks):
+        if next_block >= 1:
+            raise _Crash
+
+    kw = dict(block_frames=4, ckpt_every_blocks=1, tag="trk")
+    d = str(tmp_path / "crashed")
+    try:
+        sharded_separate_blocked_checkpointed(
+            audio, cfg, mesh, ckpt_dir=d, on_segment=bomb, **kw
+        )
+        raise AssertionError("crash hook did not fire")
+    except _Crash:
+        pass
+    resumed = sharded_separate_blocked_checkpointed(
+        audio, cfg, mesh, ckpt_dir=d, **kw
+    )
+    clean = sharded_separate_blocked_checkpointed(
+        audio, cfg, mesh, ckpt_dir=str(tmp_path / "clean"), **kw
+    )
+    want = hpr_separate_blocked(audio, cfg, block_frames=4)
+    for k in ("harmonic", "percussive", "residual"):
+        np.testing.assert_array_equal(
+            np.asarray(resumed[k]), np.asarray(clean[k]), err_msg=k
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed[k]), np.asarray(want[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+
+
+def test_midtrack_checkpoint_survives_sigkill(tmp_path):
+    """Real-process form of the mid-track resume: SIGKILL a child
+    mid-scan (after >= 2 durable segments), rerun it, and the resumed
+    stems must byte-match an uninterrupted run. Exercises the actual
+    fsync/atomic-rename durability path, not just the Python flow."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    child_src = r'''
+import sys
+
+import numpy as np
+
+sys.path.insert(0, sys.argv[3])
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+from zen_tpu import HPRConfig, OUTPUT_ALL
+from zen_tpu.drivers.offline import hpr_separate_blocked_checkpointed
+import time
+
+ckpt_dir, out_npz = sys.argv[1], sys.argv[2]
+rng = np.random.default_rng(21)
+audio = rng.standard_normal(900).astype(np.float32)
+cfg = HPRConfig(fs=1000.0, hop=8, causal=False, outputs=OUTPUT_ALL)
+
+
+def paced(next_block, n_blocks):
+    time.sleep(0.15)  # widen the parent's kill window
+
+
+stems = hpr_separate_blocked_checkpointed(
+    audio, cfg, block_frames=4, ckpt_dir=ckpt_dir, tag="trk",
+    ckpt_every_blocks=2, on_segment=paced,
+)
+np.savez(out_npz, **{k: np.asarray(v) for k, v in stems.items()})
+'''
+    script = tmp_path / "child.py"
+    script.write_text(child_src)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = str(tmp_path / "ck")
+    out_npz = str(tmp_path / "stems.npz")
+    ckpt_file = os.path.join(ckpt_dir, "trk.ckpt.npz")
+
+    env = {**os.environ, "JAX_PLATFORMS": ""}
+    proc = subprocess.Popen(
+        [sys.executable, str(script), ckpt_dir, out_npz, repo], env=env
+    )
+    # wait for >= 2 durable segments, then SIGKILL
+    deadline = time.time() + 180
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill: still a valid run
+        try:
+            data = np.load(ckpt_file)
+            meta = json.loads(bytes(data["_meta"].tobytes()).decode())
+            if meta.get("next_block", 0) >= 4:
+                proc.send_signal(signal.SIGKILL)
+                killed = True
+                break
+        except Exception:
+            pass
+        time.sleep(0.05)
+    proc.wait(timeout=300)
+    if killed:
+        assert not os.path.exists(out_npz), "output written despite kill"
+        # resume to completion
+        subprocess.run(
+            [sys.executable, str(script), ckpt_dir, out_npz, repo],
+            env=env, check=True, timeout=600,
+        )
+    assert os.path.exists(out_npz)
+    got = np.load(out_npz)
+    # uninterrupted in-process reference
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.offline import hpr_separate_blocked
+
+    rng = np.random.default_rng(21)
+    audio = rng.standard_normal(900).astype(np.float32)
+    cfg = HPRConfig(fs=1000.0, hop=8, causal=False, outputs=OUTPUT_ALL)
+    want = hpr_separate_blocked(audio, cfg, block_frames=4)
+    for k in ("harmonic", "percussive", "residual"):
+        np.testing.assert_array_equal(got[k], np.asarray(want[k]), err_msg=k)
+    assert killed, "child finished before the kill window (pacing too fast)"
+
+
+def test_corpus_pp_routes_through_pipeline(tmp_path):
+    """`zen corpus --pp` (round-2 verdict #3): stems match the plain
+    corpus run, the journal resumes, and the pipeline driver is what
+    actually ran."""
+    from zen_tpu.drivers.corpus import separate_corpus
+    from zen_tpu.io.audio import read_wav_mono, write_wav_pcm16
+
+    fs = 1000
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"t{i}.wav")
+        write_wav_pcm16(p, fs, audio_fixture(1, 300 + 8 * i, seed=i)[0])
+        paths.append(p)
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    out_pp = str(tmp_path / "pp")
+    out_plain = str(tmp_path / "plain")
+
+    import zen_tpu.drivers.pipeline as pipe_mod
+
+    calls = {"n": 0}
+    orig = pipe_mod.PipelinedHPRIOffline.process_stream
+
+    def counting(self, tracks, prefetch=2):
+        calls["n"] += 1
+        return orig(self, tracks, prefetch)
+
+    pipe_mod.PipelinedHPRIOffline.process_stream = counting
+    try:
+        res = separate_corpus(paths, out_pp, mesh, hop_h=16, hop_p=8, pp=True)
+    finally:
+        pipe_mod.PipelinedHPRIOffline.process_stream = orig
+    assert res["processed"] == 4 and calls["n"] >= 1
+    separate_corpus(paths, out_plain, mesh, hop_h=16, hop_p=8)
+    for i in range(4):
+        for stem in ("harm", "perc", "residual"):
+            _, a = read_wav_mono(os.path.join(out_pp, f"t{i}_{stem}.wav"))
+            _, b = read_wav_mono(os.path.join(out_plain, f"t{i}_{stem}.wav"))
+            # same math modulo per-driver normalization epsilon + PCM16
+            np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f"t{i} {stem}")
+    # resume: everything journaled
+    res2 = separate_corpus(paths, out_pp, mesh, hop_h=16, hop_p=8, pp=True)
+    assert res2["processed"] == 0 and res2["done"] == 4
+
+
+def test_corpus_pp_overlap_is_real(tmp_path, monkeypatch):
+    """The corpus --pp route must show MEASURED stage overlap end to
+    end (the r2 verdict's bar: product-reachable, not library-only):
+    same injected-delay bound as the raw-driver overlap test, driven
+    through separate_corpus."""
+    import time
+
+    import zen_tpu.drivers.pipeline as pipe_mod
+    from zen_tpu.drivers.corpus import separate_corpus
+    from zen_tpu.drivers.offline import _offline_pass
+    from zen_tpu.io.audio import write_wav_pcm16
+
+    delay = 0.25
+
+    def delayed_pass(padded, cfg, n_frames, out_len):
+        def slow(x):
+            time.sleep(delay)
+            return x
+
+        padded = jax.pure_callback(
+            slow,
+            jax.ShapeDtypeStruct(padded.shape, padded.dtype),
+            padded,
+        )
+        return _offline_pass(padded, cfg, n_frames, out_len)
+
+    jitted = jax.jit(
+        delayed_pass, static_argnames=("cfg", "n_frames", "out_len")
+    )
+    monkeypatch.setattr(pipe_mod, "_offline_pass", jitted)
+
+    fs = 1000
+    n = 4
+    paths = []
+    for i in range(n):
+        p = str(tmp_path / f"t{i}.wav")
+        # equal lengths: one compile bucket, so the clock sees delays
+        write_wav_pcm16(p, fs, audio_fixture(1, 256, seed=i)[0])
+        paths.append(p)
+    mesh = make_mesh({"dp": 2})
+
+    # warm both stage programs outside the clock
+    separate_corpus(
+        paths[:1], str(tmp_path / "warm"), mesh, hop_h=16, hop_p=8, pp=True
+    )
+    t0 = time.perf_counter()
+    res = separate_corpus(
+        paths, str(tmp_path / "out"), mesh, hop_h=16, hop_p=8, pp=True
+    )
+    wall = time.perf_counter() - t0
+    assert res["processed"] == n
+    serial = 2 * n * delay
+    assert wall < 0.8 * serial, (
+        f"corpus --pp shows no overlap: {wall:.2f}s vs serial {serial:.2f}s"
+    )

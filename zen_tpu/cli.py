@@ -337,9 +337,36 @@ def cmd_stream(args) -> int:
         use_sse=args.sse,
         soft_mask=args.soft_mask,
     )
-    if n_streams > 1:
+    mesh = None
+    mesh_desc = ""
+    if getattr(args, "mesh", ""):
+        # multi-chip serving: shard the stream axis over a dp mesh —
+        # pure data parallelism, zero collectives (BASELINE configs[3]
+        # scaled out; the dryrun_multichip leg keeps this path honest)
+        from .parallel.mesh import make_mesh
+
+        axes = {}
+        for part in args.mesh.split(","):
+            k, v = part.split("=")
+            axes[k.strip()] = int(v)
+        if set(axes) != {"dp"}:
+            print(
+                f"stream mesh supports the dp axis only (got {sorted(axes)})",
+                file=sys.stderr,
+            )
+            return 1
+        if n_streams % axes["dp"]:
+            print(
+                f"--streams {n_streams} not divisible by dp={axes['dp']}",
+                file=sys.stderr,
+            )
+            return 1
+        mesh = make_mesh(axes)
+        mesh_desc = f"dp={axes['dp']}"
+    multi = n_streams > 1 or mesh is not None  # mesh implies MultiStream
+    if multi:
         ms = MultiStreamHPR(
-            n_streams, args.fs, args.hop, args.beta, **common
+            n_streams, args.fs, args.hop, args.beta, mesh=mesh, **common
         )
         cfg = ms.cfg
         latency = args.hop  # same one-hop OLA latency per stream
@@ -386,6 +413,8 @@ def cmd_stream(args) -> int:
         return b"".join(parts)
 
     hops_out = 0
+    t_start = time.perf_counter()
+    t_first = t_last = None
     while True:
         buf = read_full_block()
         if not buf:
@@ -411,7 +440,7 @@ def cmd_stream(args) -> int:
             full = np.zeros(block_len * n_streams, np.float32)
             full[: n * n_streams] = samples
             samples = full
-        if n_streams > 1:
+        if multi:
             # de-interleave [n*streams] -> [streams, B, hop]
             blocks = np.ascontiguousarray(
                 samples.reshape(-1, n_streams).T
@@ -426,8 +455,37 @@ def cmd_stream(args) -> int:
             out_frames = out_frames * np.float32(out_scale)
         stdout.write(out_frames.astype(np.float32, copy=False).tobytes())
         stdout.flush()
+        if t_first is None:
+            t_first = time.perf_counter()
+        t_last = time.perf_counter()
         hops_out += -(-n // args.hop)
     print(f"zen stream done: {hops_out} hops", file=sys.stderr)
+    wall = (t_last - t_start) if t_last is not None else 0.0
+    per_hop_us = wall / max(hops_out, 1) * 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "stream_serving",
+                "streams": n_streams,
+                "mesh": mesh_desc or "single-chip",
+                "hops_per_stream": hops_out,
+                "wall_s": round(wall, 6),
+                # end-to-end pipe rate (includes stdin/stdout IO):
+                # samples through the engine per wall second, all
+                # streams combined, and the per-stream block latency
+                "samples_per_s": (
+                    round(hops_out * args.hop * n_streams / wall)
+                    if wall > 0
+                    else None
+                ),
+                "us_per_hop": round(per_hop_us, 3),
+                "block_latency_samples": latency
+                + args.block_hops * args.hop,
+            }
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
     return 0
 
 
@@ -482,6 +540,7 @@ def cmd_corpus(args) -> int:
         hop_p=hop_p,
         beta_h=beta_h,
         beta_p=beta_p,
+        pp=bool(getattr(args, "pp", False)),
     )
     print(json.dumps({"metric": "corpus_tracks", **res}))
     return 0
@@ -599,6 +658,12 @@ def build_parser() -> argparse.ArgumentParser:
         "layout) through one pipe and one device program",
     )
     stp.add_argument(
+        "--mesh",
+        default="",
+        help="shard streams over a device mesh, e.g. 'dp=4' "
+        "(multi-chip serving; --streams must divide evenly)",
+    )
+    stp.add_argument(
         "--raw-scale",
         action="store_true",
         help="emit the engine's unnormalized scale instead of unit gain",
@@ -626,6 +691,11 @@ def build_parser() -> argparse.ArgumentParser:
     cor.add_argument(
         "--mesh", default="",
         help="mesh axes, e.g. 'dp=2,sp=4' (default: auto over devices)",
+    )
+    cor.add_argument(
+        "--pp", action="store_true",
+        help="pipeline-parallel cascade: track i+1's pass 1 overlaps "
+        "track i's pass 2 on two devices (short tracks)",
     )
     cor.set_defaults(func=cmd_corpus)
 

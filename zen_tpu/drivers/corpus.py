@@ -39,12 +39,24 @@ def separate_corpus(
     journal_path: str | None = None,
     reader=None,
     writer=None,
+    pp: bool = False,
+    pp_run: int = 8,
 ):
     """Separate every track into 3 stems under out_dir, resumably.
 
     reader(path) -> (fs, audio[np.float32]); writer(path, fs, audio).
     Tracks are processed in dp-sized batches (shorter tracks are
     zero-padded to the batch max and truncated on write).
+
+    ``pp=True`` routes short tracks through the pipeline-parallel
+    2-pass driver instead (drivers/pipeline.PipelinedHPRIOffline):
+    pass 1 of track i+1 overlaps pass 2 of track i on two device
+    groups — the cascade's PP axis, product-reachable via
+    `zen corpus --pp` (round-2 verdict #3). Tracks stream in
+    fs-uniform runs of up to ``pp_run`` (bounded host memory; the
+    pipeline drains at run boundaries). Long tracks still take the
+    blocked path; multi-host runs reject pp (it is an intra-host
+    2-device pattern — pods should use dp x sp instead).
     """
     from ..io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
 
@@ -170,7 +182,14 @@ def separate_corpus(
     def flush_long(fs, path, audio):
         # hours-long tracks: the batched spectrogram would exhaust HBM
         # (~7 MB per second of 44.1 kHz audio); stream the 2-pass
-        # cascade in constant-memory overlap-save blocks instead.
+        # cascade in constant-memory overlap-save blocks instead —
+        # mid-track checkpointed (segments of overlap-save blocks with
+        # durable OLA-tail carries), so a crash hours into a track
+        # resumes from the last durable segment, not from zero
+        from .offline import clear_track_checkpoint
+
+        ckpt_dir = os.path.join(out_dir, ".ckpt")
+        track_tag = bases[path]
         n_sp = mesh.shape.get("sp", 1)
         if n_sp > 1:
             # pod path: blocks sharded over sp — every device scans its
@@ -188,14 +207,12 @@ def separate_corpus(
                 fs=fs, hop=hop_p, beta=beta_p, causal=False,
                 outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
             )
-            h, p, r = sharded_hpri_blocked(audio, cfg_h, cfg_p, mesh)
-            if multi_host:
-                from jax.experimental import multihost_utils
-
-                h, p, r = (
-                    multihost_utils.process_allgather(x, tiled=True)
-                    for x in (h, p, r)
-                )
+            h, p, r = sharded_hpri_blocked(
+                audio, cfg_h, cfg_p, mesh,
+                ckpt_dir=ckpt_dir, tag=track_tag,
+            )
+            # the checkpointed path returns full host arrays on every
+            # process (no allgather needed)
         else:
             # single-device scan; in a multi-host run only process 0
             # computes it (the others would produce identical stems
@@ -207,7 +224,9 @@ def separate_corpus(
             from .offline import HPRIOffline
 
             sep = HPRIOffline(fs, hop_h, hop_p, beta_h, beta_p)
-            h, p, r = sep.process_blocked(audio)
+            h, p, r = sep.process_blocked(
+                audio, ckpt_dir=ckpt_dir, tag=track_tag
+            )
         base = bases[path]
         for stem, data in (("harm", h), ("perc", p), ("residual", r)):
             writer(
@@ -216,7 +235,56 @@ def separate_corpus(
                 peak_normalize(np.asarray(data)),
             )
         journal.mark_done(path, {"samples": len(audio)})
+        # stems durable + journaled: drop the mid-track artifacts
+        if jax.process_index() == 0:
+            for p_tag in (f"{track_tag}.p1", f"{track_tag}.p2"):
+                clear_track_checkpoint(ckpt_dir, p_tag)
         results["processed"] += 1
+
+    _pipes: dict = {}
+
+    def flush_pp(fs, batch_paths, batch_audio):
+        # PP route: 2-stage pipeline across two devices of the mesh —
+        # track i+1's pass 1 overlaps track i's pass 2 (measured
+        # overlap: tests/test_runtime.py pipeline tests). The
+        # pipeline's bounded prefetch provides the inter-track
+        # concurrency; the run boundary drains it.
+        from .pipeline import PipelinedHPRIOffline
+
+        if fs not in _pipes:
+            cfg_h = HPRConfig(
+                fs=fs, hop=hop_h, beta=beta_h, causal=False,
+                outputs=OUTPUT_ALL,
+            )
+            cfg_p = HPRConfig(
+                fs=fs, hop=hop_p, beta=beta_p, causal=False,
+                outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
+            )
+            _pipes[fs] = PipelinedHPRIOffline(
+                cfg_h, cfg_p, devices=list(mesh.devices.flatten())
+            )
+        pipe = _pipes[fs]
+        for path, (h, p, r) in zip(
+            batch_paths, pipe.process_stream(batch_audio)
+        ):
+            base = bases[path]
+            for stem, data in (("harm", h), ("perc", p), ("residual", r)):
+                writer(
+                    os.path.join(out_dir, f"{base}_{stem}.wav"),
+                    fs,
+                    peak_normalize(np.asarray(data)),
+                )
+            journal.mark_done(
+                path, {"samples": int(np.asarray(h).shape[-1])}
+            )
+            results["processed"] += 1
+
+    if pp and multi_host:
+        from ..errors import ZenError
+
+        raise ZenError(
+            "corpus pp mode is single-host; pods should use dp/sp meshes"
+        )
 
     from .offline import LONG_TRACK_SAMPLES
 
@@ -224,21 +292,24 @@ def separate_corpus(
     # a wider mesh keeps longer tracks on the sharded collective path
     long_samples = LONG_TRACK_SAMPLES * max(1, mesh.shape.get("sp", 1))
 
-    # one lazy pass, batching up to n_dp tracks of EQUAL sample rate
-    # (the engine config is a function of fs; a silent mixed-fs batch
-    # would mis-separate) — a batch flushes when full or when fs changes
+    # one lazy pass, batching up to n_dp (or pp_run) tracks of EQUAL
+    # sample rate (the engine config is a function of fs; a silent
+    # mixed-fs batch would mis-separate) — a batch flushes when full
+    # or when fs changes
+    do_flush = flush_pp if pp else flush
+    cap = pp_run if pp else n_dp
     batch_paths, batch_audio, batch_fs = [], [], None
     for path in pending:
         fs, audio = reader(path)
         if len(audio) > long_samples:
             flush_long(fs, path, audio)
             continue
-        if batch_paths and (fs != batch_fs or len(batch_paths) == n_dp):
-            flush(batch_fs, batch_paths, batch_audio)
+        if batch_paths and (fs != batch_fs or len(batch_paths) == cap):
+            do_flush(batch_fs, batch_paths, batch_audio)
             batch_paths, batch_audio = [], []
         batch_fs = fs
         batch_paths.append(path)
         batch_audio.append(audio)
     if batch_paths:
-        flush(batch_fs, batch_paths, batch_audio)
+        do_flush(batch_fs, batch_paths, batch_audio)
     return results

@@ -137,24 +137,23 @@ def block_step_multi(cfg: HPRConfig, state: StreamState, blocks: jnp.ndarray):
     return jax.vmap(lambda s, b: _block_step_body(cfg, s, b))(state, blocks)
 
 
+# nominal hops per multi-stream device step for the transform-seam
+# resolution: streams are resolved ONCE at construction (a stream must
+# not switch transform paths mid-flight when a caller varies its block
+# size), so the seam sees n_streams x this typical serving block
+_NOMINAL_BLOCK_HOPS = 32
+
+
 def resolve_multistream_fft_impl(cfg: HPRConfig, n_streams: int) -> HPRConfig:
     """The vmapped multi-stream step hides the channel batch dim from
-    the transform seam's frame-count heuristic
-    (engine/spectral._dft_precision); with >= 8 streams the MXU DFT
-    path always wins ON TPU, so opt in explicitly there. Single
-    source of truth for drivers and benchmarks."""
-    if (
-        cfg.fft_impl == "auto"
-        and cfg.fast_rfft
-        and cfg.nfft <= 4096
-        and n_streams >= 8
-        and jax.default_backend() == "tpu"  # the DFT-matmul path is
-        # an MXU play; on CPU/GPU it is strictly slower than the FFT
-    ):
-        import dataclasses
+    the transform seam's trace-time fallback
+    (engine/spectral._dft_precision), so resolve it here from the true
+    stream count via the shared resolver (resolve_fft_impl): e.g. the
+    nfft=4096 DFT-matmul needs >= 256 total rows to feed the MXU — 8
+    streams at the nominal 32-hop block."""
+    from ..engine.spectral import resolve_fft_impl
 
-        return dataclasses.replace(cfg, fft_impl="dft")
-    return cfg
+    return resolve_fft_impl(cfg, n_streams * _NOMINAL_BLOCK_HOPS)
 
 
 class HPRRealtime:

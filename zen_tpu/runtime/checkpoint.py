@@ -16,14 +16,39 @@ import jax
 import numpy as np
 
 
-def save_stream_state(path: str, state, meta: dict | None = None) -> None:
-    """Serialize a StreamState (or any pytree of arrays) + metadata."""
+def _pack_state(state, meta: dict | None) -> dict:
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["_meta"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    return arrays
+
+
+def save_stream_state(path: str, state, meta: dict | None = None) -> None:
+    """Serialize a StreamState (or any pytree of arrays) + metadata."""
+    np.savez(path, **_pack_state(state, meta))
+
+
+def save_stream_state_durable(path: str, state, meta: dict | None = None) -> None:
+    """Crash-consistent save_stream_state: write to a temp file, fsync,
+    atomically rename. After this returns, a SIGKILL at ANY point
+    leaves either the previous checkpoint or this one — never a
+    truncated mix (the mid-track resume path depends on it)."""
+    final = path if path.endswith(".npz") else path + ".npz"
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **_pack_state(state, meta))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+    # the rename itself must be durable too (a crash could otherwise
+    # resurface the old name with the new file lost)
+    dfd = os.open(os.path.dirname(final) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def load_stream_state(path: str, like):
