@@ -295,3 +295,89 @@ def test_stream_pipe_multistream(tmp_path):
             / rt.cfg.synth_scale
         )
         np.testing.assert_allclose(de[s], want, atol=1e-4, err_msg=str(s))
+
+
+def test_stream_pipe_multichip_mesh(tmp_path):
+    """zen stream --streams N --mesh dp=K (round-2 verdict #4): the
+    BASELINE serving config scaled over a dp mesh from the CLI. On
+    the 8-device virtual mesh: output == mesh-less multi-stream run,
+    and the JSON serving metric line reports the mesh."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    fs, hop, S = 4000.0, 16, 4
+    n = 16 * 24
+    rng = np.random.default_rng(17)
+    streams = rng.standard_normal((S, n)).astype(np.float32) * 0.5
+    interleaved = np.ascontiguousarray(streams.T).ravel()
+    env = dict(os.environ)
+    env["ZEN_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    outs = {}
+    for mesh_args in ((), ("--mesh", "dp=4")):
+        proc = subprocess.run(
+            [
+                _sys.executable, "-m", "zen_tpu.cli", "stream",
+                "--fs", "4000", "--hop", "16", "--block-hops", "8",
+                "--stem", "percussive", "--cpu", "--streams", str(S),
+                *mesh_args,
+            ],
+            input=interleaved.tobytes(),
+            capture_output=True,
+            timeout=600,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        outs[bool(mesh_args)] = np.frombuffer(proc.stdout, np.float32)
+        # the serving metric line is machine-readable on stderr
+        metric_lines = [
+            _json.loads(ln)
+            for ln in proc.stderr.decode().splitlines()
+            if ln.startswith("{")
+        ]
+        serving = [
+            m for m in metric_lines if m.get("metric") == "stream_serving"
+        ]
+        assert serving and serving[0]["streams"] == S
+        assert serving[0]["samples_per_s"] > 0
+        if mesh_args:
+            assert serving[0]["mesh"] == "dp=4"
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
+
+
+def test_stream_mesh_rejects_bad_args():
+    """--mesh validation: non-dp axes and non-divisible stream counts
+    fail fast with a clear message."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["ZEN_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    for bad, msg in (
+        (["--streams", "4", "--mesh", "sp=4"], b"dp axis only"),
+        (["--streams", "3", "--mesh", "dp=2"], b"not divisible"),
+    ):
+        proc = subprocess.run(
+            [
+                _sys.executable, "-m", "zen_tpu.cli", "stream",
+                "--fs", "4000", "--hop", "16", *bad,
+            ],
+            input=b"",
+            capture_output=True,
+            timeout=300,
+            env=env,
+        )
+        assert proc.returncode == 1
+        assert msg in proc.stderr
