@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""One-command A/B against the reference `zen` binary's stems.
+
+    python scripts/ab_reference.py <mixture.wav> <ref_stems> \
+        [--hps 4096 2.0 256 2.0] [--sse] [--soft-mask] [--nocopybord] \
+        [--min-snr-db 20] [--json report.json]
+
+``ref_stems`` is either a directory containing, or a path prefix of,
+the reference CLI's outputs: <prefix>_harm.wav, <prefix>_perc.wav,
+<prefix>_residual.wav (reference/zen/offline.h:208-219). The harness:
+
+1. separates the mixture with the TPU engine in strict_ref mode
+   (HPRIOffline(strict_ref=True) reproduces the reference binary's
+   pass-2 residual quirk bit-for-bit, drivers/offline.py);
+2. handles the reference's output normalization — each stem is
+   peak-normalized to +-1.0 before the PCM16 encode
+   (reference/zen/offline.h:182-191), so comparisons are made after a
+   least-squares gain fit (scale-invariant), and the PCM16 quantizer
+   bounds the achievable SNR at ~90 dB;
+3. aligns by cross-correlation over +-1 hop (guards against codec
+   padding differences);
+4. prints per-stem SNR and a machine-readable JSON verdict line;
+   exit 0 iff every comparable stem clears --min-snr-db.
+
+The BASELINE correctness target names samples/mixed.wav, which ships
+as a git-lfs pointer and the reference binary needs CUDA — so real
+reference stems cannot be produced in this environment. This harness
+makes the comparison mechanical for the day they exist; its own
+mechanics are CI-tested against self-produced stems
+(tests/test_ab_reference.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# same platform pin the CLI honors (the axon plugin ignores
+# JAX_PLATFORMS; CI runs this harness on the CPU backend)
+_plat = os.environ.get("ZEN_TPU_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+STEMS = ("harm", "perc", "residual")
+SILENT_RMS = 1e-5  # below this (in +-1.0 normalized units) a stem is
+# treated as intentionally silent (the reference's strict-ref residual)
+
+
+def _find_ref_stem(ref: str, stem: str) -> str | None:
+    if os.path.isdir(ref):
+        hits = [
+            os.path.join(ref, f)
+            for f in sorted(os.listdir(ref))
+            if f.endswith(f"_{stem}.wav")
+        ]
+        return hits[0] if hits else None
+    p = f"{ref}_{stem}.wav"
+    return p if os.path.exists(p) else None
+
+
+def _best_lag(a: np.ndarray, b: np.ndarray, max_lag: int) -> int:
+    """argmax_k <a[k:], b[:-k]> over |k| <= max_lag (coarse alignment
+    guard; the engines are sample-aligned in the normal case)."""
+    best, best_k = -np.inf, 0
+    for k in range(-max_lag, max_lag + 1):
+        if k >= 0:
+            x, y = a[k:], b[: len(b) - k if k else len(b)]
+        else:
+            x, y = a[: len(a) + k], b[-k:]
+        n = min(len(x), len(y))
+        c = float(np.dot(x[:n], y[:n]))
+        if c > best:
+            best, best_k = c, k
+    return best_k
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """SNR after least-squares gain fit (both sides are independently
+    peak-normalized, so absolute gain carries no information)."""
+    denom = float(np.dot(test, test))
+    g = float(np.dot(ref, test)) / denom if denom > 0 else 0.0
+    err = ref - g * test
+    p_sig = float(np.dot(ref, ref))
+    p_err = float(np.dot(err, err))
+    if p_err == 0.0:
+        return float("inf")
+    return float(10.0 * np.log10(p_sig / p_err)) if p_sig > 0 else float("-inf")
+
+
+def run(args) -> int:
+    from zen_tpu.drivers.offline import HPRIOffline
+    from zen_tpu.io.audio import peak_normalize, read_wav_mono
+
+    fs, audio = read_wav_mono(args.mixture)
+    hps = (args.hps or []) + [None] * 4
+    hop_h = int(hps[0]) if hps[0] is not None else 4096
+    beta_h = float(hps[1]) if hps[1] is not None else 2.0
+    hop_p = int(hps[2]) if hps[2] is not None else 256
+    beta_p = float(hps[3]) if hps[3] is not None else 2.0
+
+    sep = HPRIOffline(
+        fs,
+        hop_h,
+        hop_p,
+        beta_h,
+        beta_p,
+        border="valid" if args.nocopybord else "wrap",
+        use_sse=args.sse,
+        soft_mask=args.soft_mask,
+        strict_ref=True,
+    )
+    ours = {
+        s: peak_normalize(np.asarray(x))
+        for s, x in zip(STEMS, sep.process(audio))
+    }
+
+    report = {"metric": "ab_reference", "mixture": args.mixture, "stems": {}}
+    worst = float("inf")
+    for s in STEMS:
+        path = _find_ref_stem(args.ref_stems, s)
+        if path is None:
+            report["stems"][s] = {"status": "missing_ref"}
+            continue
+        _, ref = read_wav_mono(path)
+        mine = ours[s]
+        n = min(len(ref), len(mine))
+        ref, mine = ref[:n], mine[:n]
+        ref_rms = float(np.sqrt(np.mean(ref**2)))
+        my_rms = float(np.sqrt(np.mean(mine**2)))
+        if ref_rms < SILENT_RMS and my_rms < SILENT_RMS:
+            # both silent (the strict-ref residual): trivially matched
+            report["stems"][s] = {"status": "both_silent", "snr_db": None}
+            continue
+        lag = _best_lag(ref, mine, max_lag=hop_p)
+        if lag > 0:
+            ref, mine = ref[lag:], mine[: len(mine) - lag]
+        elif lag < 0:
+            ref, mine = ref[: len(ref) + lag], mine[-lag:]
+        val = snr_db(ref, mine)
+        worst = min(worst, val)
+        report["stems"][s] = {
+            "status": "compared",
+            "snr_db": round(val, 2),
+            "lag_samples": lag,
+            "ref": path,
+        }
+        print(f"{s:>9s}: SNR {val:7.2f} dB (lag {lag:+d})", file=sys.stderr)
+    compared = [
+        v for v in report["stems"].values() if v.get("status") == "compared"
+    ]
+    ok = bool(compared and worst >= args.min_snr_db)
+    report["worst_snr_db"] = None if not compared else round(worst, 2)
+    report["pass"] = ok
+    line = json.dumps(report)
+    print(line)
+    if args.json:
+        with open(args.json, "w") as fh:
+            fh.write(line + "\n")
+    return 0 if ok else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(
+        description="SNR A/B of zen-tpu strict-ref stems vs the "
+        "reference binary's wav outputs"
+    )
+    ap.add_argument("mixture")
+    ap.add_argument("ref_stems", help="directory or path prefix of "
+                    "<prefix>_{harm,perc,residual}.wav")
+    ap.add_argument("--hps", nargs="*", default=None,
+                    metavar=("hop-h", "beta-h"))
+    ap.add_argument("--sse", action="store_true")
+    ap.add_argument("--soft-mask", action="store_true")
+    ap.add_argument("--nocopybord", action="store_true")
+    ap.add_argument("--min-snr-db", type=float, default=20.0)
+    ap.add_argument("--json", default=None)
+    return run(ap.parse_args())
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
