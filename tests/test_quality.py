@@ -35,36 +35,11 @@ FS = 22050.0
 DUR = 2.0
 
 
-def make_mixture(fs=FS, dur=DUR, seed=42):
-    n = int(fs * dur)
-    t = np.arange(n) / fs
-    rng = np.random.default_rng(seed)
-    harm = sum(
-        a * np.sin(2 * np.pi * f0 * t)
-        for f0, a in ((220.0, 0.5), (330.0, 0.35), (440.0, 0.25))
-    ).astype(np.float32)
-    perc = np.zeros(n, np.float32)
-    period, burst = int(0.25 * fs), int(0.02 * fs)
-    env = np.exp(-np.arange(burst) / (0.004 * fs)).astype(np.float32)
-    for s in range(0, n - burst, period):
-        perc[s : s + burst] += 0.8 * env * rng.standard_normal(burst).astype(
-            np.float32
-        )
-    return harm, perc, harm + perc
-
-
-def si_snr(ref, est):
-    """Standard scale-invariant SDR (Le Roux et al.): project the
-    ESTIMATE onto the reference; 10log10(||s_t||^2/||e||^2) with
-    s_t = (<est,ref>/||ref||^2) ref."""
-    ref = np.asarray(ref, np.float64)
-    est = np.asarray(est, np.float64)
-    a = np.dot(est, ref) / max(np.dot(ref, ref), 1e-30)
-    s_t = a * ref
-    e = est - s_t
-    return 10 * np.log10(
-        max(np.dot(s_t, s_t), 1e-30) / max(np.dot(e, e), 1e-30)
-    )
+# canonical constructions live in zen_tpu.io.synth so the per-round
+# quality bench (benches/quality.py) measures EXACTLY the signals
+# these gates are calibrated on; the thresholds stay here
+from zen_tpu.io.synth import make_quality_mixture as make_mixture  # noqa: E402
+from zen_tpu.io.synth import si_snr  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -85,48 +60,7 @@ def test_offline_two_pass_quality(mixture):
     assert si_snr(perc, p) > 8.0 and perc_gain > 8.0
 
 
-def make_hard_mixture(fs=FS, dur=DUR, seed=7):
-    """Richer signals where HPSS quality actually differentiates
-    (VERDICT r1 weak #8): inharmonic piano-like partials with vibrato
-    and decay (stretched, frequency-modulated horizontal structure),
-    tempo-drifting percussive bursts (accelerando 100->160 bpm, so
-    burst positions never align with a fixed grid), and a sustained
-    cymbal-like wash (bandpassed decaying noise — neither horizontal
-    nor vertical energy)."""
-    n = int(fs * dur)
-    t = np.arange(n) / fs
-    rng = np.random.default_rng(seed)
-
-    f0, B = 185.0, 0.0008  # inharmonicity: f_m = m f0 sqrt(1 + B m^2)
-    vib = 1.0 + 0.004 * np.sin(2 * np.pi * 5.0 * t)
-    harm = np.zeros(n)
-    for m in range(1, 9):
-        fm = f0 * m * np.sqrt(1 + B * m * m)
-        phase = 2 * np.pi * np.cumsum(fm * vib) / fs
-        harm += (0.5 / m) * np.sin(phase) * np.exp(-t / 1.6)
-    harm = harm.astype(np.float32)
-
-    perc = np.zeros(n, np.float32)
-    burst = int(0.02 * fs)
-    env = np.exp(-np.arange(burst) / (0.004 * fs)).astype(np.float32)
-    bpm, pos = 100.0, 0.0
-    while pos < dur - 0.05:
-        s = int(pos * fs)
-        perc[s : s + burst] += 0.8 * env * rng.standard_normal(
-            burst
-        ).astype(np.float32)
-        bpm += 6.0
-        pos += 60.0 / bpm
-
-    wn = rng.standard_normal(n)
-    spec = np.fft.rfft(wn)
-    freqs = np.fft.rfftfreq(n, 1 / fs)
-    cym = np.fft.irfft(
-        spec * ((freqs > 3000) & (freqs < 9000)), n
-    ).astype(np.float32)
-    cym *= np.exp(-t / 1.2).astype(np.float32)
-    cym *= 0.25 / max(np.abs(cym).max(), 1e-9)
-    return harm, perc, cym, (harm + perc + cym).astype(np.float32)
+from zen_tpu.io.synth import make_hard_mixture  # noqa: E402
 
 
 def test_offline_quality_inharmonic_drift_cymbal():
