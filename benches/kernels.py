@@ -80,6 +80,74 @@ def fit_complexity(points):
 HPR_KS = (13, 47, 187)
 
 
+def run_serving(csv=None, quick=False):
+    """Serving-shape median A/B: the hot streaming/serving shapes the
+    round-2 verdict flagged as relayout-bound, swept over the row-fold
+    (round-3: leading dims + T -> one row axis) x layout grid. The
+    data behind _auto_layout's crossover at folded row counts."""
+    from zen_tpu.ops.median_pallas import sliding_median_last_axis_pallas
+
+    rng = np.random.default_rng(0)
+    rows = []
+    reps = 3 if quick else 5
+
+    def report(name, ms):
+        rows.append((name, ms))
+        print(f"{name:<52s} {ms:10.4f} ms", flush=True)
+
+    # (C streams, T hops, F bins, K): the BASELINE serving/streaming
+    # configs — 64-stream fakert at hop 256 (F=513, K=13) and hop 1024
+    # (F=2049, K=47), plus their single-stream forms
+    shapes = [
+        (64, 32, 513, 13),
+        (64, 32, 2049, 47),
+        (1, 32, 513, 13),
+        (1, 32, 2049, 47),
+    ]
+    variants = [
+        (layout, fold)
+        for layout in ("lane", "sublane")
+        for fold in (True, False)
+    ]
+    # two interleaved passes over the whole grid, report the min:
+    # ambient tunnel congestion drifts on minute scales, so a single
+    # pass can bias a whole column (measurement-hazard memo)
+    results: dict = {}
+    for _pass in range(2):
+        for c, t, f, k in shapes:
+            fm = k // 2
+            x = jnp.asarray(
+                rng.standard_normal((c, t, f)).astype(np.float32)
+            )
+            # chain length scaled to the per-iter cost so the slope's
+            # signal (~n2 x per-iter) clears the ~ms readback noise
+            big = c * t * f > 10_000_000
+            n1, n2 = (16, 256) if big else (64, 1024)
+            for layout, fold in variants:
+                fn = jax.jit(
+                    lambda v, fm=fm, k=k, layout=layout, fold=fold:
+                    sliding_median_last_axis_pallas(
+                        jnp.pad(
+                            v, ((0, 0), (0, 0), (fm, fm)), mode="reflect"
+                        ),
+                        k, layout=layout, fold=fold,
+                    )
+                )
+                tag = f"{layout}{'_fold' if fold else ''}"
+                name = f"median_freq_serving_{tag}_NOMEM/K{k}_{c}x{t}x{f}"
+                ms = chain_time(fn, x, n1=n1, n2=n2, repeats=reps)
+                results[name] = min(results.get(name, float("inf")), ms)
+                print(f"pass{_pass} {name:<58s} {ms:10.4f} ms", flush=True)
+    for name, ms in results.items():
+        report(name, ms)
+    if csv:
+        with open(csv, "w") as fh:
+            fh.write("name,ms\n")
+            for name, ms in rows:
+                fh.write(f"{name},{ms}\n")
+        print(f"wrote {csv}")
+
+
 def run(csv=None, quick=False):
     from zen_tpu.ops.median import sliding_median
     from zen_tpu.ops.median_pallas import (
@@ -315,4 +383,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", default=None)
     ap.add_argument("--quick", action="store_true")
-    run(**vars(ap.parse_args()))
+    ap.add_argument(
+        "--serving", action="store_true",
+        help="only the serving-shape median fold/layout A/B grid",
+    )
+    ns = vars(ap.parse_args())
+    (run_serving if ns.pop("serving") else run)(**ns)

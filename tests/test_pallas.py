@@ -200,44 +200,66 @@ def test_fast_path_fuzz_matches_reference_impls(hop, border, causal, soft, sse):
         np.testing.assert_allclose(b / scale, a / scale, atol=0.2, err_msg=k)
 
 
+def test_freq_kernel_batched_fold_parity():
+    """The row-fold (leading dims + T -> one row axis) is bit-exact in
+    every route: direct 3-D call, jax.vmap (MultiStreamHPR's form),
+    fold=False (the round-2 per-stream grid), and both layouts."""
+    from zen_tpu.ops.median_pallas import sliding_median_last_axis_pallas
+
+    rng = np.random.default_rng(7)
+    k, fm = 13, 6
+    x = rng.standard_normal((3, 2, 12, 200)).astype(np.float32)
+    want = np.asarray(
+        sliding_median(jnp.asarray(x), list(range(-fm, fm + 1)), -1, "reflect")
+    )
+    xp = jnp.pad(
+        jnp.asarray(x), ((0, 0), (0, 0), (0, 0), (fm, fm)), mode="reflect"
+    )
+    for kw in (
+        {},
+        {"fold": False},
+        {"layout": "lane"},
+        {"layout": "sublane"},
+    ):
+        got = np.asarray(sliding_median_last_axis_pallas(xp, k, **kw))
+        np.testing.assert_allclose(got, want, err_msg=str(kw))
+    # vmap over the leading axis == direct call (custom_vmap rule)
+    got_v = np.asarray(
+        jax.vmap(lambda v: sliding_median_last_axis_pallas(v, k))(xp)
+    )
+    np.testing.assert_allclose(got_v, want)
+
+
 def test_freq_median_layout_auto_decisions():
-    """Pin the data-derived layout crossover (benches/kernels_r02.csv)
-    at the shapes the ENGINE actually produces — a regression here
-    means someone changed the heuristic without re-measuring."""
+    """Pin the data-derived layout crossover (benches/kernels_r02/r03
+    CSVs) at the shapes the ENGINE actually produces — a regression
+    here means someone changed the heuristic without re-measuring.
+    The decision runs on the FULL (batch-folded) shape: leading dims
+    multiply into the row count (round-3 row-fold)."""
     import zen_tpu.ops.median_pallas as mp
 
-    captured = {}
-
-    class _Stop(Exception):
-        pass
-
-    def spy(k, cse, layout):
-        captured["layout"] = layout
-        raise _Stop  # decision captured; skip the actual kernel
-
     cases = [
-        # (T, F, K) -> expected layout
-        ((32, 2049, 47), "lane"),     # hop-1024 streaming block
-        ((32, 513, 13), "lane"),      # hop-256 streaming block
-        ((631, 513, 13), "lane"),     # offline pass-2 (hop 256)
-        ((631, 513, 47), "lane"),     # narrow bins lose at any K
-        ((1023, 2049, 47), "sublane"),# hop-1024 offline pass
-        ((40, 8193, 187), "lane"),    # hop-4096 pass-1 (huge K)
-        ((4088, 8193, 187), "lane"),  # huge K stays lane at any T
-        ((2048, 2049, 13), "sublane"),# long blocked pass, wide bins
+        # (shape sans freq pad, K) -> expected layout, from the r03
+        # interleaved A/Bs (see _auto_layout's docstring for numbers)
+        (((32, 2049), 47), "lane"),      # hop-1024 single-stream block
+        (((32, 513), 13), "lane"),       # hop-256 single-stream block
+        (((631, 513), 13), "sublane"),   # offline pass-2: 1.5-1.8x
+        (((128, 513), 13), "sublane"),   # short clips: 2.2-2.5x
+        (((4088, 513), 13), "sublane"),  # long pass-2: 1.46x (nocap)
+        (((256, 2049), 47), "sublane"),  # short hop-1024 pass: 1.15-1.4x
+        (((1023, 2049), 47), "lane"),    # tie band -> simpler layout
+        (((2048, 2049), 47), "lane"),    # lane 1.33x at folded serving
+        (((4088, 513), 47), "lane"),     # lane 1.56x
+        (((40, 8193), 187), "lane"),     # hop-4096 pass-1 (huge K)
+        (((4088, 8193), 187), "lane"),   # huge K stays lane at any T
+        (((2048, 2049), 13), "sublane"), # long blocked pass: 1.39x
+        # serving shapes: 64 streams fold to 2048 rows (r03 A/B)
+        (((64, 32, 2049), 47), "lane"),
+        (((64, 32, 513), 13), "sublane"),  # 1.2x over r02's lane
     ]
-    import unittest.mock as um
-
-    import numpy as np
-
-    for (t, f, k), want in cases:
-        x = np.zeros((t, f + k - 1), np.float32)
-        with um.patch.object(mp, "_freq_entry", side_effect=spy):
-            try:
-                mp.sliding_median_last_axis_pallas(x, k)
-            except _Stop:
-                pass  # only the layout decision matters
-        assert captured["layout"] == want, ((t, f, k), captured)
+    for (shape, k), want in cases:
+        padded = shape[:-1] + (shape[-1] + k - 1,)
+        assert mp._auto_layout(k, padded) == want, (shape, k)
 
 
 def test_exact_c2c_borders_compile_and_run():

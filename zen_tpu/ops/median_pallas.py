@@ -266,6 +266,22 @@ def _fold_batch(x):
     return x.reshape((c,) + x.shape[-2:]), lead
 
 
+def _fold_rows(x):
+    """[..., T, Fp] -> ([1, R, Fp], lead_shape) with R = prod(lead)*T.
+
+    The frequency-direction median treats every (batch, frame) row
+    independently, so leading batch dims AND the time axis fold into
+    ONE row axis: a 64-stream serving block [64, 32, Fp] becomes a
+    single [2048, Fp] problem instead of 64 tiny T=32 problems — the
+    row extent is what crosses the sublane-layout crossover and what
+    sets the lane route's time-tile height (round-2 verdict: the
+    per-stream grid presented 64 problems below every useful tile
+    size)."""
+    lead = x.shape[:-1]
+    r = math.prod(lead) if lead else 1
+    return x.reshape((1, r) + x.shape[-1:]), lead
+
+
 # ---------------- frequency-direction sliding median ----------------
 
 
@@ -363,8 +379,12 @@ def _freq_kernel(
         out_ref[0] = _median_network(taps, (k - 1) // 2)
 
 
-def _freq_impl(x_padded: jnp.ndarray, k: int, cse: bool):
-    xc, lead = _fold_batch(x_padded)
+def _freq_impl(x_padded: jnp.ndarray, k: int, cse: bool, fold: bool = True):
+    if fold:
+        xc, lead = _fold_rows(x_padded)
+    else:
+        xc, lead = _fold_batch(x_padded)
+        lead = lead + (xc.shape[1],)
     c, t, fp = xc.shape
     f = fp - (k - 1)
     # lane-tile: single tile when f rounds up to <= 768 lanes (e.g. the
@@ -413,52 +433,91 @@ def _freq_impl(x_padded: jnp.ndarray, k: int, cse: bool):
                 pltpu.SemaphoreType.DMA,
             ],
         )(xc)
-    return out[:, :t, :f].reshape(lead + (t, f))
+    return out[:, :t, :f].reshape(lead + (f,))
 
 
-def _freq_impl_sublane(x_padded: jnp.ndarray, k: int, cse: bool):
+def _freq_impl_sublane(x_padded: jnp.ndarray, k: int, cse: bool, fold: bool = True):
     """Frequency median with the SLIDING AXIS ON SUBLANES: transpose
-    tiles so bins become rows, then run the row-tap kernel.
+    so bins become rows, then run the row-tap kernel.
 
-    Measured on v5e (benches/kernels.py): a lane-misaligned slice
-    costs ~7-8 us per [32,640] tile — ~10 VPU-op equivalents (Mosaic
-    lowers any non-128-aligned lane shift through its generic relayout
-    path; rolls and power-of-2 compositions measure the same) — while
-    sublane (row) shifts are near-free and XLA's transposes disappear
-    into the pipeline. Net: 1.6x (K=13) to 2.05x (K=47) over the
-    lane-shift kernel, bit-identical output.
-
-    T is chunked onto the batch grid axis so the transposed chunk
-    stays a modest array (a [bins, T] chunk with unchunked T would be
-    huge for long tracks); VMEM feasibility itself is enforced inside
-    _time_impl, which lane-tiles to the network wire budget for every
-    caller (the K=187 OOM caught by the r02 sweep)."""
-    xc, lead = _fold_batch(x_padded)
+    Measured on v5e (benches/kernels.py, serving_r03 sweeps): a
+    lane-misaligned slice costs ~7-8 us per [32,640] tile — ~10 VPU-op
+    equivalents (Mosaic lowers any non-128-aligned lane shift through
+    its generic relayout path) — while sublane (row) shifts are
+    near-free and XLA's transposes disappear into the pipeline. With
+    the row-fold, all rows transpose as ONE [Fp, R] problem; the
+    round-2 tc=2048 chunking (reshape into multiple transposed chunks)
+    measured 1.2-1.8x SLOWER than the single transpose at every
+    R > 2048 shape (r03 nocap A/B: (4088,513,K13) 0.095 vs 0.174 ms),
+    so rows are never chunked — _time_impl lane-tiles arbitrary widths
+    to the VMEM wire budget internally (the K=187 OOM caught by the
+    r02 sweep)."""
+    if fold:
+        xc, lead = _fold_rows(x_padded)
+    else:
+        xc, lead = _fold_batch(x_padded)
+        lead = lead + (xc.shape[1],)
     c, t, fp = xc.shape
     f = fp - (k - 1)
-    tc = min(2048, _align(t, 128))
-    n_c = -(-t // tc)
-    if n_c * tc != t:
-        xc = jnp.pad(xc, ((0, 0), (0, n_c * tc - t), (0, 0)))
-    xr = xc.reshape(c * n_c, tc, fp)
-    xt = jnp.swapaxes(xr, -1, -2)  # [C*n_c, Fp, tc]
+    tc = _align(t, 128)
+    if tc != t:
+        xc = jnp.pad(xc, ((0, 0), (0, tc - t), (0, 0)))
+    xt = jnp.swapaxes(xc, -1, -2)  # [C, Fp, tc]
     yt = _time_impl(xt, tuple(range(k)), 0.0, 0, cse)[:, :f, :]
-    y = jnp.swapaxes(yt, -1, -2).reshape(c, n_c * tc, f)
-    return y[:, :t].reshape(lead + (t, f))
+    y = jnp.swapaxes(yt, -1, -2)  # [C, tc, f]
+    return y[:, :t].reshape(lead + (f,))
+
+
+def _auto_layout(k: int, shape: tuple) -> str:
+    """Data-derived layout crossover, evaluated on the FULL array shape
+    (all leading batch dims folded into the row count — the rows are
+    what become the transposed tile's lane extent).
+
+    Re-measured in round 3 under the row-fold + unchunked transpose
+    (clean interleaved A/Bs on v5e, 2 passes each, ~1% repeatability;
+    serving_r03 CSVs + /tmp A/Bs recorded in docs/PERFORMANCE.md):
+
+    * K <= 31: sublane wins at ANY bin count once rows >= 128 —
+      2.2-2.5x at (128,513,K13), 1.5-1.8x at (631,513,K13) [offline
+      pass-2, the hottest engine shape], 1.4x at (128..2048, 2049),
+      1.2x at the folded 64-stream serving block (64x32,513), 1.46x
+      at (4088,513). At rows=32 (single-stream blocks) the transposed
+      tile wastes 3/4 of each vreg: lane 1.7x faster — rows >= 128.
+    * 31 < K <= 128: the K=47 network's 64 live wires force tb=8 row
+      tiles once the transposed lane extent is large — sublane only
+      wins in the small-rows wide-bins band: 1.15-1.43x at
+      (256,2049,K47); ties at 1023 rows; lane 1.33x faster at 2048
+      folded rows and 1.56x at (4088,513,K47).
+    * K > 128: lane — the wire budget forces narrow tiles (lane ~3x
+      faster at K=187, r02 sweep)."""
+    rows = math.prod(shape[:-1]) if len(shape) > 1 else 1
+    f = shape[-1] - (k - 1)
+    if k <= 31:
+        return "sublane" if rows >= 128 else "lane"
+    if k <= 128:
+        return "sublane" if 128 <= rows <= 512 and f >= 1024 else "lane"
+    return "lane"
 
 
 @functools.lru_cache(maxsize=None)
-def _freq_entry(k: int, cse: bool, layout: str):
+def _freq_entry(k: int, cse: bool, layout: str, fold: bool):
     @jax.custom_batching.custom_vmap
     def f(xp):
-        if layout == "sublane":
-            return _freq_impl_sublane(xp, k, cse)
-        return _freq_impl(xp, k, cse)
+        # resolve 'auto' HERE, inside the custom_vmap body: when the
+        # caller sits under jax.vmap (MultiStreamHPR's 64-way channel
+        # batch) the batching rule below re-enters f with the STACKED
+        # array, so the decision sees the true row count — deciding at
+        # the public entry point would see the per-example T=32 shape
+        # and mis-pick lane for the folded 2048-row serving problem
+        lay = _auto_layout(k, xp.shape) if layout == "auto" else layout
+        if lay == "sublane":
+            return _freq_impl_sublane(xp, k, cse, fold)
+        return _freq_impl(xp, k, cse, fold)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, xp):  # noqa: ANN001
-        # batched axis arrives stacked at axis 0; the impl folds any
-        # leading dims into the kernel's batch grid axis
+        # batched axis arrives stacked at axis 0; the impl folds all
+        # leading dims (and T) into the kernel's row axis
         return f(xp), True
 
     return f
@@ -469,6 +528,7 @@ def sliding_median_last_axis_pallas(
     k: int,
     cse: bool | None = None,
     layout: str | None = None,
+    fold: bool = True,
 ):
     """Valid-mode sliding median along the last axis.
 
@@ -478,9 +538,12 @@ def sliding_median_last_axis_pallas(
 
     ``cse`` selects the shift-normalized network (default; see
     _cse_nodes) vs the per-tap-slice network; ``layout`` selects
-    'sublane' (default: transposed tiles, taps as cheap row shifts —
-    see _freq_impl_sublane) vs 'lane' (taps as lane slices). Both are
-    bit-identical; the non-defaults exist for A/B benching.
+    'sublane' (transposed tiles, taps as cheap row shifts — see
+    _freq_impl_sublane) vs 'lane' (taps as lane slices) vs 'auto'
+    (default: the measured crossover, see _auto_layout). All are
+    bit-identical; ``fold=False`` disables the batch/time row-fold
+    (see _fold_rows) and exists only for A/B benching of the round-2
+    per-stream grid behavior.
     """
     if cse is None:
         cse = _DEFAULT_CSE
@@ -488,24 +551,9 @@ def sliding_median_last_axis_pallas(
         import os
 
         layout = os.environ.get("ZEN_TPU_MEDIAN_LAYOUT", "auto")
-    if layout == "auto":
-        # data-derived crossover (benches/kernels_r02_full.csv plus a
-        # clean interleaved A/B at the one disputed point, v5e): the
-        # sublane route wins ONLY with wide bins and enough time
-        # extent — F >= 1024 (narrow-F shapes lose the row-tiling +
-        # transpose overhead: lane is 1.55x faster at (4088,513,K47)
-        # and 1.8x at (4088,513,K13)) and T >= 128 (a 32-hop streaming
-        # block wastes 3/4 of each transposed vreg, measured 1.7x
-        # slower) — and only for K <= 128 (larger networks' VMEM wire
-        # budget forces narrow tiles, lane ~3x faster at K=187).
-        t = x_padded.shape[-2]
-        f = x_padded.shape[-1] - (k - 1)
-        layout = (
-            "sublane" if k <= 128 and f >= 1024 and t >= 128 else "lane"
-        )
-    if layout not in ("sublane", "lane"):
+    if layout not in ("auto", "sublane", "lane"):
         raise ValueError(f"unknown layout: {layout}")
-    return _freq_entry(int(k), bool(cse), layout)(x_padded)
+    return _freq_entry(int(k), bool(cse), layout, bool(fold))(x_padded)
 
 
 # ---------------- time-direction tap median ----------------
