@@ -188,3 +188,44 @@ def test_overlap_add_stream_advance1():
         np.testing.assert_allclose(
             out[k * 4 : (k + 1) * 4], y[k + 1, :4] + y[k, 4:], rtol=1e-6
         )
+
+
+def test_sliding_mean_tree_matches_direct_taps():
+    """The pow2-doubling window sum (round-3 SSE fast path) must match
+    the direct per-tap mean across boundaries, duplicate taps, split
+    runs, and the +inf prefill semantics."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from zen_tpu.ops.box import _taps_mean, sliding_mean
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((24, 130)).astype(np.float32)
+    patterns = [
+        tuple(range(-6, 7)),                 # centered contiguous
+        tuple(range(-23, 0)),                # causal long run
+        tuple(range(-21, -16)) + tuple(range(-5, 1)),  # split runs
+        (-5, -4, -3, -2, -1, 0, 0, 0, 0, 0, 0),        # duplicates
+    ]
+    for axis in (-1, -2):
+        for boundary in ("wrap", "reflect", "clamp", "zero"):
+            for offs in patterns:
+                got = np.asarray(
+                    sliding_mean(jnp.asarray(x), offs, axis, boundary)
+                )
+                want = np.asarray(
+                    _taps_mean(jnp.asarray(x), list(offs), axis, boundary, 0.0)
+                )
+                np.testing.assert_allclose(
+                    got, want, rtol=2e-6, atol=2e-6,
+                    err_msg=f"{axis} {boundary} {offs[:3]}...",
+                )
+    # +inf prefill: windows touching the fill go to inf exactly (the
+    # SSE reciprocal-feature semantics), never NaN
+    xi = jnp.asarray(np.abs(x) + 0.1)
+    offs = tuple(range(-9, 1))
+    got = np.asarray(sliding_mean(xi, offs, -2, "zero", fill=np.inf))
+    assert np.isinf(got[:9]).all()
+    assert np.isfinite(got[9:]).all()
+    assert not np.isnan(got).any()
