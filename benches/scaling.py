@@ -133,6 +133,37 @@ def sp_leg(n_dev: int, n_frames: int, hop: int, fs: float):
     return length / per_step
 
 
+def chip_stream_curve(stream_counts, hop: int, block_hops: int, fs: float):
+    """Single-chip dp weak-scaling curve (round-2 verdict #8): Msamples/s
+    at 1 -> N streams on ONE device — the per-chip scaling evidence this
+    environment CAN measure (the virtual-mesh efficiencies validate the
+    instrument; ICI behavior needs real multi-chip hardware).
+
+    Delegates to bench.py's device-side-scan slope timer: a host loop
+    of dispatches is noise-dominated at small stream counts (the
+    per-step device time is micro-seconds against a ~ms readback
+    constant), while the lax.scan form chains hundreds of steps inside
+    one executable."""
+    import bench as bench_mod
+    from zen_tpu.engine.config import HPRConfig, OUTPUT_PERCUSSIVE
+
+    cfg = HPRConfig(
+        fs=fs, hop=hop, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
+    )
+    curve = {}
+    for s in stream_counts:
+        # smaller stream counts do less work per step: longer chains
+        # keep the slope's signal above the readback noise
+        n1, n2 = (64, 512) if s * block_hops * hop < (1 << 20) else (16, 128)
+        curve[s] = bench_mod.time_multistream(cfg, s, block_hops, n1, n2)
+        print(
+            f"chip: {s:4d} streams: {curve[s]/1e6:9.2f} Msamples/s "
+            f"({curve[s]/(s or 1)/1e6:.3f} per stream)",
+            flush=True,
+        )
+    return curve
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", default=None,
@@ -144,54 +175,92 @@ def main():
                     help="SP leg track length in pass-frames")
     ap.add_argument("--fs", type=float, default=44100.0)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--chip-streams", default=None,
+        help="also sweep single-chip stream counts, e.g. '1,8,64,512' "
+        "(the per-chip dp weak-scaling curve; default on TPU)",
+    )
+    ap.add_argument(
+        "--mesh-legs", dest="mesh_legs", action="store_true", default=None,
+        help="force the dp/sp mesh legs (default: only when >1 device)",
+    )
     args = ap.parse_args()
 
     n_avail = len(jax.devices())
+    platform = jax.devices()[0].platform
     if args.devices:
         counts = [int(x) for x in args.devices.split(",")]
     else:
         counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_avail]
-    print(f"devices available: {n_avail} ({jax.devices()[0].platform}); "
-          f"sweep {counts}", flush=True)
-    if jax.devices()[0].platform == "cpu":
+    print(f"devices available: {n_avail} ({platform}); sweep {counts}",
+          flush=True)
+    result = {"platform": platform, "counts": counts}
+    if platform == "cpu":
         cores = os.cpu_count() or 1
         if cores < counts[-1]:
-            print(
-                f"NOTE: {counts[-1]} virtual CPU devices share {cores} "
-                "physical core(s) — efficiencies below validate the "
-                "instrument, not hardware scaling; run on a real pod "
-                "for the BASELINE >=80% target.",
-                flush=True,
+            caveat = (
+                f"{counts[-1]} virtual CPU devices share {cores} physical "
+                "core(s) — these efficiencies validate the instrument "
+                "and the sharded program structure, NOT hardware (ICI) "
+                "scaling; run on a real pod for the BASELINE >=80% target."
             )
+            result["caveat"] = caveat
+            print(f"NOTE: {caveat}", flush=True)
 
-    result = {"platform": jax.devices()[0].platform, "counts": counts}
-    for leg, fn in (
-        ("dp", lambda n: dp_leg(n, args.streams_per_dev, args.hop,
-                                args.block_hops, args.fs)),
-        ("sp", lambda n: sp_leg(n, args.frames, args.hop, args.fs)),
-    ):
-        tput = {}
-        for n in counts:
-            tput[n] = fn(n)
-            print(f"{leg}: {n} device(s): {tput[n]/1e6:.2f} Msamples/s",
-                  flush=True)
-        base = tput[counts[0]] / counts[0]
-        eff = {n: tput[n] / (n * base) for n in counts}
-        result[f"{leg}_samples_per_s"] = tput
-        result[f"{leg}_efficiency"] = eff
-        for n in counts[1:]:
-            print(f"{leg}: efficiency @ {n} devices: {eff[n]*100:.1f}%",
-                  flush=True)
+    run_mesh = args.mesh_legs if args.mesh_legs is not None else n_avail > 1
+    if run_mesh:
+        for leg, fn in (
+            ("dp", lambda n: dp_leg(n, args.streams_per_dev, args.hop,
+                                    args.block_hops, args.fs)),
+            ("sp", lambda n: sp_leg(n, args.frames, args.hop, args.fs)),
+        ):
+            tput = {}
+            for n in counts:
+                tput[n] = fn(n)
+                print(f"{leg}: {n} device(s): {tput[n]/1e6:.2f} Msamples/s",
+                      flush=True)
+            base = tput[counts[0]] / counts[0]
+            eff = {n: tput[n] / (n * base) for n in counts}
+            result[f"{leg}_samples_per_s"] = tput
+            result[f"{leg}_efficiency"] = eff
+            for n in counts[1:]:
+                print(f"{leg}: efficiency @ {n} devices: {eff[n]*100:.1f}%",
+                      flush=True)
 
-    nmax = counts[-1]
-    line = {
-        "metric": f"sp_scaling_efficiency_{nmax}dev",
-        "value": round(result["sp_efficiency"][nmax], 4),
-        "unit": "ratio",
-        "dp_efficiency": round(result["dp_efficiency"][nmax], 4),
-        "target": 0.8,
-        "platform": result["platform"],
-    }
+    chip = args.chip_streams or ("1,8,64,512" if platform == "tpu" else None)
+    if chip:
+        streams = [int(x) for x in chip.split(",")]
+        curve = chip_stream_curve(streams, args.hop, args.block_hops, args.fs)
+        result["chip_stream_curve_samples_per_s"] = curve
+        # the chip is the scaling unit: stream count just fills it, so
+        # the honest summary is throughput retention vs the chip's own
+        # peak (flat curve == stream count costs nothing), not "weak
+        # efficiency vs 1 stream" (1 stream already saturates the MXU)
+        peak = max(curve.values())
+        result["chip_throughput_retention_vs_peak"] = {
+            s: curve[s] / peak for s in streams
+        }
+
+    if run_mesh:
+        nmax = counts[-1]
+        line = {
+            "metric": f"sp_scaling_efficiency_{nmax}dev",
+            "value": round(result["sp_efficiency"][nmax], 4),
+            "unit": "ratio",
+            "dp_efficiency": round(result["dp_efficiency"][nmax], 4),
+            "target": 0.8,
+            "platform": result["platform"],
+        }
+    else:
+        smax = max(result["chip_stream_curve_samples_per_s"])
+        line = {
+            "metric": f"chip_stream_throughput_{smax}x",
+            "value": round(
+                result["chip_stream_curve_samples_per_s"][smax] / 1e6, 1
+            ),
+            "unit": "Msamples/s",
+            "platform": result["platform"],
+        }
     print(json.dumps(line), flush=True)
     if args.json:
         with open(args.json, "w") as fh:
