@@ -132,14 +132,26 @@ def run(fs: float, seconds: float, json_path: str | None, check: bool):
             json.dump(artifact, fh, indent=1)
         print(f"wrote {json_path}")
     if check:
-        flag = [
+        gate_rows = [
             r for r in rows
             if r.get("mixture") == "hard" and r.get("cascade") == "1024/256"
             and r.get("variant") == "hard" and r.get("beta") == 2.0
-        ][0]
-        assert flag["harm_db"] > CHECK_FLOORS["harm_db"], flag
-        assert flag["perc_db"] > CHECK_FLOORS["perc_db"], flag
-        assert flag["cym_resid_db"] > CHECK_FLOORS["cym_resid_db"], flag
+        ]
+        if not gate_rows:
+            raise SystemExit(
+                f"quality floors not evaluable: the 1024/256 gate cascade "
+                f"is invalid at fs={fs:.0f} (l_harm floor) — rerun with a "
+                "sample rate the gates are calibrated for (>= ~11 kHz)"
+            )
+        flag = gate_rows[0]
+        # real raises, not asserts: the gate must fire under python -O
+        failures = [
+            (key, flag.get(key), floor)
+            for key, floor in CHECK_FLOORS.items()
+            if not (flag.get(key) is not None and flag[key] > floor)
+        ]
+        if failures:
+            raise SystemExit(f"quality floors violated: {failures} ({flag})")
         print("quality floors: OK")
     return artifact
 

@@ -251,15 +251,23 @@ def main():
             "target": 0.8,
             "platform": result["platform"],
         }
-    else:
-        smax = max(result["chip_stream_curve_samples_per_s"])
+    elif "chip_stream_curve_samples_per_s" in result:
+        curve = result["chip_stream_curve_samples_per_s"]
+        smax = max(curve)
         line = {
             "metric": f"chip_stream_throughput_{smax}x",
-            "value": round(
-                result["chip_stream_curve_samples_per_s"][smax] / 1e6, 1
-            ),
+            "value": round(curve[smax] / 1e6, 1),
             "unit": "Msamples/s",
             "platform": result["platform"],
+        }
+    else:
+        # single non-TPU device, no legs requested: nothing to measure
+        line = {
+            "metric": "scaling_noop",
+            "value": 0,
+            "unit": "none",
+            "platform": result["platform"],
+            "note": "1 device and no --chip-streams/--mesh-legs requested",
         }
     print(json.dumps(line), flush=True)
     if args.json:

@@ -297,6 +297,34 @@ def cmd_beat_track(args) -> int:
     return 0
 
 
+def _parse_mesh_axes(spec: str, allowed: tuple):
+    """Parse 'dp=2,sp=4' into {axis: size}. Returns (axes, None) or
+    (None, error_message) — shared by the stream and corpus commands
+    so malformed specs get the clean stderr+exit-1 path everywhere."""
+    axes = {}
+    for part in spec.split(","):
+        if "=" not in part:
+            return None, f"bad mesh axis '{part}' (want name=N)"
+        k, v = part.split("=", 1)
+        try:
+            n = int(v)
+        except ValueError:
+            return None, f"bad mesh axis size '{part}' (want an integer)"
+        if n < 1:
+            return None, f"mesh axis size must be >= 1 (got '{part}')"
+        axes[k.strip()] = n
+    unknown = set(axes) - set(allowed)
+    if unknown:
+        return None, (
+            f"mesh supports the {','.join(allowed)} "
+            f"axis only (got {sorted(unknown)})"
+            if len(allowed) == 1
+            else f"mesh supports axes {','.join(allowed)} only "
+            f"(got {sorted(unknown)})"
+        )
+    return axes, None
+
+
 def cmd_stream(args) -> int:
     """Unix-pipe streaming: raw float32 PCM on stdin -> one separated
     stem as raw float32 on stdout, causally, block by block. The
@@ -345,15 +373,9 @@ def cmd_stream(args) -> int:
         # scaled out; the dryrun_multichip leg keeps this path honest)
         from .parallel.mesh import make_mesh
 
-        axes = {}
-        for part in args.mesh.split(","):
-            k, v = part.split("=")
-            axes[k.strip()] = int(v)
-        if set(axes) != {"dp"}:
-            print(
-                f"stream mesh supports the dp axis only (got {sorted(axes)})",
-                file=sys.stderr,
-            )
+        axes, err = _parse_mesh_axes(args.mesh, ("dp",))
+        if err:
+            print(f"stream {err}", file=sys.stderr)
             return 1
         if n_streams % axes["dp"]:
             print(
@@ -479,6 +501,13 @@ def cmd_stream(args) -> int:
                     else None
                 ),
                 "us_per_hop": round(per_hop_us, 3),
+                # wall time from process start to the first block OUT:
+                # what a live producer waits before audio flows
+                "first_block_s": (
+                    round(t_first - t_start, 6)
+                    if t_first is not None
+                    else None
+                ),
                 "block_latency_samples": latency
                 + args.block_hops * args.hop,
             }
@@ -505,16 +534,9 @@ def cmd_corpus(args) -> int:
         print("no input tracks matched", file=sys.stderr)
         return 1
     if args.mesh:
-        axes = {}
-        for part in args.mesh.split(","):
-            k, v = part.split("=")
-            axes[k.strip()] = int(v)
-        unknown = set(axes) - {"dp", "sp"}
-        if unknown:
-            print(
-                f"corpus mesh supports axes dp,sp only (got {sorted(unknown)})",
-                file=sys.stderr,
-            )
+        axes, err = _parse_mesh_axes(args.mesh, ("dp", "sp"))
+        if err:
+            print(f"corpus {err}", file=sys.stderr)
             return 1
         axes.setdefault("dp", 1)
         axes.setdefault("sp", 1)

@@ -114,6 +114,22 @@ def separate_corpus(
     done = len(track_paths) - len(pending)
     results = {"done": done, "processed": 0}
 
+    def write_track(fs, path, h, p, r, n_samples):
+        """The single per-track output contract: three peak-normalized
+        stems (the reference CLI normalizes before the clipping PCM16
+        encode, offline.h:182-191) + the journal entry. Every flush
+        path routes through here so naming/normalization/metadata stay
+        single-sourced."""
+        base = bases[path]
+        for stem, data in (("harm", h), ("perc", p), ("residual", r)):
+            writer(
+                os.path.join(out_dir, f"{base}_{stem}.wav"),
+                fs,
+                peak_normalize(np.asarray(data)),
+            )
+        journal.mark_done(path, {"samples": int(n_samples)})
+        results["processed"] += 1
+
     def flush(fs, batch_paths, batch_audio):
         from .offline import _bucket_len
 
@@ -164,20 +180,8 @@ def separate_corpus(
         else:
             h, p, r = np.asarray(h), np.asarray(p), np.asarray(r)
         for j, path in enumerate(batch_paths):
-            base = bases[path]
             n = len(batch_audio[j])
-            for stem, data in (("harm", h), ("perc", p), ("residual", r)):
-                writer(
-                    os.path.join(out_dir, f"{base}_{stem}.wav"),
-                    fs,
-                    # stems carry the reference's engine gain
-                    # (~nfft^2/sum(win^2) per pass) — normalize before
-                    # the clipping PCM16 encode, as the offline CLI
-                    # does (offline.h:182-191)
-                    peak_normalize(data[j, :n]),
-                )
-            journal.mark_done(path, {"samples": n})
-            results["processed"] += 1
+            write_track(fs, path, h[j, :n], p[j, :n], r[j, :n], n)
 
     def flush_long(fs, path, audio):
         # hours-long tracks: the batched spectrogram would exhaust HBM
@@ -227,19 +231,11 @@ def separate_corpus(
             h, p, r = sep.process_blocked(
                 audio, ckpt_dir=ckpt_dir, tag=track_tag
             )
-        base = bases[path]
-        for stem, data in (("harm", h), ("perc", p), ("residual", r)):
-            writer(
-                os.path.join(out_dir, f"{base}_{stem}.wav"),
-                fs,
-                peak_normalize(np.asarray(data)),
-            )
-        journal.mark_done(path, {"samples": len(audio)})
+        write_track(fs, path, h, p, r, len(audio))
         # stems durable + journaled: drop the mid-track artifacts
         if jax.process_index() == 0:
             for p_tag in (f"{track_tag}.p1", f"{track_tag}.p2"):
                 clear_track_checkpoint(ckpt_dir, p_tag)
-        results["processed"] += 1
 
     _pipes: dict = {}
 
@@ -264,20 +260,10 @@ def separate_corpus(
                 cfg_h, cfg_p, devices=list(mesh.devices.flatten())
             )
         pipe = _pipes[fs]
-        for path, (h, p, r) in zip(
-            batch_paths, pipe.process_stream(batch_audio)
+        for path, audio, (h, p, r) in zip(
+            batch_paths, batch_audio, pipe.process_stream(batch_audio)
         ):
-            base = bases[path]
-            for stem, data in (("harm", h), ("perc", p), ("residual", r)):
-                writer(
-                    os.path.join(out_dir, f"{base}_{stem}.wav"),
-                    fs,
-                    peak_normalize(np.asarray(data)),
-                )
-            journal.mark_done(
-                path, {"samples": int(np.asarray(h).shape[-1])}
-            )
-            results["processed"] += 1
+            write_track(fs, path, h, p, r, len(audio))
 
     if pp and multi_host:
         from ..errors import ZenError

@@ -507,6 +507,23 @@ def sharded_separate_blocked_checkpointed(
                 start_block = int(meta["next_block"])
         except Exception:  # noqa: BLE001 — corrupt checkpoint: restart
             start_block = 0
+    if multi_host:
+        # every process must see the SAME checkpoint (shared
+        # filesystem): divergent start_blocks would run different
+        # numbers of collective segment loops — a silent hang — and a
+        # worker that resumes without the stems data would feed zeros
+        # into pass 2. Fail loudly instead.
+        from jax.experimental import multihost_utils
+
+        starts = multihost_utils.process_allgather(
+            np.asarray([start_block], np.int64), tiled=True
+        )
+        if len(set(int(s) for s in starts)) != 1:
+            raise ZenError(
+                f"mid-track checkpoint disagreement across processes "
+                f"(next_block per process: {list(map(int, starts))}) — "
+                f"ckpt_dir must be a shared filesystem"
+            )
 
     ng = min(ckpt_every_blocks, nbl)
     prime, seg_fn = _build_sharded_blocked_segment_fns(
@@ -534,15 +551,22 @@ def sharded_separate_blocked_checkpointed(
     else:
         # non-writing processes still must RETURN real stems (pass 2
         # of the cascade consumes pass 1's output on every process);
-        # resumed segments are read back from the shared filesystem
+        # resumed segments are read back from the shared filesystem.
+        # A failed read must NOT degrade to zeros: pass 2 would build
+        # divergent windows per host and process 0 would gather
+        # silently wrong stems (round-3 review finding).
         acc = np.zeros((3, total), np.float32)
         if start_block > 0:
             try:
                 acc[:] = np.fromfile(stems_path, np.float32).reshape(
                     3, total
                 )
-            except Exception:  # noqa: BLE001 — no shared fs: stems
-                pass  # before start_block stay zero on this process
+            except Exception as e:  # noqa: BLE001
+                raise ZenError(
+                    f"process {jax.process_index()} cannot read the "
+                    f"resumed stems buffer {stems_path!r} — ckpt_dir "
+                    "must be a shared filesystem"
+                ) from e
     b = start_block
     while b < nbl:
         g = min(ng, nbl - b)
