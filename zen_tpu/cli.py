@@ -563,6 +563,7 @@ def cmd_corpus(args) -> int:
         beta_h=beta_h,
         beta_p=beta_p,
         pp=bool(getattr(args, "pp", False)),
+        prefetch=max(0, int(getattr(args, "prefetch", 2))),
     )
     print(json.dumps({"metric": "corpus_tracks", **res}))
     return 0
@@ -718,6 +719,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--pp", action="store_true",
         help="pipeline-parallel cascade: track i+1's pass 1 overlaps "
         "track i's pass 2 on two devices (short tracks)",
+    )
+    cor.add_argument(
+        "--prefetch", type=int, default=2, metavar="N",
+        help="decode N tracks ahead and encode stems on a background "
+        "thread, overlapping host IO with device compute (0 = "
+        "synchronous IO; default 2)",
     )
     cor.set_defaults(func=cmd_corpus)
 

@@ -26,6 +26,7 @@ from ..engine.config import (
 )
 from ..parallel.sharded import sharded_hpri_offline
 from ..runtime.checkpoint import ProgressJournal
+from ..runtime.loader import OrderedAsyncWriter, PrefetchReader
 
 
 def separate_corpus(
@@ -41,12 +42,23 @@ def separate_corpus(
     writer=None,
     pp: bool = False,
     pp_run: int = 8,
+    prefetch: int = 2,
 ):
     """Separate every track into 3 stems under out_dir, resumably.
 
     reader(path) -> (fs, audio[np.float32]); writer(path, fs, audio).
     Tracks are processed in dp-sized batches (shorter tracks are
     zero-padded to the batch max and truncated on write).
+
+    ``prefetch`` (default 2) overlaps host IO with device compute: a
+    background thread decodes up to ``prefetch`` tracks ahead while the
+    current batch computes, and stem encode/journal runs on an ordered
+    writer thread (runtime/loader.py) — the reference's synchronous
+    load/encode (zen/offline.h:88-117, 193-253) is a serial tax at
+    corpus scale. Stems are still made durable BEFORE their journal
+    line (same single worker, in order), so crash-resume semantics are
+    unchanged. ``prefetch=0`` restores fully synchronous IO; a custom
+    ``reader``/``writer`` must be thread-safe unless ``prefetch=0``.
 
     ``pp=True`` routes short tracks through the pipeline-parallel
     2-pass driver instead (drivers/pipeline.PipelinedHPRIOffline):
@@ -114,21 +126,35 @@ def separate_corpus(
     done = len(track_paths) - len(pending)
     results = {"done": done, "processed": 0}
 
-    def write_track(fs, path, h, p, r, n_samples):
+    writer_pool = OrderedAsyncWriter() if prefetch > 0 else None
+
+    def write_track(fs, path, h, p, r, n_samples, after=None):
         """The single per-track output contract: three peak-normalized
         stems (the reference CLI normalizes before the clipping PCM16
-        encode, offline.h:182-191) + the journal entry. Every flush
-        path routes through here so naming/normalization/metadata stay
-        single-sourced."""
-        base = bases[path]
-        for stem, data in (("harm", h), ("perc", p), ("residual", r)):
-            writer(
-                os.path.join(out_dir, f"{base}_{stem}.wav"),
-                fs,
-                peak_normalize(np.asarray(data)),
-            )
-        journal.mark_done(path, {"samples": int(n_samples)})
-        results["processed"] += 1
+        encode, offline.h:182-191) + the journal entry, in that order
+        (durability before the journal line that claims it). Every
+        flush path routes through here so naming/normalization/metadata
+        stay single-sourced; with prefetch>0 the job runs on the
+        ordered writer thread, overlapping encode with the next batch's
+        compute without reordering the durability steps."""
+
+        def job():
+            base = bases[path]
+            for stem, data in (("harm", h), ("perc", p), ("residual", r)):
+                writer(
+                    os.path.join(out_dir, f"{base}_{stem}.wav"),
+                    fs,
+                    peak_normalize(np.asarray(data)),
+                )
+            journal.mark_done(path, {"samples": int(n_samples)})
+            results["processed"] += 1
+            if after is not None:
+                after()
+
+        if writer_pool is not None:
+            writer_pool.submit(job)
+        else:
+            job()
 
     def flush(fs, batch_paths, batch_audio):
         from .offline import _bucket_len
@@ -231,11 +257,15 @@ def separate_corpus(
             h, p, r = sep.process_blocked(
                 audio, ckpt_dir=ckpt_dir, tag=track_tag
             )
-        write_track(fs, path, h, p, r, len(audio))
-        # stems durable + journaled: drop the mid-track artifacts
-        if jax.process_index() == 0:
-            for p_tag in (f"{track_tag}.p1", f"{track_tag}.p2"):
-                clear_track_checkpoint(ckpt_dir, p_tag)
+        def _drop_ckpt():
+            # stems durable + journaled: drop the mid-track artifacts
+            # (runs after the journal step, on the writer thread when
+            # async — ordering with mark_done is what matters)
+            if jax.process_index() == 0:
+                for p_tag in (f"{track_tag}.p1", f"{track_tag}.p2"):
+                    clear_track_checkpoint(ckpt_dir, p_tag)
+
+        write_track(fs, path, h, p, r, len(audio), after=_drop_ckpt)
 
     _pipes: dict = {}
 
@@ -284,18 +314,37 @@ def separate_corpus(
     # or when fs changes
     do_flush = flush_pp if pp else flush
     cap = pp_run if pp else n_dp
+    items = (
+        PrefetchReader(pending, reader, depth=prefetch)
+        if prefetch > 0
+        else ((p, reader(p)) for p in pending)
+    )
     batch_paths, batch_audio, batch_fs = [], [], None
-    for path in pending:
-        fs, audio = reader(path)
-        if len(audio) > long_samples:
-            flush_long(fs, path, audio)
-            continue
-        if batch_paths and (fs != batch_fs or len(batch_paths) == cap):
+    try:
+        for path, (fs, audio) in items:
+            if len(audio) > long_samples:
+                flush_long(fs, path, audio)
+                continue
+            if batch_paths and (fs != batch_fs or len(batch_paths) == cap):
+                do_flush(batch_fs, batch_paths, batch_audio)
+                batch_paths, batch_audio = [], []
+            batch_fs = fs
+            batch_paths.append(path)
+            batch_audio.append(audio)
+        if batch_paths:
             do_flush(batch_fs, batch_paths, batch_audio)
-            batch_paths, batch_audio = [], []
-        batch_fs = fs
-        batch_paths.append(path)
-        batch_audio.append(audio)
-    if batch_paths:
-        do_flush(batch_fs, batch_paths, batch_audio)
+    except BaseException:
+        # let queued writes finish (their tracks DID compute) but do
+        # not mask the original error with a writer-side one
+        if writer_pool is not None:
+            try:
+                writer_pool.close()
+            except BaseException:
+                pass
+        raise
+    finally:
+        if isinstance(items, PrefetchReader):
+            items.close()
+    if writer_pool is not None:
+        writer_pool.close()
     return results
