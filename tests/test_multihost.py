@@ -25,18 +25,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SMOKE = os.path.join(REPO, "scripts", "multihost_smoke.py")
 
 
-def _run_smoke(*extra):
+def _run_smoke(*extra, retries=1):
     env = dict(os.environ)
     # the smoke script manages its own XLA_FLAGS / platform pins in
     # the workers; scrub this test process's forced-device settings
     env.pop("XLA_FLAGS", None)
-    return subprocess.run(
-        [sys.executable, SMOKE, *extra],
-        capture_output=True,
-        text=True,
-        timeout=850,
-        env=env,
-    )
+    # a 7-process Gloo fleet on a 1-core host is sensitive to ambient
+    # load (observed: rare transient failures when the whole suite and
+    # the fleet compete for the core). One retry with the failed
+    # attempt's output printed keeps the test meaningful — a real
+    # regression fails both attempts, with diagnostics for each.
+    for attempt in range(retries + 1):
+        r = subprocess.run(
+            [sys.executable, SMOKE, *extra],
+            capture_output=True,
+            text=True,
+            timeout=850,
+            env=env,
+        )
+        if r.returncode == 0:
+            return r
+        sys.stderr.write(
+            f"multihost smoke attempt {attempt + 1} failed "
+            f"(rc={r.returncode}):\n{r.stdout}\n{r.stderr}\n"
+        )
+    return r
 
 
 @pytest.mark.multihost
