@@ -1,0 +1,153 @@
+"""Stability soak: hours of audio through the multichannel causal step.
+
+The reference's only stability evidence is its demos running
+interactively; this instrument streams a configurable number of
+stream-hours through the production block step (the same
+_block_step_body the serving path dispatches) and verifies, entirely
+device-side, that every output stays finite and the output envelope
+does not drift — the OLA accumulators and sliding-STFT state are the
+long-run failure surface (a leak there compounds over hours).
+
+Methodology (memory-hazard aware, same as bench.py): each dispatch is
+a chained lax.scan of ``--steps`` block steps whose input mixes in the
+previous output (nothing cacheable), the carry threads across
+dispatches, and each dispatch ends in a value readback of the
+(max_abs, nonfinite_count) stats — the only true sync on this tunnel.
+
+Usage:
+  python benches/soak.py --dispatches 20             # ~8 stream-hours
+  python benches/soak.py --streams 8 --steps 16 --dispatches 2  # smoke
+
+Prints one JSON line:
+  {"metric": "soak_stream_hours", "value": H, "finite": true,
+   "max_abs_first": ..., "max_abs_last": ..., "drift_ratio": ...}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_soak_run(cfg, n_streams, block_hops, steps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zen_tpu.drivers.realtime import (
+        _block_step_body,
+        init_state,
+        resolve_multistream_fft_impl,
+    )
+
+    cfg = resolve_multistream_fft_impl(cfg, n_streams)
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(
+        rng.standard_normal((n_streams, block_hops, cfg.hop)).astype(
+            np.float32
+        )
+    )
+
+    @jax.jit
+    def run(state, prev, stats):
+        def step(carry, _):
+            state, prev, (mx, bad) = carry
+            blocks = base + 1e-12 * prev[:, 1, :].reshape(
+                n_streams, block_hops, cfg.hop
+            )
+            state, outs = jax.vmap(
+                lambda s, b: _block_step_body(cfg, s, b)
+            )(state, blocks)
+            mx = jnp.maximum(mx, jnp.max(jnp.abs(outs)))
+            bad = bad + jnp.sum(~jnp.isfinite(outs))
+            return (state, outs, (mx, bad)), None
+
+        return jax.lax.scan(
+            step, (state, prev, stats), None, length=steps
+        )[0]
+
+    def init_carry():
+        return (
+            jax.vmap(lambda _: init_state(cfg))(jnp.arange(n_streams)),
+            jnp.zeros((n_streams, 3, block_hops * cfg.hop), jnp.float32),
+            (jnp.float32(0.0), jnp.int32(0)),
+        )
+
+    return run, init_carry
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fs", type=float, default=44100.0)
+    ap.add_argument("--hop", type=int, default=256)
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--block-hops", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=512,
+                    help="block steps per device dispatch")
+    ap.add_argument("--dispatches", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    from zen_tpu.engine.config import OUTPUT_ALL, HPRConfig
+    from zen_tpu.runtime.xla_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = HPRConfig(
+        fs=args.fs, hop=args.hop, causal=True, outputs=OUTPUT_ALL
+    )
+    run, init_carry = build_soak_run(
+        cfg, args.streams, args.block_hops, args.steps
+    )
+    state, prev, stats = init_carry()
+    samples_per_dispatch = (
+        args.streams * args.block_hops * args.hop * args.steps
+    )
+    log(
+        f"soak: {args.streams} streams x hop {args.hop} x "
+        f"{args.block_hops}-hop blocks, {args.steps} steps/dispatch "
+        f"({samples_per_dispatch / args.fs / 3600:.2f} stream-h each), "
+        f"device {jax.devices()[0].device_kind}"
+    )
+    max_first = None
+    t0 = time.time()
+    for d in range(args.dispatches):
+        state, prev, stats = run(state, prev, stats)
+        mx, bad = float(stats[0]), int(stats[1])  # readback = true sync
+        if bad:
+            log(f"dispatch {d}: {bad} non-finite outputs — ABORT")
+            print(json.dumps({
+                "metric": "soak_stream_hours", "value": 0.0,
+                "finite": False, "dispatch": d,
+            }))
+            return 1
+        if max_first is None:
+            max_first = mx
+        log(
+            f"dispatch {d + 1}/{args.dispatches}: max|out|={mx:.1f}, "
+            f"finite, {(d + 1) * samples_per_dispatch / args.fs / 3600:.2f} "
+            f"stream-h, {time.time() - t0:.0f}s wall"
+        )
+    hours = args.dispatches * samples_per_dispatch / args.fs / 3600
+    drift = float(mx / max_first) if max_first else 1.0
+    print(json.dumps({
+        "metric": "soak_stream_hours",
+        "value": round(hours, 2),
+        "finite": True,
+        "max_abs_first": round(max_first, 1),
+        "max_abs_last": round(float(mx), 1),
+        "drift_ratio": round(drift, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
