@@ -15,12 +15,19 @@ dispatches, and each dispatch ends in a value readback of the
 (max_abs, nonfinite_count) stats — the only true sync on this tunnel.
 
 Usage:
-  python benches/soak.py --dispatches 20             # ~8 stream-hours
+  python benches/soak.py --dispatches 300         # ~507 stream-hours
   python benches/soak.py --streams 8 --steps 16 --dispatches 2  # smoke
+(defaults give ~1.69 stream-hours per dispatch: 64 streams x 32-hop
+blocks x hop 256 x 512 steps / 44.1 kHz)
 
 Prints one JSON line:
   {"metric": "soak_stream_hours", "value": H, "finite": true,
    "max_abs_first": ..., "max_abs_last": ..., "drift_ratio": ...}
+
+max_abs_* are PER-DISPATCH output maxima (stats reset each dispatch),
+so drift_ratio = last/first detects both a growing envelope (leak,
+ratio > 1) and a decaying one (state attenuation, ratio < 1); a
+cumulative max would report a decaying output as healthy.
 """
 from __future__ import annotations
 
@@ -94,6 +101,8 @@ def main() -> int:
                     help="block steps per device dispatch")
     ap.add_argument("--dispatches", type=int, default=20)
     args = ap.parse_args()
+    if args.dispatches < 1:
+        ap.error("--dispatches must be >= 1")
 
     import jax
 
@@ -117,10 +126,16 @@ def main() -> int:
         f"({samples_per_dispatch / args.fs / 3600:.2f} stream-h each), "
         f"device {jax.devices()[0].device_kind}"
     )
+    import jax.numpy as jnp
+
     max_first = None
     t0 = time.time()
     for d in range(args.dispatches):
-        state, prev, stats = run(state, prev, stats)
+        # fresh stats per dispatch: per-dispatch maxima, not a running
+        # max, so downward drift is visible too (see module docstring)
+        state, prev, stats = run(
+            state, prev, (jnp.float32(0.0), jnp.int32(0))
+        )
         mx, bad = float(stats[0]), int(stats[1])  # readback = true sync
         if bad:
             log(f"dispatch {d}: {bad} non-finite outputs — ABORT")

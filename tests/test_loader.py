@@ -86,6 +86,24 @@ def test_ordered_async_writer_failure_discards_rest():
     assert done == [0]
 
 
+def test_ordered_async_writer_failure_is_persistent():
+    """Failure stays sticky: every later submit re-raises (a caller
+    swallowing one raise must not silently lose subsequent jobs)."""
+    done = []
+    w = OrderedAsyncWriter()
+    w.submit(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    # wait for the worker to consume the failing job
+    deadline = time.time() + 5.0
+    while w._exc is None and time.time() < deadline:
+        time.sleep(0.005)
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="boom"):
+            w.submit(lambda: done.append(1))
+    with pytest.raises(RuntimeError, match="boom"):
+        w.close()
+    assert done == []
+
+
 def test_corpus_prefetch_parity(tmp_path):
     """Stems byte-match between prefetch=2 and prefetch=0."""
     from zen_tpu.drivers.corpus import separate_corpus

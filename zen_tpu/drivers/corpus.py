@@ -98,6 +98,13 @@ def separate_corpus(
             def mark_done(self, key, meta=None):
                 pass
 
+    if pp and multi_host:
+        from ..errors import ZenError
+
+        raise ZenError(
+            "corpus pp mode is single-host; pods should use dp/sp meshes"
+        )
+
     os.makedirs(out_dir, exist_ok=True)
     journal = ProgressJournal(
         journal_path or os.path.join(out_dir, "progress.jsonl")
@@ -248,8 +255,16 @@ def separate_corpus(
             # computes it (the others would produce identical stems
             # for the no-op writer to discard)
             if multi_host and jax.process_index() != 0:
-                journal.mark_done(path, {"samples": len(audio)})
-                results["processed"] += 1
+                def _mark():
+                    journal.mark_done(path, {"samples": len(audio)})
+                    results["processed"] += 1
+
+                # route through the writer pool: the counter increment
+                # must not race the writer thread's own increments
+                if writer_pool is not None:
+                    writer_pool.submit(_mark)
+                else:
+                    _mark()
                 return
             from .offline import HPRIOffline
 
@@ -294,13 +309,6 @@ def separate_corpus(
             batch_paths, batch_audio, pipe.process_stream(batch_audio)
         ):
             write_track(fs, path, h, p, r, len(audio))
-
-    if pp and multi_host:
-        from ..errors import ZenError
-
-        raise ZenError(
-            "corpus pp mode is single-host; pods should use dp/sp meshes"
-        )
 
     from .offline import LONG_TRACK_SAMPLES
 

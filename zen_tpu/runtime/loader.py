@@ -94,14 +94,18 @@ class PrefetchReader:
 
 class OrderedAsyncWriter:
     """Execute zero-arg jobs on one worker thread, strictly in submit
-    order. A job exception is re-raised at the next ``submit()`` or at
-    ``close()``; jobs queued after a failed one are discarded (their
-    tracks are simply never journaled — the resume picks them up)."""
+    order. The queue is bounded (``max_pending``): ``submit`` blocks
+    when the worker falls behind, so queued stem arrays cannot pin
+    unbounded host memory behind a slow disk. A job exception is
+    re-raised at EVERY subsequent ``submit()`` and at ``close()``
+    (failure is sticky — jobs queued after a failed one are discarded,
+    never silently run out of order; their tracks are simply never
+    journaled and the resume picks them up)."""
 
     _DONE = object()
 
-    def __init__(self):
-        self._q: queue.Queue = queue.Queue()
+    def __init__(self, max_pending: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, max_pending))
         self._exc: BaseException | None = None
         self._failed = False  # sticky: once a job fails, discard the rest
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -122,8 +126,10 @@ class OrderedAsyncWriter:
 
     def _raise_pending(self):
         if self._exc is not None:
-            exc, self._exc = self._exc, None
-            raise exc
+            # do NOT clear: every later submit()/close() must keep
+            # failing loudly — a caller that swallows one raise and
+            # keeps submitting would otherwise lose jobs silently
+            raise self._exc
 
     def submit(self, job) -> None:
         self._raise_pending()
