@@ -768,3 +768,58 @@ def test_corpus_pp_overlap_is_real(tmp_path, monkeypatch):
     assert wall < 0.8 * serial, (
         f"corpus --pp shows no overlap: {wall:.2f}s vs serial {serial:.2f}s"
     )
+
+
+def test_multistream_reset_streams_bit_exact():
+    """reset_streams recycles slots with the reference's reset_buffers
+    determinism contract (hps.h:296-321): a reset slot reproduces a
+    brand-new stream bit-exactly while untouched slots continue as if
+    no reset happened."""
+    fs, hop, C = 1000.0, 8, 4
+    rng = np.random.default_rng(5)
+    blocks1 = rng.standard_normal((C, 4, hop)).astype(np.float32)
+    blocks2 = rng.standard_normal((C, 4, hop)).astype(np.float32)
+
+    ctrl = MultiStreamHPR(C, fs, hop=hop)
+    ctrl.process_block(blocks1)
+    ctrl_out2 = np.asarray(ctrl.process_block(blocks2))
+
+    ms = MultiStreamHPR(C, fs, hop=hop)
+    ms.process_block(blocks1)
+    ms.reset_streams([1, 3])
+    out2 = np.asarray(ms.process_block(blocks2))
+
+    # untouched slots: identical to the uninterrupted run
+    np.testing.assert_array_equal(out2[0], ctrl_out2[0])
+    np.testing.assert_array_equal(out2[2], ctrl_out2[2])
+    # reset slots: identical to brand-new streams fed the same audio
+    fresh = MultiStreamHPR(C, fs, hop=hop)
+    fresh_out2 = np.asarray(fresh.process_block(blocks2))
+    np.testing.assert_array_equal(out2[1], fresh_out2[1])
+    np.testing.assert_array_equal(out2[3], fresh_out2[3])
+    # and genuinely differ from the history-carrying continuation
+    assert not np.array_equal(out2[1], ctrl_out2[1])
+
+
+def test_multistream_reset_streams_sharded():
+    """reset_streams on a mesh-sharded MultiStreamHPR keeps the dp
+    sharding on every state leaf and the stepped outputs stay correct
+    (== the unsharded instance)."""
+    fs, hop, C = 1000.0, 8, 8
+    rng = np.random.default_rng(6)
+    blocks1 = rng.standard_normal((C, 2, hop)).astype(np.float32)
+    blocks2 = rng.standard_normal((C, 2, hop)).astype(np.float32)
+
+    plain = MultiStreamHPR(C, fs, hop=hop)
+    plain.process_block(blocks1)
+    plain.reset_streams([0, 5])
+    want = np.asarray(plain.process_block(blocks2))
+
+    mesh = make_mesh({"dp": 8})
+    ms = MultiStreamHPR(C, fs, hop=hop, mesh=mesh)
+    ms.process_block(blocks1)
+    ms.reset_streams([0, 5])
+    for leaf in jax.tree.leaves(ms.state):
+        assert "dp" in str(leaf.sharding), leaf.sharding
+    got = np.asarray(ms.process_block(blocks2))
+    np.testing.assert_array_equal(got, want)

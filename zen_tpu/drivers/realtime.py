@@ -349,3 +349,17 @@ class MultiStreamHPR:
             )
         self.state, outs = block_step_multi(self.cfg, self.state, blocks)
         return outs
+
+    def reset_streams(self, indices):
+        """Reset the given stream slots to pristine state, leaving all
+        other slots untouched — the serving move when a slot is
+        recycled for a new client mid-flight. Multi-stream analog of
+        reset_buffers (reference hps.h:296-321), with the same
+        determinism contract: a reset slot reproduces a fresh stream
+        bit-exactly (tested in tests/test_runtime.py). No recompile:
+        one scatter over the channel axis, sharding preserved."""
+        idx = jnp.asarray(indices, jnp.int32)
+        fresh = init_state(self.cfg)
+        self.state = jax.tree.map(
+            lambda s, f: s.at[idx].set(f), self.state, fresh
+        )
