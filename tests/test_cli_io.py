@@ -201,7 +201,9 @@ def test_corpus_cli_e2e(tmp_path):
     assert np.corrcoef(
         perc_est[:n].astype(float), perc_true[:n].astype(float)
     )[0, 1] > 0.5
-    assert main(args) == 0  # resume: journal says all done
+    # resume: journal says all done (and cover the --prefetch flag's
+    # synchronous-IO path; the first invocation used the default 2)
+    assert main(args + ["--prefetch", "0"]) == 0
     journal = (out / "progress.jsonl").read_text().strip().splitlines()
     assert len(journal) == 3
 
