@@ -83,7 +83,14 @@ def _best_lag(a: np.ndarray, b: np.ndarray, max_lag: int) -> int:
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     """SNR after least-squares gain fit (both sides are independently
-    peak-normalized, so absolute gain carries no information)."""
+    peak-normalized, so absolute gain carries no information).
+
+    Deliberately NOT zen_tpu.io.synth.si_snr: that is the standard
+    SI-SDR (projects the estimate onto the reference, numerator
+    ||s_t||^2) used by the quality benches; this fits the gain on the
+    test signal and keeps the full reference power in the numerator —
+    the conventional form for an A/B against a binary's output files.
+    They differ by a cos^2 factor that vanishes at the >=20 dB gates."""
     denom = float(np.dot(test, test))
     g = float(np.dot(ref, test)) / denom if denom > 0 else 0.0
     err = ref - g * test
@@ -128,7 +135,17 @@ def run(args) -> int:
         if path is None:
             report["stems"][s] = {"status": "missing_ref"}
             continue
-        _, ref = read_wav_mono(path)
+        ref_fs, ref = read_wav_mono(path)
+        if ref_fs != fs:
+            # a sample-domain comparison at mismatched rates would
+            # find a meaningless lag and report a garbage SNR —
+            # misdiagnosing the A/B as an engine mismatch
+            print(
+                f"ab_reference: stem '{s}' sample rate {ref_fs} != "
+                f"mixture {fs} — resample the reference stems first",
+                file=sys.stderr,
+            )
+            return 2
         mine = ours[s]
         n = min(len(ref), len(mine))
         ref, mine = ref[:n], mine[:n]

@@ -383,3 +383,16 @@ def test_stream_mesh_rejects_bad_args():
         )
         assert proc.returncode == 1
         assert msg in proc.stderr
+
+
+def test_parse_mesh_axes_validation():
+    """Malformed mesh specs get (None, error), including duplicate
+    axes — 'dp=2,dp=8' (a typo for dp=2,sp=8) must not silently keep
+    only the last value (review finding)."""
+    from zen_tpu.cli import _parse_mesh_axes
+
+    ok, err = _parse_mesh_axes("dp=2,sp=4", ("dp", "sp"))
+    assert err is None and ok == {"dp": 2, "sp": 4}
+    for bad in ("dp", "dp=x", "dp=0", "tp=2", "dp=2,dp=8"):
+        axes, err = _parse_mesh_axes(bad, ("dp", "sp"))
+        assert axes is None and err, bad

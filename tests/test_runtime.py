@@ -823,3 +823,92 @@ def test_multistream_reset_streams_sharded():
         assert "dp" in str(leaf.sharding), leaf.sharding
     got = np.asarray(ms.process_block(blocks2))
     np.testing.assert_array_equal(got, want)
+
+
+def test_midtrack_checkpoint_corrupt_next_block_restarts_clean(tmp_path):
+    """A checkpoint whose meta matches but whose next_block is missing
+    must restart from zero with ZERO tails (review finding: the carry
+    was adopted before the next_block parse, so a corrupt key
+    recomputed block 0 seeded with a mid-track carry — silently
+    corrupt stems)."""
+    import numpy as np
+
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.offline import (
+        hpr_separate_blocked,
+        hpr_separate_blocked_checkpointed,
+    )
+    from zen_tpu.runtime.checkpoint import (
+        load_stream_state,
+        save_stream_state_durable,
+    )
+
+    rng = np.random.default_rng(13)
+    audio = rng.standard_normal(900).astype(np.float32)
+    cfg = HPRConfig(fs=1000.0, hop=8, causal=False, outputs=OUTPUT_ALL)
+    d = str(tmp_path)
+    kw = dict(block_frames=4, ckpt_every_blocks=2, tag="t")
+    want = hpr_separate_blocked(audio, cfg, block_frames=4)
+
+    class _Crash(Exception):
+        pass
+
+    def bomb(next_block, n_blocks):
+        if next_block >= 2:
+            raise _Crash
+
+    try:
+        hpr_separate_blocked_checkpointed(
+            audio, cfg, ckpt_dir=d, on_segment=bomb, **kw
+        )
+        raise AssertionError("crash hook did not fire")
+    except _Crash:
+        pass
+    ckpt = os.path.join(d, "t.ckpt.npz")
+    state, meta = load_stream_state(
+        ckpt, like=jnp.zeros((3, cfg.hop), jnp.float32)
+    )
+    assert meta.pop("next_block") >= 2  # mid-track carry recorded
+    save_stream_state_durable(ckpt, state, meta)  # same carry, no key
+    out = hpr_separate_blocked_checkpointed(audio, cfg, ckpt_dir=d, **kw)
+    for k in ("harmonic", "percussive", "residual"):
+        np.testing.assert_array_equal(
+            np.asarray(out[k]), np.asarray(want[k]), err_msg=k
+        )
+
+
+def test_corpus_sweeps_leaked_checkpoints_of_done_tracks(tmp_path):
+    """A crash between a track's journal fsync and its async .ckpt
+    cleanup leaks the mid-track artifacts forever (the resume skips the
+    journal-done track). The corpus startup sweep must remove them."""
+    import numpy as np
+
+    from zen_tpu.drivers.corpus import separate_corpus
+
+    rng = np.random.default_rng(14)
+    store = {
+        str(tmp_path / f"t{i}.wav"): (
+            1000, rng.standard_normal(300).astype(np.float32)
+        )
+        for i in range(2)
+    }
+    out = str(tmp_path / "out")
+    mesh = make_mesh({"dp": 1, "sp": 1})
+    run = lambda: separate_corpus(  # noqa: E731
+        sorted(store), out, mesh, hop_h=16, hop_p=8,
+        reader=lambda p: store[p], writer=lambda p, fs, a: None,
+    )
+    run()
+    # simulate the leak: artifacts for a journal-done track reappear
+    ckpt_dir = os.path.join(out, ".ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    leaked = [
+        os.path.join(ckpt_dir, "t0.p1.stems.f32"),
+        os.path.join(ckpt_dir, "t0.p2.ckpt.npz"),
+    ]
+    for f in leaked:
+        open(f, "wb").write(b"x" * 64)
+    res = run()
+    assert res["processed"] == 0 and res["done"] == 2
+    for f in leaked:
+        assert not os.path.exists(f), f

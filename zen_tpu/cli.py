@@ -312,7 +312,13 @@ def _parse_mesh_axes(spec: str, allowed: tuple):
             return None, f"bad mesh axis size '{part}' (want an integer)"
         if n < 1:
             return None, f"mesh axis size must be >= 1 (got '{part}')"
-        axes[k.strip()] = n
+        k = k.strip()
+        if k in axes:
+            return None, (
+                f"duplicate mesh axis '{k}' (a typo like dp=2,dp=8 "
+                f"would silently keep only the last value)"
+            )
+        axes[k] = n
     unknown = set(axes) - set(allowed)
     if unknown:
         return None, (
@@ -386,6 +392,7 @@ def cmd_stream(args) -> int:
         mesh = make_mesh(axes)
         mesh_desc = f"dp={axes['dp']}"
     multi = n_streams > 1 or mesh is not None  # mesh implies MultiStream
+    t_proc = time.perf_counter()  # before warmup: captures compile cost
     if multi:
         ms = MultiStreamHPR(
             n_streams, args.fs, args.hop, args.beta, mesh=mesh, **common
@@ -501,8 +508,13 @@ def cmd_stream(args) -> int:
                     else None
                 ),
                 "us_per_hop": round(per_hop_us, 3),
-                # wall time from process start to the first block OUT:
-                # what a live producer waits before audio flows
+                # warmup_s = compile/warmup wall before 'ready' (zero
+                # on a warm XLA cache); first_block_s = wall from
+                # post-warmup ready to the first block OUT. A producer
+                # attaching to a cold process waits warmup_s +
+                # first_block_s; one attaching to a prewarmed server
+                # waits first_block_s.
+                "warmup_s": round(t_start - t_proc, 6),
                 "first_block_s": (
                     round(t_first - t_start, 6)
                     if t_first is not None

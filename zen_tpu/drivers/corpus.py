@@ -133,6 +133,19 @@ def separate_corpus(
     done = len(track_paths) - len(pending)
     results = {"done": done, "processed": 0}
 
+    # sweep leaked mid-track artifacts: a crash can land between a
+    # track's journal fsync and its (async) .ckpt cleanup; the resume
+    # then skips the journal-done track and nothing would ever delete
+    # its checkpoint files (GBs for an hours-long track)
+    if jax.process_index() == 0 and done:
+        from .offline import clear_track_checkpoint
+
+        _ckpt_dir = os.path.join(out_dir, ".ckpt")
+        for p in track_paths:
+            if journal.is_done(p):
+                for p_tag in (f"{bases[p]}.p1", f"{bases[p]}.p2"):
+                    clear_track_checkpoint(_ckpt_dir, p_tag)
+
     writer_pool = OrderedAsyncWriter() if prefetch > 0 else None
 
     def write_track(fs, path, h, p, r, n_samples, after=None):

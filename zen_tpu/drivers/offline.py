@@ -194,20 +194,17 @@ def _blocked_block(cfg: HPRConfig, bf: int, back: int, fwd: int, samples, tails)
     jax.jit, static_argnames=("cfg", "bf", "back", "fwd", "nb")
 )
 def _blocked_scan(padded, cfg: HPRConfig, bf: int, back: int, fwd: int, nb: int):
-    """ONE device dispatch for a whole track: scan over overlap-save
-    blocks with the OLA tails as carry. Module-level jit: repeat calls
-    with the same (cfg, bf, nb) reuse the compiled executable."""
-    hop = cfg.hop
-    span = (back + bf + fwd + 1) * hop
-
-    def scan_body(tails, b):
-        samples = jax.lax.dynamic_slice(padded, (b * (bf * hop),), (span,))
-        out, tails = _blocked_block(cfg, bf, back, fwd, samples, tails)
-        return tails, out
-
-    tails0 = jnp.zeros((3, hop), jnp.float32)
-    _, outs = jax.lax.scan(scan_body, tails0, jnp.arange(nb))
-    return outs.transpose(1, 0, 2).reshape(3, nb * bf * hop)
+    """ONE device dispatch for a whole track: the (b0=0, ng=nb,
+    zero-tails) case of _blocked_scan_segment — one scan body, so the
+    checkpointed path's byte-parity with this one cannot drift (review
+    finding: the two hand-synchronized copies were a parity hazard).
+    Jitted via the segment (static ng): repeat calls with the same
+    (cfg, bf, nb) reuse the compiled executable."""
+    tails0 = jnp.zeros((3, cfg.hop), jnp.float32)
+    _, outs = _blocked_scan_segment(
+        padded, tails0, jnp.int32(0), cfg, bf, back, fwd, nb
+    )
+    return outs
 
 
 def hpr_separate_blocked(
@@ -377,9 +374,14 @@ def hpr_separate_blocked_checkpointed(
         try:
             state, meta = load_stream_state(ckpt_path, like=tails)
             if all(meta.get(k) == v for k, v in meta_want.items()):
-                tails = state
+                # parse BEFORE adopting the carry: a checkpoint whose
+                # next_block is missing/corrupt must restart with zero
+                # tails, not recompute block 0 seeded with a mid-track
+                # carry (silent stem corruption)
                 start_block = int(meta["next_block"])
+                tails = state
         except Exception:  # noqa: BLE001 — corrupt checkpoint: restart
+            tails = jnp.zeros((3, hop), jnp.float32)
             start_block = 0
     mm = np.memmap(
         stems_path,

@@ -234,28 +234,18 @@ def _sharded_blocked_body(
     identical per-block scan as drivers.offline._blocked_scan, so no
     inter-shard communication happens at all: the halo context travels
     as overlapping *sample* windows built once on the host (a few
-    hops per shard), the TPU-native analog of overlap-save."""
-    from ..drivers.offline import _blocked_block
+    hops per shard), the TPU-native analog of overlap-save.
 
-    hop = cfg.hop
-    w = window[0]
-    _, tails = _blocked_block(
-        cfg,
-        1,
-        back,
-        fwd,
-        w[: (back + fwd + 2) * hop],
-        jnp.zeros((3, hop), jnp.float32),
+    Expressed as the priming body followed by one full-length segment
+    (b0=0, ng=nbl): ONE scan body shared with the checkpointed path,
+    so their byte-parity cannot drift (review finding: the two
+    hand-synchronized copies of the slice/guard arithmetic were a
+    parity hazard)."""
+    tails = _sharded_blocked_prime_body(window, cfg, back, fwd)
+    _, outs = _sharded_blocked_segment_body(
+        window, tails, jnp.int32(0), cfg, bf, back, fwd, nbl
     )
-    span = (back + bf + fwd + 1) * hop
-
-    def step(carry, j):
-        samples = jax.lax.dynamic_slice(w, (j * (bf * hop) + hop,), (span,))
-        out, carry = _blocked_block(cfg, bf, back, fwd, samples, carry)
-        return carry, out
-
-    _, outs = jax.lax.scan(step, tails, jnp.arange(nbl))
-    return outs.transpose(1, 0, 2).reshape(1, 3, nbl * bf * hop)
+    return outs
 
 
 @functools.lru_cache(maxsize=32)
@@ -503,9 +493,13 @@ def sharded_separate_blocked_checkpointed(
         try:
             state, meta = load_stream_state(ckpt_path, like=like)
             if all(meta.get(k) == v for k, v in meta_want.items()):
-                tails_host = np.asarray(state)
+                # parse BEFORE adopting the carry (a corrupt next_block
+                # must restart with freshly-primed tails, not seed
+                # block 0 with a mid-track carry)
                 start_block = int(meta["next_block"])
+                tails_host = np.asarray(state)
         except Exception:  # noqa: BLE001 — corrupt checkpoint: restart
+            tails_host = None
             start_block = 0
     if multi_host:
         # every process must see the SAME checkpoint (shared
