@@ -206,3 +206,46 @@ def test_corpus_writer_failure_is_crash_consistent(tmp_path):
     )
     assert res["done"] == 3 and res["processed"] == 3
     assert len(ok) == 9  # 3 remaining tracks x 3 stems
+
+
+@pytest.mark.slow
+def test_corpus_prefetch_stress_jitter_parity(tmp_path):
+    """30 tracks with RANDOM per-call reader/writer delays: whatever
+    thread interleaving the jitter produces, the prefetching run's
+    stems and journal must equal the synchronous run's (order, names,
+    bytes). Guards the loader against timing-dependent reordering."""
+    from zen_tpu.drivers.corpus import separate_corpus
+    from zen_tpu.runtime.checkpoint import ProgressJournal
+
+    n = 30
+    store = _store(n, length=220, seed=21)
+    mesh = make_mesh({"dp": 2, "sp": 1})
+    delay_rng = np.random.default_rng(77)
+
+    def run(prefetch, tag, jitter):
+        out = {}
+
+        def reader(p):
+            if jitter:
+                time.sleep(float(delay_rng.uniform(0, 0.01)))
+            return store[p]
+
+        def writer(p, fs, a):
+            if jitter:
+                time.sleep(float(delay_rng.uniform(0, 0.004)))
+            out[os.path.basename(p)] = np.asarray(a).copy()
+
+        res = separate_corpus(
+            sorted(store), str(tmp_path / tag), mesh, hop_h=16, hop_p=8,
+            reader=reader, writer=writer, prefetch=prefetch,
+        )
+        assert res["processed"] == n
+        j = ProgressJournal(str(tmp_path / tag / "progress.jsonl"))
+        assert all(j.is_done(p) for p in store)
+        return out
+
+    base = run(0, "sync", jitter=False)
+    jittered = run(3, "jit", jitter=True)
+    assert base.keys() == jittered.keys() and len(base) == 3 * n
+    for k in base:
+        np.testing.assert_array_equal(base[k], jittered[k], err_msg=k)
