@@ -497,3 +497,47 @@ def test_process_blocked_matches_process():
         w, g = np.asarray(w), np.asarray(g)
         scale = max(1.0, np.abs(w).max())
         np.testing.assert_allclose(g / scale, w / scale, atol=1e-4)
+
+
+def test_short_track_long_filter_matches_oracle():
+    """Frame count BELOW the time filter's reach (high fs, small hop,
+    short clip: l_harm=247 taps over 148 frames) — the reference's
+    always-stft_width-tall sliding matrix handles this implicitly; the
+    batched form must too (regression: tap_stack crashed on it; found
+    by randomized fuzzing, round 3)."""
+    fs, hop, L = 29673.0, 8, 1174
+    rng = np.random.default_rng(4)
+    audio = (
+        0.3 * np.sin(2 * np.pi * 300 * np.arange(L) / fs)
+        + 0.1 * rng.standard_normal(L)
+    ).astype(np.float32)
+    cfg = HPRConfig(
+        fs=fs, hop=hop, beta=1.17, causal=True, border="valid",
+        outputs=OUTPUT_ALL, fast_rfft=False, soft_mask=True,
+    )
+    assert len(cfg.time_offsets) > L // hop  # the degenerate premise
+    want = oracle_offline_pass(audio, cfg)
+    got = hpr_separate(audio, cfg)
+    for k in ("harmonic", "percussive", "residual"):
+        assert_close(got[k], want[k])
+
+
+@pytest.mark.slow
+def test_fuzz_parity_instrument_smoke():
+    """The randomized sweep instrument (scripts/fuzz_parity.py) runs
+    end to end on a few cases — the extended-fuzz harness that caught
+    the short-track/long-filter crash stays runnable."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "fuzz_parity.py"),
+         "3", "3"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
+    assert "PARITY SWEEP PASS" in r.stdout

@@ -229,3 +229,27 @@ def test_sliding_mean_tree_matches_direct_taps():
     assert np.isinf(got[:9]).all()
     assert np.isfinite(got[9:]).all()
     assert not np.isnan(got).any()
+
+
+def test_shift_zero_offset_beyond_extent():
+    """|offset| >= axis extent: the whole tap is boundary fill (found
+    by randomized engine-vs-oracle fuzzing — the slice-then-pad built a
+    wrong-length array and the tap stack failed shape-checking)."""
+    import numpy as np
+
+    from zen_tpu.ops.median import sliding_median, tap_stack
+
+    x = jnp.arange(12.0).reshape(3, 4)
+    # rows: extent 3; offsets reach past it in both directions
+    taps = tap_stack(x, (-5, -3, 0, 3, 7), axis=0, boundary="zero", fill=9.0)
+    assert taps.shape == (5, 3, 4)
+    np.testing.assert_array_equal(np.asarray(taps[0]), np.full((3, 4), 9.0))
+    np.testing.assert_array_equal(np.asarray(taps[1]), np.full((3, 4), 9.0))
+    np.testing.assert_array_equal(np.asarray(taps[2]), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(taps[3]), np.full((3, 4), 9.0))
+    np.testing.assert_array_equal(np.asarray(taps[4]), np.full((3, 4), 9.0))
+    med = sliding_median(x, (-4, 0, 4), axis=0, boundary="zero", fill=0.0)
+    # median(fill, x, fill) with fill=0 and x>=0 is elementwise min(x, ...)
+    np.testing.assert_array_equal(
+        np.asarray(med), np.minimum(np.asarray(x), 0.0) + 0.0
+    )

@@ -73,6 +73,16 @@ def _shift_zero(
     n = x.shape[axis]
     if off == 0:
         return x
+    if abs(off) >= n:
+        # the whole shifted window is out of range: every element sees
+        # the boundary fill. Happens for short tracks whose frame count
+        # is below the time filter's reach (the reference's sliding
+        # matrix is always stft_width tall, so it would likewise hand
+        # the filter only zero-prefill rows there). Without this case
+        # the slice-then-pad below builds a |off|-length array and the
+        # tap stack fails shape-checking (found by randomized
+        # engine-vs-oracle fuzzing, round 3).
+        return jnp.full_like(x, fill)
     pad = [(0, 0)] * x.ndim
     if off > 0:
         sl = [slice(None)] * x.ndim
