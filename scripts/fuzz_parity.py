@@ -100,13 +100,62 @@ def run_sweep(seed: int, n_cases: int) -> tuple:
     return ran, skipped
 
 
+def run_blocked_sweep(seed: int, n_cases: int) -> tuple:
+    """Blocked-vs-unblocked driver parity on random configs AND random
+    block sizes — the blocked path's guard/halo arithmetic has its own
+    corner space (40/40 on the round-3 run, incl. short-track cases
+    where the halo exceeds the track)."""
+    from zen_tpu.drivers.offline import hpr_separate_blocked
+
+    rng = np.random.default_rng(seed)
+    ran = skipped = 0
+    for case in range(n_cases):
+        fs = float(rng.integers(800, 48001))
+        hop = int(rng.choice([8, 16, 32, 64]))
+        border = str(rng.choice(["wrap", "valid", "replicate"]))
+        causal = bool(rng.integers(2))
+        variant = str(rng.choice(["hard", "soft", "sse"]))
+        beta = float(rng.uniform(1.0, 3.5))
+        length = int(rng.integers(300, 4000))
+        bf = int(rng.choice([2, 4, 8, 16, 64]))
+        audio = (0.5 * rng.standard_normal(length)).astype(np.float32)
+        desc = (
+            f"blocked case {case}: fs={fs:.0f} hop={hop} border={border} "
+            f"causal={causal} variant={variant} beta={beta:.2f} "
+            f"L={length} bf={bf}"
+        )
+        try:
+            cfg = HPRConfig(
+                fs=fs, hop=hop, beta=beta, causal=causal, border=border,
+                outputs=OUTPUT_ALL, fast_rfft=False,
+                soft_mask=(variant == "soft"), use_sse=(variant == "sse"),
+            )
+        except (ZenError, ValueError) as e:
+            skipped += 1
+            print(f"{desc} -> validated reject: {e}", flush=True)
+            continue
+        want = hpr_separate(audio, cfg)
+        got = hpr_separate_blocked(audio, cfg, block_frames=bf)
+        for k in STEMS:
+            w = np.nan_to_num(np.asarray(want[k]), posinf=0, neginf=0)
+            g = np.nan_to_num(np.asarray(got[k]), posinf=0, neginf=0)
+            scale = max(1.0, np.abs(w).max())
+            err = np.abs(g - w).max() / scale
+            assert err < 1e-4, f"{desc} stem={k} relerr={err:.2e}"
+        ran += 1
+        print(f"{desc} -> OK", flush=True)
+    return ran, skipped
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    ran, skipped = run_sweep(seed, n_cases)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "oracle"
+    sweep = run_blocked_sweep if mode == "blocked" else run_sweep
+    ran, skipped = sweep(seed, n_cases)
     print(
         f"PARITY SWEEP PASS: {ran} ran, {skipped} validated-rejected "
-        f"(seed={seed})",
+        f"(seed={seed}, mode={mode})",
         flush=True,
     )
     return 0
