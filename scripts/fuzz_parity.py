@@ -239,10 +239,77 @@ def run_sharded_sweep(seed: int, n_cases: int) -> tuple:
     return ran, skipped
 
 
+def run_twopass_sweep(seed: int, n_cases: int) -> tuple:
+    """Full HPRIOffline 2-pass cascade vs the oracle cascade
+    (pass 1 -> percussive+residual intermediate -> pass 2,
+    hps.cu:128-221) on random hop pairs (hop_h a multiple of hop_p,
+    the reference ctor constraint), borders, betas, and lengths —
+    covers the truncate-between-passes and lag-compensation logic
+    (25/25 on the round-3 run)."""
+    from zen_tpu import (
+        HPRIOffline,
+        OUTPUT_PERCUSSIVE,
+        OUTPUT_RESIDUAL,
+    )
+
+    rng = np.random.default_rng(seed)
+    ran = skipped = 0
+    for case in range(n_cases):
+        fs = float(rng.integers(800, 24001))
+        hop_p = int(rng.choice([8, 16]))
+        hop_h = hop_p * int(rng.choice([2, 4, 8]))
+        border = str(rng.choice(["wrap", "valid", "replicate"]))
+        beta_h = float(rng.uniform(1.2, 3.2))
+        beta_p = float(rng.uniform(1.2, 3.2))
+        length = int(rng.integers(300, 2500))
+        audio = (0.5 * rng.standard_normal(length)).astype(np.float32)
+        desc = (
+            f"twopass case {case}: fs={fs:.0f} hops={hop_h}/{hop_p} "
+            f"border={border} betas={beta_h:.2f}/{beta_p:.2f} L={length}"
+        )
+        try:
+            sep = HPRIOffline(
+                fs, hop_h, hop_p, beta_h, beta_p, border=border
+            )
+            sep.cfg_h = dataclasses.replace(sep.cfg_h, fast_rfft=False)
+            sep.cfg_p = dataclasses.replace(sep.cfg_p, fast_rfft=False)
+            cfg_h = HPRConfig(
+                fs=fs, hop=hop_h, beta=beta_h, causal=False,
+                border=border, outputs=OUTPUT_ALL, fast_rfft=False,
+            )
+            cfg_p = HPRConfig(
+                fs=fs, hop=hop_p, beta=beta_p, causal=False,
+                border=border,
+                outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
+                fast_rfft=False,
+            )
+        except (ZenError, ValueError) as e:
+            skipped += 1
+            print(f"{desc} -> validated reject: {e}", flush=True)
+            continue
+        h, p, r = sep.process(audio)
+        pass1 = oracle_offline_pass(audio, cfg_h)
+        inter = pass1["percussive"] + pass1["residual"]
+        pass2 = oracle_offline_pass(inter, cfg_p)
+        for tag, g, w in (
+            ("harm", h, pass1["harmonic"]),
+            ("perc", p, pass2["percussive"]),
+            ("res", r, pass2["residual"]),
+        ):
+            g, w = np.asarray(g), np.asarray(w)
+            scale = max(np.abs(w).max(), 1e-3)
+            err = np.abs(g - w).max() / scale
+            assert err < RTOL, f"{desc} {tag} relerr={err:.2e}"
+        ran += 1
+        print(f"{desc} -> OK", flush=True)
+    return ran, skipped
+
+
 _MODES = {
     "oracle": run_sweep,
     "blocked": run_blocked_sweep,
     "sharded": run_sharded_sweep,
+    "twopass": run_twopass_sweep,
 }
 
 
