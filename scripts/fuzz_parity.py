@@ -305,11 +305,63 @@ def run_twopass_sweep(seed: int, n_cases: int) -> tuple:
     return ran, skipped
 
 
+def run_tp_sweep(seed: int, n_cases: int) -> tuple:
+    """Frequency-TP (partial-DFT) parity on the virtual mesh: random
+    configs x tp widths vs the unsharded pass; bin-halo configs that
+    cannot shard must reject cleanly (19 exact + 1 clean reject on the
+    round-3 run). Wrap border only (the TP window is circular)."""
+    from zen_tpu.parallel.mesh import make_mesh
+    from zen_tpu.parallel.sharded import tp_separate
+
+    rng = np.random.default_rng(seed)
+    ran = skipped = 0
+    for case in range(n_cases):
+        fs = float(rng.integers(800, 24001))
+        hop = int(rng.choice([16, 32, 64]))
+        causal = bool(rng.integers(2))
+        variant = str(rng.choice(["hard", "soft"]))
+        beta = float(rng.uniform(1.2, 3.2))
+        length = int(rng.integers(500, 2500))
+        tp = int(rng.choice([2, 4, 8]))
+        audio = (0.5 * rng.standard_normal(length)).astype(np.float32)
+        desc = (
+            f"tp case {case}: fs={fs:.0f} hop={hop} causal={causal} "
+            f"variant={variant} beta={beta:.2f} L={length} tp={tp}"
+        )
+        try:
+            cfg = HPRConfig(
+                fs=fs, hop=hop, beta=beta, causal=causal, border="wrap",
+                outputs=OUTPUT_ALL, fast_rfft=False,
+                soft_mask=(variant == "soft"),
+            )
+        except (ZenError, ValueError) as e:
+            skipped += 1
+            print(f"{desc} -> validated reject: {e}", flush=True)
+            continue
+        mesh = make_mesh({"tp": tp})
+        want = hpr_separate(audio, cfg)
+        try:
+            got = tp_separate(audio, cfg, mesh)
+        except ZenError as e:
+            skipped += 1
+            print(f"{desc} -> validated reject: {e}", flush=True)
+            continue
+        for k in STEMS:
+            w, g = np.asarray(want[k]), np.asarray(got[k])
+            scale = max(1.0, np.abs(w).max())
+            err = np.abs(g - w).max() / scale
+            assert err < 1e-3, f"{desc} stem={k} relerr={err:.2e}"
+        ran += 1
+        print(f"{desc} -> OK", flush=True)
+    return ran, skipped
+
+
 _MODES = {
     "oracle": run_sweep,
     "blocked": run_blocked_sweep,
     "sharded": run_sharded_sweep,
     "twopass": run_twopass_sweep,
+    "tp": run_tp_sweep,
 }
 
 
