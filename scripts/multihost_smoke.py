@@ -19,9 +19,17 @@ devices per process via --xla_force_host_platform_device_count) and:
      resumes — previously-done tracks are skipped and final stems
      still byte-match the golden run.
 
+A separate --cli leg drives the PRODUCT surface end-to-end: each
+worker process is `python -m zen_tpu.cli corpus --coordinator
+localhost:P --nprocs 2 --proc-id I ...` (the round-3 CLI bootstrap),
+and the resulting stems must byte-match a single-process CLI run of
+the same global mesh — multi-host is reachable by a user typing a
+command, not only by a Python caller.
+
 Usage:
   python scripts/multihost_smoke.py            # orchestrate everything
   python scripts/multihost_smoke.py --quick    # steps 1-3 only
+  python scripts/multihost_smoke.py --cli      # CLI-surface leg only
 (The worker entry point is internal: --worker I N PORT MODE ...)
 
 BASELINE configs[4] ("hours-long multi-track corpora over N hosts")
@@ -312,6 +320,97 @@ def orchestrate(quick: bool) -> int:
     return 0
 
 
+def _cli_worker_cmd(i, nprocs, port, corpus_dir, out_dir):
+    cmd = [
+        sys.executable,
+        "-m",
+        "zen_tpu.cli",
+        "corpus",
+        "-i",
+        os.path.join(corpus_dir, "*.wav"),
+        "-o",
+        out_dir,
+        "--hps",
+        str(HOP_H),
+        "2.0",
+        str(HOP_P),
+        "2.0",
+        "--mesh",
+        "dp=2,sp=2",
+    ]
+    if nprocs > 1:
+        cmd += [
+            "--coordinator",
+            f"localhost:{port}",
+            "--nprocs",
+            str(nprocs),
+            "--proc-id",
+            str(i),
+        ]
+    return cmd
+
+
+def cli_leg() -> int:
+    """Product-surface leg: the multi-host corpus run driven purely by
+    the shipped CLI (`zen corpus --coordinator ... --nprocs N
+    --proc-id I`), byte-compared against a single-process CLI run of
+    the same dp2 x sp2 global mesh."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="zen_mh_cli_")
+    corpus_dir = os.path.join(work, "corpus")
+    _make_corpus(corpus_dir)
+    port = 29000 + (os.getpid() % 1000)
+
+    def env(n_devs):
+        e = _worker_env(n_devs)
+        e["ZEN_TPU_PLATFORM"] = "cpu"  # CLI's explicit backend knob
+        return e
+
+    golden_dir = os.path.join(work, "golden")
+    r = subprocess.run(
+        _cli_worker_cmd(0, 1, port, corpus_dir, golden_dir),
+        env=env(N_PROCS * DEVS_PER_PROC),
+        capture_output=True,
+        timeout=900,
+    )
+    if r.returncode != 0:
+        print(r.stdout.decode(), r.stderr.decode())
+        return 1
+    golden = _stems(golden_dir)
+    assert len(golden) == 12, sorted(golden)
+    print(f"cli golden run ok: {len(golden)} stems", flush=True)
+
+    mh_dir = os.path.join(work, "multihost")
+    procs = [
+        subprocess.Popen(
+            _cli_worker_cmd(i, N_PROCS, port + 1, corpus_dir, mh_dir),
+            env=env(DEVS_PER_PROC),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(N_PROCS)
+    ]
+    outs = _wait_workers(procs)
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            print(f"--- cli worker {i} ---\n{o}")
+            return 1
+    assert any('"metric": "corpus_tracks"' in o for o in outs), outs
+    mh = _stems(mh_dir)
+    assert set(mh) == set(golden), (sorted(mh), sorted(golden))
+    diff = [f for f in golden if mh[f] != golden[f]]
+    assert not diff, f"CLI multihost stems differ from single-process: {diff}"
+    print(
+        f"cli multihost run ok: {len(mh)} stems byte-match the "
+        "single-process CLI run",
+        flush=True,
+    )
+    shutil.rmtree(work)
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
@@ -321,9 +420,12 @@ def main() -> int:
     ap.add_argument("--corpus-dir", default="")
     ap.add_argument("--out-dir", default="")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cli", action="store_true")
     args = ap.parse_args()
     if args.worker:
         return worker_main(args)
+    if args.cli:
+        return cli_leg()
     return orchestrate(args.quick)
 
 

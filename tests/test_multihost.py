@@ -64,3 +64,14 @@ def test_multihost_kill_and_resume():
     r = _run_smoke()
     assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
     assert "resume ok" in r.stdout, r.stdout
+
+
+@pytest.mark.multihost
+def test_multihost_cli_surface():
+    """The PRODUCT surface: `zen corpus --coordinator ... --nprocs 2
+    --proc-id I` workers (the round-3 CLI bootstrap) byte-match a
+    single-process CLI run — multi-host is reachable by a user typing
+    a command, not only by a Python caller."""
+    r = _run_smoke("--cli")
+    assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
+    assert "byte-match the single-process CLI run" in r.stdout, r.stdout

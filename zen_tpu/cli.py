@@ -545,6 +545,38 @@ def cmd_corpus(args) -> int:
     if not paths:
         print("no input tracks matched", file=sys.stderr)
         return 1
+    if args.nprocs > 1:
+        # multi-host bootstrap (BASELINE configs[4]: corpora over N>=2
+        # hosts): join the jax.distributed cluster BEFORE any device
+        # query so make_mesh sees the global device set. Every process
+        # runs this same command with its own --proc-id; the corpus
+        # driver already handles the rest (replicated batches, only
+        # process 0 writes stems/journal — drivers/corpus.py).
+        if not args.coordinator:
+            print(
+                "corpus: --nprocs needs --coordinator HOST:PORT",
+                file=sys.stderr,
+            )
+            return 1
+        if not 0 <= args.proc_id < args.nprocs:
+            print(
+                f"corpus: --proc-id {args.proc_id} outside 0..{args.nprocs - 1}",
+                file=sys.stderr,
+            )
+            return 1
+        import jax
+
+        from .parallel.mesh import distributed_init
+
+        distributed_init(args.coordinator, args.nprocs, args.proc_id)
+        if jax.process_count() != args.nprocs:
+            print(
+                f"corpus: distributed bootstrap failed "
+                f"(process_count={jax.process_count()}, "
+                f"expected {args.nprocs})",
+                file=sys.stderr,
+            )
+            return 1
     if args.mesh:
         axes, err = _parse_mesh_axes(args.mesh, ("dp", "sp"))
         if err:
@@ -737,6 +769,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="decode N tracks ahead and encode stems on a background "
         "thread, overlapping host IO with device compute (0 = "
         "synchronous IO; default 2)",
+    )
+    cor.add_argument(
+        "--coordinator", default="", metavar="HOST:PORT",
+        help="multi-host run: coordinator address (same on every "
+        "process); run this command once per host with its --proc-id",
+    )
+    cor.add_argument(
+        "--nprocs", type=int, default=1,
+        help="multi-host run: total process count",
+    )
+    cor.add_argument(
+        "--proc-id", type=int, default=0,
+        help="multi-host run: this process's rank (0..nprocs-1)",
     )
     cor.set_defaults(func=cmd_corpus)
 
