@@ -442,6 +442,45 @@ def test_scaling_instrument_runs():
     assert 0.0 < data["value"] < 4.0  # sane ratio, not garbage
 
 
+@pytest.mark.slow
+def test_serving_bound_instrument_runs(tmp_path):
+    """benches/serving_bound.py must stay runnable (it is the
+    decomposition instrument for the 512-stream serving dip in
+    SCALING_r03.json): tiny CPU sweep, artifact written, legs sum
+    to the full step by construction."""
+    import json as json_mod
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = str(tmp_path / "sb.json")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "benches", "serving_bound.py"),
+            "--streams", "2", "--hop", "32", "--block-hops", "4",
+            "--fs", "8000", "--n1", "4", "--n2", "8", "--out", out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
+    data = json_mod.loads(open(out).read())
+    legs = data["legs_us_per_step"]["2"]
+    assert set(legs) == {"full", "transform", "median", "rest"}
+    assert legs["full"] > 0
+    assert legs["full"] == pytest.approx(
+        legs["transform"] + legs["median"] + legs["rest"], abs=1e-6
+    )
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    assert json_mod.loads(line)["metric"] == "serving_bound_full_2streams"
+
+
 def test_midtrack_checkpoint_resume_single_device(tmp_path):
     """Mid-track crash/resume (round-2 verdict #2): kill the blocked
     scan after 2 durable segments, resume, and the stems must
