@@ -15,7 +15,8 @@ median (ops/median.py::_shift_zero) — now fixed and regression-pinned
 a fresh seed each round; it is cheap insurance against config-space
 corners the fixed grid misses.
 
-Usage: python scripts/fuzz_parity.py [seed] [n_cases]
+Usage: python scripts/fuzz_parity.py [seed] [n_cases] [mode]
+Modes: oracle (default), blocked, sharded, twopass, tp, serving.
 """
 from __future__ import annotations
 
@@ -356,12 +357,95 @@ def run_tp_sweep(seed: int, n_cases: int) -> tuple:
     return ran, skipped
 
 
+def run_serving_sweep(seed: int, n_cases: int) -> tuple:
+    """MultiStreamHPR (the serving driver) vs C independent
+    HPRRealtime streams on random configs, stream counts, and block
+    sizes — plus, on half the cases, a random mid-run
+    ``reset_streams`` of a random slot subset: reset slots must
+    reproduce fresh streams from the reset point on, untouched slots
+    must continue unperturbed (the determinism contract of reference
+    hps.h:296-321 extended to the serving axis)."""
+    from zen_tpu.drivers.realtime import MultiStreamHPR
+
+    rng = np.random.default_rng(seed)
+    ran = skipped = 0
+    for case in range(n_cases):
+        fs = float(rng.integers(800, 48001))
+        hop = int(rng.choice([8, 16, 32]))
+        border = str(rng.choice(["wrap", "valid", "replicate"]))
+        variant = str(rng.choice(["hard", "soft", "sse"]))
+        beta = float(rng.uniform(1.0, 3.5))
+        n_ch = int(rng.integers(2, 6))
+        b = int(rng.choice([2, 4, 8]))
+        n_blocks = int(rng.integers(2, 6))
+        reset_at = int(rng.integers(1, n_blocks)) if rng.integers(2) else 0
+        reset_idx = (
+            sorted(
+                int(i)
+                for i in rng.choice(
+                    n_ch, size=int(rng.integers(1, n_ch)), replace=False
+                )
+            )
+            if reset_at
+            else []
+        )
+        desc = (
+            f"serving case {case}: fs={fs:.0f} hop={hop} border={border} "
+            f"variant={variant} beta={beta:.2f} C={n_ch} b={b} "
+            f"blocks={n_blocks} reset@{reset_at}={reset_idx}"
+        )
+        kw = dict(
+            border=border,
+            soft_mask=(variant == "soft"),
+            use_sse=(variant == "sse"),
+        )
+        try:
+            ms = MultiStreamHPR(n_ch, fs, hop, beta, **kw)
+        except (ZenError, ValueError) as e:
+            skipped += 1
+            print(f"{desc} -> validated reject: {e}", flush=True)
+            continue
+        audio = (
+            0.5 * rng.standard_normal((n_ch, n_blocks * b * hop))
+        ).astype(np.float32)
+        blocks = audio.reshape(n_ch, n_blocks, b, hop)
+        outs = []
+        for k in range(n_blocks):
+            if reset_idx and k == reset_at:
+                ms.reset_streams(reset_idx)
+            outs.append(np.asarray(ms.process_block(blocks[:, k])))
+        multi = np.concatenate(outs, axis=-1)  # [C, 3, L]
+        cut = reset_at * b * hop
+        for c in range(n_ch):
+            rt = HPRRealtime(fs, hop, beta, **kw)
+            if c in reset_idx:
+                pre = np.asarray(
+                    rt.process_stream(audio[c][:cut], block_hops=b)
+                )
+                fresh = HPRRealtime(fs, hop, beta, **kw)
+                post = np.asarray(
+                    fresh.process_stream(audio[c][cut:], block_hops=b)
+                )
+                want = np.concatenate([pre, post], axis=-1)
+            else:
+                want = np.asarray(
+                    rt.process_stream(audio[c], block_hops=b)
+                )
+            scale = max(1.0, np.abs(want).max())
+            err = np.abs(multi[c] - want).max() / scale
+            assert err < 1e-4, f"{desc} stream={c} relerr={err:.2e}"
+        ran += 1
+        print(f"{desc} -> OK", flush=True)
+    return ran, skipped
+
+
 _MODES = {
     "oracle": run_sweep,
     "blocked": run_blocked_sweep,
     "sharded": run_sharded_sweep,
     "twopass": run_twopass_sweep,
     "tp": run_tp_sweep,
+    "serving": run_serving_sweep,
 }
 
 
