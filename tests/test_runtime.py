@@ -474,8 +474,10 @@ def test_serving_bound_instrument_runs(tmp_path):
     legs = data["legs_us_per_step"]["2"]
     assert set(legs) == {"full", "transform", "median", "rest"}
     assert legs["full"] > 0
+    # legs are rounded to 2 decimals in the artifact, so the sum can
+    # drift from the rounded full by up to 4 half-ulps of the quantum
     assert legs["full"] == pytest.approx(
-        legs["transform"] + legs["median"] + legs["rest"], abs=1e-6
+        legs["transform"] + legs["median"] + legs["rest"], abs=0.021
     )
     line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
     assert json_mod.loads(line)["metric"] == "serving_bound_full_2streams"
