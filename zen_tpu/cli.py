@@ -41,6 +41,33 @@ def _add_common(p):
     p.add_argument("--nocopybord", action="store_true")
 
 
+def _add_impl_flags(p):
+    """The op-seam performance knobs (docs/PERFORMANCE.md): the
+    precision ladder of the MXU transform path and the median kernel
+    selection — product-reachable, not library-only."""
+    p.add_argument(
+        "--fft-impl",
+        choices=("auto", "xla", "dft", "dft_bf16", "dft_f32"),
+        default="auto",
+        help="transform seam: 'dft_bf16' trades ~4e-3 rel err for "
+        "~35%% more serving throughput; 'dft_f32' is exact-precision "
+        "verification; default 'auto' picks per workload",
+    )
+    p.add_argument(
+        "--median-impl",
+        choices=("auto", "xla", "pallas"),
+        default="auto",
+        help="median kernel seam ('auto' = Pallas kernels on TPU)",
+    )
+
+
+def _impl_kw(args):
+    return dict(
+        fft_impl=getattr(args, "fft_impl", "auto"),
+        median_impl=getattr(args, "median_impl", "auto"),
+    )
+
+
 def _echo(lines):
     print("\n".join(lines))
 
@@ -98,6 +125,7 @@ def cmd_offline(args) -> int:
             use_sse=args.sse,
             soft_mask=args.soft_mask,
             strict_ref=args.strict_ref,
+            **_impl_kw(args),
         )
         # overlap-save for long tracks (the batched form's
         # spectrogram costs ~160 floats of HBM per SAMPLE — duration
@@ -197,6 +225,7 @@ def cmd_fakert(args) -> int:
             border=_border(args),
             use_sse=args.sse,
             soft_mask=args.soft_mask,
+            **_impl_kw(args),
         )
         block_hops = max(1, int(args.block_hops))
         tail = n_hops % block_hops
@@ -370,6 +399,7 @@ def cmd_stream(args) -> int:
         border=_border(args),
         use_sse=args.sse,
         soft_mask=args.soft_mask,
+        **_impl_kw(args),
     )
     mesh = None
     mesh_desc = ""
@@ -674,6 +704,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="bit-compatible reference quirks: pass-2 residual stem is "
         "silence, exactly like the upstream GPU binary (hps.cu:200-204)",
     )
+    _add_impl_flags(off)
     off.set_defaults(func=cmd_offline)
 
     frt = sub.add_parser(
@@ -694,6 +725,7 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         help="hops per device dispatch (TPU streaming granularity)",
     )
+    _add_impl_flags(frt)
     frt.set_defaults(func=cmd_fakert)
 
     for name, func, helptext in (
@@ -739,6 +771,7 @@ def build_parser() -> argparse.ArgumentParser:
     stp.add_argument("--sse", action="store_true")
     stp.add_argument("--soft-mask", action="store_true")
     stp.add_argument("--nocopybord", action="store_true")
+    _add_impl_flags(stp)
     stp.set_defaults(func=cmd_stream)
 
     cor = sub.add_parser(

@@ -445,6 +445,8 @@ class HPRIOffline:
         use_sse: bool = False,
         soft_mask: bool = False,
         strict_ref: bool = False,
+        fft_impl: str = "auto",
+        median_impl: str = "auto",
     ):
         """strict_ref=True reproduces the reference GPU binary's
         residual quirk bit-for-bit: its pass-2 engine is constructed
@@ -463,6 +465,8 @@ class HPRIOffline:
             border=border,
             use_sse=use_sse,
             soft_mask=soft_mask,
+            fft_impl=fft_impl,
+            median_impl=median_impl,
         )
         self.strict_ref = bool(strict_ref)
         self.cfg_h = HPRConfig(

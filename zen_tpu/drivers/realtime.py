@@ -175,6 +175,8 @@ class HPRRealtime:
         border: str = "wrap",
         use_sse: bool = False,
         soft_mask: bool = False,
+        fft_impl: str = "auto",
+        median_impl: str = "auto",
     ):
         from ..engine.config import OUTPUT_ALL
 
@@ -187,6 +189,8 @@ class HPRRealtime:
             outputs=outputs or OUTPUT_ALL,
             use_sse=use_sse,
             soft_mask=soft_mask,
+            fft_impl=fft_impl,
+            median_impl=median_impl,
         )
         self.state = init_state(self.cfg)
         self._last = np.zeros((3, hop), np.float32)
