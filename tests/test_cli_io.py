@@ -183,6 +183,8 @@ def test_corpus_cli_e2e(tmp_path):
     args = [
         "corpus", "-i", str(tmp_path / "t[0-9].wav"), "-o", str(out),
         "--hps", "64", "2.0", "16", "2.0", "--mesh", "dp=2,sp=2",
+        # the op-seam knobs must reach the corpus driver's configs too
+        "--fft-impl", "dft_f32", "--median-impl", "xla",
     ]
     assert main(args) == 0
     for i in range(3):

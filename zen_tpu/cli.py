@@ -638,6 +638,7 @@ def cmd_corpus(args) -> int:
         beta_p=beta_p,
         pp=bool(getattr(args, "pp", False)),
         prefetch=max(0, int(getattr(args, "prefetch", 2))),
+        **_impl_kw(args),
     )
     print(json.dumps({"metric": "corpus_tracks", **res}))
     return 0
@@ -816,6 +817,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--proc-id", type=int, default=0,
         help="multi-host run: this process's rank (0..nprocs-1)",
     )
+    _add_impl_flags(cor)
     cor.set_defaults(func=cmd_corpus)
 
     syn = sub.add_parser(

@@ -43,6 +43,8 @@ def separate_corpus(
     pp: bool = False,
     pp_run: int = 8,
     prefetch: int = 2,
+    fft_impl: str = "auto",
+    median_impl: str = "auto",
 ):
     """Separate every track into 3 stems under out_dir, resumably.
 
@@ -112,6 +114,10 @@ def separate_corpus(
     if jax.process_index() != 0:
         journal = _NullJournalWrap(journal)
     n_dp = mesh.shape.get("dp", 1)
+    # the op-seam knobs flow into every config this driver builds
+    # (batched, blocked, pp) so a corpus run can pick the serving
+    # precision ladder / median kernel exactly like the other drivers
+    impl_kw = dict(fft_impl=fft_impl, median_impl=median_impl)
 
     # unique output stem names: tracks in different directories may
     # share a basename — disambiguate colliding ones with a short
@@ -188,7 +194,8 @@ def separate_corpus(
         for j, a in enumerate(batch_audio):
             batch[j, : len(a)] = a
         cfg_h = HPRConfig(
-            fs=fs, hop=hop_h, beta=beta_h, causal=False, outputs=OUTPUT_ALL
+            fs=fs, hop=hop_h, beta=beta_h, causal=False,
+            outputs=OUTPUT_ALL, **impl_kw
         )
         cfg_p = HPRConfig(
             fs=fs,
@@ -196,6 +203,7 @@ def separate_corpus(
             beta=beta_p,
             causal=False,
             outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
+            **impl_kw,
         )
         lengths = [len(a) for a in batch_audio] + [0] * (
             n_dp - len(batch_audio)
@@ -251,11 +259,11 @@ def separate_corpus(
 
             cfg_h = HPRConfig(
                 fs=fs, hop=hop_h, beta=beta_h, causal=False,
-                outputs=OUTPUT_ALL,
+                outputs=OUTPUT_ALL, **impl_kw,
             )
             cfg_p = HPRConfig(
                 fs=fs, hop=hop_p, beta=beta_p, causal=False,
-                outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
+                outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL, **impl_kw,
             )
             h, p, r = sharded_hpri_blocked(
                 audio, cfg_h, cfg_p, mesh,
@@ -281,7 +289,7 @@ def separate_corpus(
                 return
             from .offline import HPRIOffline
 
-            sep = HPRIOffline(fs, hop_h, hop_p, beta_h, beta_p)
+            sep = HPRIOffline(fs, hop_h, hop_p, beta_h, beta_p, **impl_kw)
             h, p, r = sep.process_blocked(
                 audio, ckpt_dir=ckpt_dir, tag=track_tag
             )
@@ -308,11 +316,11 @@ def separate_corpus(
         if fs not in _pipes:
             cfg_h = HPRConfig(
                 fs=fs, hop=hop_h, beta=beta_h, causal=False,
-                outputs=OUTPUT_ALL,
+                outputs=OUTPUT_ALL, **impl_kw,
             )
             cfg_p = HPRConfig(
                 fs=fs, hop=hop_p, beta=beta_p, causal=False,
-                outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
+                outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL, **impl_kw,
             )
             _pipes[fs] = PipelinedHPRIOffline(
                 cfg_h, cfg_p, devices=list(mesh.devices.flatten())
