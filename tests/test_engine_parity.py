@@ -225,7 +225,7 @@ def test_dft_fft_impl_matches_xla():
     rng = np.random.default_rng(11)
     audio = rng.standard_normal(6000).astype(np.float32)
     outs = {}
-    for impl in ("xla", "dft", "dft_f32"):
+    for impl in ("xla", "dft", "dft_f32", "dft_bf16"):
         cfg = HPRConfig(
             fs=8000.0, hop=64, causal=False, outputs=OUTPUT_ALL,
             fft_impl=impl,
@@ -239,6 +239,14 @@ def test_dft_fft_impl_matches_xla():
         )
         np.testing.assert_allclose(
             np.asarray(outs["dft"][k]) / scale, ref / scale, atol=3e-3
+        )
+        # the max-throughput 1-pass bf16 rung: ~4e-3 transform rel err
+        # on TPU (docs/PERFORMANCE.md ladder) — bound the stems loosely
+        # enough for hard-mask flips near the threshold, tight enough
+        # to catch scrambled packing/twiddles
+        np.testing.assert_allclose(
+            np.asarray(outs["dft_bf16"][k]) / scale, ref / scale,
+            atol=5e-2,
         )
 
 
