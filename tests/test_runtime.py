@@ -953,3 +953,46 @@ def test_corpus_sweeps_leaked_checkpoints_of_done_tracks(tmp_path):
     assert res["processed"] == 0 and res["done"] == 2
     for f in leaked:
         assert not os.path.exists(f), f
+
+
+def test_stream_state_donation_compiles_to_aliasing():
+    """The streaming steps donate their state pytree
+    (drivers/realtime.py); this must survive to compiled
+    input-output aliasing, or every step would allocate + copy the
+    full serving state (2x state HBM traffic per dispatch, silently).
+    Assert the compiled HLO aliases all three state leaves (ring,
+    feat_hist, ola_tail = params 0..2) for both the single- and the
+    multi-stream step."""
+    import re
+
+    import jax.numpy as jnp
+
+    from zen_tpu import HPRConfig
+    from zen_tpu.engine.config import OUTPUT_PERCUSSIVE
+    from zen_tpu.drivers.realtime import (
+        block_step,
+        block_step_multi,
+        init_state,
+    )
+
+    cfg = HPRConfig(fs=8000.0, hop=32, causal=True, outputs=OUTPUT_PERCUSSIVE)
+
+    state = init_state(cfg)
+    blk = jnp.zeros((4, 32), jnp.float32)
+    cases = [(block_step, state, blk)]
+
+    import jax
+
+    mstate = jax.vmap(lambda _: init_state(cfg))(jnp.arange(2))
+    mblk = jnp.zeros((2, 4, 32), jnp.float32)
+    cases.append((block_step_multi, mstate, mblk))
+
+    for fn, st, b in cases:
+        txt = fn.lower(cfg, st, b).compile().as_text()
+        m = re.search(r"input_output_alias=\{(.*?)\}\s*\}", txt, re.S)
+        assert m, "no input_output_alias in compiled HLO"
+        body = m.group(1)
+        for param in (0, 1, 2):
+            assert re.search(rf"\(\s*{param}\s*,", body), (
+                f"state leaf param {param} not aliased:\n{body}"
+            )
