@@ -37,6 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zen_tpu.runtime.platform import pin_platform
+
+pin_platform()  # shared policy: scrub axon alias, honor ZEN_TPU_PLATFORM
+
 BASELINE_US_PER_10MS = 160.0  # reference README.md:50
 FS = 44100.0
 HOP = 1024

@@ -34,6 +34,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from zen_tpu.runtime.platform import pin_platform  # noqa: E402
+
+pin_platform()  # shared policy: scrub axon alias, honor ZEN_TPU_PLATFORM
+
 
 def chain_time(f, x, n1=16, n2=128, repeats=5):
     """Output-chained device ms/call — delegates to the library's

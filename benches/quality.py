@@ -28,14 +28,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# honor the repo-standard platform pin (the axon plugin ignores
-# JAX_PLATFORMS): ZEN_TPU_PLATFORM=cpu makes the artifact hermetic;
-# unset runs on the default backend
-_plat = os.environ.get("ZEN_TPU_PLATFORM")
-if _plat:
-    import jax
+# repo-standard platform policy (ZEN_TPU_PLATFORM=cpu makes the
+# artifact hermetic; unset runs on the default backend)
+from zen_tpu.runtime.platform import pin_platform  # noqa: E402
 
-    jax.config.update("jax_platforms", _plat)
+pin_platform()
 
 from zen_tpu.io.synth import (  # noqa: E402
     make_hard_mixture,

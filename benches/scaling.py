@@ -40,15 +40,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# platform pin must precede jax import side effects (the axon plugin
-# ignores JAX_PLATFORMS; a forced host device count implies CPU intent)
-if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
-    import jax
+# repo-standard platform policy, pinned before jax import side
+# effects (a forced host device count implies CPU intent)
+from zen_tpu.runtime.platform import pin_platform  # noqa: E402
 
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass
+pin_platform()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

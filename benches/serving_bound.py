@@ -62,14 +62,14 @@ def main():
         help="override the long chain length (smoke runs)",
     )
     args = ap.parse_args()
+    if (args.n1 is None) != (args.n2 is None):
+        ap.error("--n1 and --n2 must be given together")
 
     import jax
 
-    # this image's axon TPU plugin ignores the JAX_PLATFORMS env var;
-    # honor it here (CPU smoke runs) by pinning via jax.config before
-    # the backend initializes
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from zen_tpu.runtime.platform import pin_platform
+
+    pin_platform()  # shared policy: ZEN_TPU_PLATFORM knob, axon scrub
 
     import jax.numpy as jnp
 
@@ -128,7 +128,7 @@ def main():
         # the chip_stream_curve's chain-length policy: small steps need
         # longer chains to lift the slope above readback noise
         n1, n2 = (64, 512) if samples < (1 << 20) else (16, 128)
-        if args.n1 and args.n2:
+        if args.n1 is not None and args.n2 is not None:
             n1, n2 = args.n1, args.n2
 
         rng = np.random.default_rng(0)

@@ -39,6 +39,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from zen_tpu.runtime.platform import pin_platform  # noqa: E402
+
+pin_platform()  # shared policy: scrub axon alias, honor ZEN_TPU_PLATFORM
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

@@ -40,13 +40,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# same platform pin the CLI honors (the axon plugin ignores
-# JAX_PLATFORMS; CI runs this harness on the CPU backend)
-_plat = os.environ.get("ZEN_TPU_PLATFORM")
-if _plat:
-    import jax
+# same platform policy the CLI honors (CI runs this harness on the
+# CPU backend via ZEN_TPU_PLATFORM=cpu)
+from zen_tpu.runtime.platform import pin_platform  # noqa: E402
 
-    jax.config.update("jax_platforms", _plat)
+pin_platform()
 
 STEMS = ("harm", "perc", "residual")
 SILENT_RMS = 1e-5  # below this (in +-1.0 normalized units) a stem is

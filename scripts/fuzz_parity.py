@@ -40,7 +40,9 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")  # oracle platform (conftest rule)
+from zen_tpu.runtime.platform import pin_platform  # noqa: E402
+
+pin_platform(force="cpu")  # oracle platform (conftest rule)
 
 from zen_tpu import HPRConfig, OUTPUT_ALL  # noqa: E402
 from zen_tpu.drivers.offline import hpr_separate  # noqa: E402

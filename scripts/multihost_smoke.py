@@ -103,7 +103,9 @@ def worker_main(args) -> int:
     sys.path.insert(0, REPO)
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    from zen_tpu.runtime.platform import pin_platform
+
+    pin_platform(force="cpu")
     if args.nprocs > 1:
         jax.distributed.initialize(
             f"localhost:{args.port}",

@@ -575,6 +575,15 @@ def cmd_corpus(args) -> int:
     if not paths:
         print("no input tracks matched", file=sys.stderr)
         return 1
+    if args.nprocs <= 1 and (args.coordinator or args.proc_id):
+        # the inverse omission (coordinator/proc-id but the default
+        # --nprocs 1) must not silently run N independent
+        # single-process separations against the same out_dir
+        print(
+            "corpus: --coordinator/--proc-id need --nprocs >= 2",
+            file=sys.stderr,
+        )
+        return 1
     if args.nprocs > 1:
         # multi-host bootstrap (BASELINE configs[4]: corpora over N>=2
         # hosts): join the jax.distributed cluster BEFORE any device
@@ -847,48 +856,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     import os
 
-    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
-        # this image exports JAX_PLATFORMS=axon globally, but the axon
-        # plugin's discovery silently fails under ANY PYTHONPATH
-        # setting (observed: only ['cpu','tpu'] register), which would
-        # crash every CLI command with "Unable to initialize backend
-        # 'axon'". The var cannot signal user intent here (it is
-        # exported for everyone); ZEN_TPU_PLATFORM below is the CLI's
-        # explicit knob. Importing zen_tpu already imported jax, so
-        # the env value is LATCHED into jax.config — rewrite the
-        # latched value to full auto whenever it names the axon alias
-        # (directly or in a list like 'axon,cpu'): auto-discovery
-        # picks the best registered backend in every case (axon/tpu
-        # when the plugin registered, cpu otherwise). An in-process
-        # caller that pinned its own platform has a non-axon config
-        # and is left untouched.
-        os.environ.pop("JAX_PLATFORMS", None)  # and for subprocesses
-        import jax
-
-        try:
-            latched = jax.config.jax_platforms or ""
-            if "axon" in latched.split(","):
-                jax.config.update("jax_platforms", None)
-        except (AttributeError, RuntimeError):
-            pass  # backend already initialized; nothing to fix
-
+    # one shared platform policy for every entry point (scrubs the
+    # image's global JAX_PLATFORMS=axon, honors ZEN_TPU_PLATFORM — the
+    # CLI's explicit backend knob — and virtual-mesh XLA_FLAGS)
+    from .runtime.platform import pin_platform
     from .runtime.xla_cache import enable_compilation_cache
 
+    pin_platform()
     enable_compilation_cache()
-    if os.environ.get("ZEN_TPU_PLATFORM"):
-        # explicit backend selection for the CLI. (Deliberately NOT
-        # JAX_PLATFORMS: accelerator plugins like axon ignore that env
-        # var AND this image exports it globally, so it cannot signal
-        # user intent — honoring it here would hijack in-process
-        # callers' platform.)
-        import jax
-
-        try:
-            jax.config.update(
-                "jax_platforms", os.environ["ZEN_TPU_PLATFORM"]
-            )
-        except RuntimeError:
-            pass
     if os.environ.get("ZEN_TPU_DEBUG_NANS"):
         # sanitizer analog (SURVEY.md §5.2): fail loudly on NaN/Inf in
         # any jitted computation (reference: cuda-memcheck CTest label)
