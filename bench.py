@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zen_tpu.runtime.platform import pin_platform
+from zen_tpu.runtime.platform import pin_platform, wait_for_device
 
 pin_platform()  # shared policy: scrub axon alias, honor ZEN_TPU_PLATFORM
 
@@ -227,6 +227,11 @@ def main():
     from zen_tpu.runtime.xla_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # Fail fast (with retries) instead of hanging forever when the
+    # axon tunnel is down — backend init is uninterruptible in-process.
+    if not wait_for_device():
+        log("FATAL: accelerator backend init timed out; not benchmarking")
+        sys.exit(3)
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
 

@@ -15,6 +15,19 @@ reference mounted at /root/reference), redesigned TPU-first:
   time-block sequence-parallel with halo exchange (zen_tpu/parallel).
 """
 
+import os as _os
+
+if _os.environ.get("ZEN_TPU_PLATFORM"):
+    # The repo's explicit platform knob (docs/API.md): honor it for
+    # plain library imports too, not just the CLI/bench entry points —
+    # on images that export JAX_PLATFORMS=axon globally, a library
+    # user asking for cpu would otherwise silently initialize the TPU
+    # plugin (and hang when the tunnel is down). Opt-in only: without
+    # the env var set, importing zen_tpu never touches jax config.
+    from .runtime.platform import pin_platform as _pin_platform
+
+    _pin_platform()
+
 from .engine.config import (  # noqa: F401
     OUTPUT_ALL,
     OUTPUT_HARMONIC,

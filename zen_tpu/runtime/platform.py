@@ -18,6 +18,9 @@ degrades to a no-op.
 from __future__ import annotations
 
 import os
+import subprocess
+import sys
+import time
 
 
 def pin_platform(force: str | None = None) -> str | None:
@@ -77,3 +80,70 @@ def pin_platform(force: str | None = None) -> str | None:
     except RuntimeError:
         return None  # backend already initialized (in-process caller)
     return choice
+
+
+def wait_for_device(
+    probe_timeout_s: float = 180.0,
+    retries: int = 3,
+    sleep_s: float = 90.0,
+    _probe_argv: list[str] | None = None,
+) -> bool:
+    """Fail-fast readiness probe for the accelerator backend.
+
+    The axon TPU relay can hang backend init indefinitely when the
+    tunnel is down (observed: ``jax.devices()`` parked in
+    clock_nanosleep for 10+ minutes) — a bench that touches the device
+    directly then hangs with no diagnostic instead of failing.  Backend
+    init cannot be interrupted in-process, so this probes it in a
+    SUBPROCESS under a timeout, retrying across transient congestion
+    windows.  Returns True once a probe initializes a backend; False
+    when every attempt timed out (callers should exit with a
+    diagnostic rather than proceed to a hang).
+
+    Skipped (immediately True) when the platform is already pinned to
+    cpu — the host backend cannot hang.  ``_probe_argv`` is a test
+    seam replacing the real probe command; supplying it also bypasses
+    the cpu short-circuit (the point of a fake probe is to exercise
+    the probe machinery).
+    """
+    if _probe_argv is None:
+        import jax
+
+        try:
+            if (jax.config.jax_platforms or "") == "cpu":
+                return True
+        except AttributeError:
+            pass
+        if os.environ.get("ZEN_TPU_PLATFORM") == "cpu":
+            return True
+
+    argv = _probe_argv or [
+        sys.executable,
+        "-c",
+        "import jax; jax.devices(); print('ZEN_PROBE_OK')",
+    ]
+    for attempt in range(1, retries + 1):
+        try:
+            # pin_platform() already scrubbed the axon alias from
+            # os.environ, which the probe inherits.
+            out = subprocess.run(
+                argv,
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout_s,
+            )
+            if _probe_argv is None and "ZEN_PROBE_OK" not in out.stdout:
+                raise subprocess.TimeoutExpired(argv, probe_timeout_s)
+            if _probe_argv is not None and out.returncode != 0:
+                raise subprocess.TimeoutExpired(argv, probe_timeout_s)
+            return True
+        except subprocess.TimeoutExpired:
+            print(
+                f"device probe {attempt}/{retries} timed out after "
+                f"{probe_timeout_s:.0f}s (axon tunnel down/congested?)",
+                file=sys.stderr,
+                flush=True,
+            )
+            if attempt < retries:
+                time.sleep(sleep_s)
+    return False
