@@ -101,9 +101,9 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
 
 def run(args) -> int:
     from zen_tpu.drivers.offline import HPRIOffline
-    from zen_tpu.io.audio import peak_normalize, read_wav_mono
+    from zen_tpu.io.audio import peak_normalize, read_audio_mono
 
-    fs, audio = read_wav_mono(args.mixture)
+    fs, audio = read_audio_mono(args.mixture)
     hps = (args.hps or []) + [None] * 4
     hop_h = int(hps[0]) if hps[0] is not None else 4096
     beta_h = float(hps[1]) if hps[1] is not None else 2.0
@@ -133,7 +133,7 @@ def run(args) -> int:
         if path is None:
             report["stems"][s] = {"status": "missing_ref"}
             continue
-        ref_fs, ref = read_wav_mono(path)
+        ref_fs, ref = read_audio_mono(path)
         if ref_fs != fs:
             # a sample-domain comparison at mismatched rates would
             # find a meaningless lag and report a garbage SNR —

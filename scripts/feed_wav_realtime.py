@@ -19,12 +19,12 @@ import numpy as np  # noqa: E402
 
 
 def main():
-    from zen_tpu.io.audio import read_wav_mono, write_wav_pcm16, peak_normalize
+    from zen_tpu.io.audio import read_audio_mono, write_wav_pcm16, peak_normalize
     from zen_tpu.runtime.stream import LiveStream
 
     infile, outfile = sys.argv[1], sys.argv[2]
     hop = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    fs, audio = read_wav_mono(infile)
+    fs, audio = read_audio_mono(infile)
     # cooperative (polled) mode: device dispatch stays on the main
     # thread (see LiveStream.poll); the producer pacing loop doubles
     # as the service loop

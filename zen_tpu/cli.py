@@ -74,7 +74,7 @@ def _echo(lines):
 
 def cmd_offline(args) -> int:
     from .drivers.offline import HPRIOffline
-    from .io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
+    from .io.audio import peak_normalize, read_audio_mono, write_audio_pcm16
 
     _echo(
         [
@@ -104,7 +104,7 @@ def cmd_offline(args) -> int:
         )
     _echo([f"\tcompute: tpu-native jax (border={_border(args)})"])
 
-    fs, audio = read_wav_mono(args.input)
+    fs, audio = read_audio_mono(args.input)
     _echo(
         [
             "Audio file info:",
@@ -166,8 +166,8 @@ def cmd_offline(args) -> int:
 
         names = ["perc"] if args.only_percussive else ["harm", "perc", "residual"]
         for name in names:
-            write_wav_pcm16(
-                f"{args.out_prefix}_{name}.wav",
+            write_audio_pcm16(
+                f"{args.out_prefix}_{name}.{args.stem_format}",
                 fs,
                 peak_normalize(np.asarray(stems[name])),
             )
@@ -177,7 +177,7 @@ def cmd_offline(args) -> int:
 def cmd_fakert(args) -> int:
     from .drivers.realtime import HPRRealtime
     from .engine.config import OUTPUT_PERCUSSIVE
-    from .io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
+    from .io.audio import peak_normalize, read_audio_mono, write_audio_pcm16
 
     hop, beta = 256, 2.0
     if args.hps is not None:
@@ -197,7 +197,7 @@ def cmd_fakert(args) -> int:
             f"\tcompute: tpu-native jax (border={_border(args)})",
         ]
     )
-    fs, audio = read_wav_mono(args.input)
+    fs, audio = read_audio_mono(args.input)
     _echo(
         [
             "Audio file info:",
@@ -256,7 +256,7 @@ def cmd_fakert(args) -> int:
         )
 
     if args.output:
-        write_wav_pcm16(args.output, fs, peak_normalize(out))
+        write_audio_pcm16(args.output, fs, peak_normalize(out))
     return 0
 
 
@@ -266,10 +266,10 @@ def cmd_pitch_track(args) -> int:
     from .apps.mpm import MPM
     from .drivers.realtime import HPRRealtime
     from .engine.config import OUTPUT_HARMONIC
-    from .io.audio import read_wav_mono
+    from .io.audio import read_audio_mono
 
     chunk = 4096
-    fs, audio = read_wav_mono(args.input)
+    fs, audio = read_audio_mono(args.input)
     print(f"Slicing wav file into chunks of {chunk} samples...")
     print("Audio file info:")
     print(f"\tsample rate: {fs}")
@@ -299,10 +299,10 @@ def cmd_beat_track(args) -> int:
     from .apps.btrack import frames_from_hops, odf_batch, track_beats_from_odf
     from .drivers.realtime import HPRRealtime
     from .engine.config import OUTPUT_PERCUSSIVE
-    from .io.audio import read_wav_mono
+    from .io.audio import read_audio_mono
 
     chunk = 256
-    fs, audio = read_wav_mono(args.input)
+    fs, audio = read_audio_mono(args.input)
     print(f"Slicing wav file into chunks of {chunk} samples...")
     print("Audio file info:")
     print(f"\tsample rate: {fs}")
@@ -647,6 +647,7 @@ def cmd_corpus(args) -> int:
         beta_p=beta_p,
         pp=bool(getattr(args, "pp", False)),
         prefetch=max(0, int(getattr(args, "prefetch", 2))),
+        stem_format=getattr(args, "stem_format", "wav"),
         **_impl_kw(args),
     )
     print(json.dumps({"metric": "corpus_tracks", **res}))
@@ -713,6 +714,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="bit-compatible reference quirks: pass-2 residual stem is "
         "silence, exactly like the upstream GPU binary (hps.cu:200-204)",
+    )
+    off.add_argument(
+        "--stem-format", choices=("wav", "flac"), default="wav",
+        help="stem container: PCM16 wav (reference behavior) or "
+        "lossless 16-bit FLAC (from-scratch encoder, ~half the size)",
     )
     _add_impl_flags(off)
     off.set_defaults(func=cmd_offline)
@@ -825,6 +831,10 @@ def build_parser() -> argparse.ArgumentParser:
     cor.add_argument(
         "--proc-id", type=int, default=0,
         help="multi-host run: this process's rank (0..nprocs-1)",
+    )
+    cor.add_argument(
+        "--stem-format", choices=("wav", "flac"), default="wav",
+        help="stem container: PCM16 wav or lossless 16-bit FLAC",
     )
     _add_impl_flags(cor)
     cor.set_defaults(func=cmd_corpus)

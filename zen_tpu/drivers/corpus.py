@@ -45,10 +45,14 @@ def separate_corpus(
     prefetch: int = 2,
     fft_impl: str = "auto",
     median_impl: str = "auto",
+    stem_format: str = "wav",
 ):
     """Separate every track into 3 stems under out_dir, resumably.
 
     reader(path) -> (fs, audio[np.float32]); writer(path, fs, audio).
+    ``stem_format`` ('wav'|'flac') picks the default writer's stem
+    container; a custom ``writer`` sees the chosen extension in the
+    path it is handed.
     Tracks are processed in dp-sized batches (shorter tracks are
     zero-padded to the batch max and truncated on write).
 
@@ -72,14 +76,16 @@ def separate_corpus(
     blocked path; multi-host runs reject pp (it is an intra-host
     2-device pattern — pods should use dp x sp instead).
     """
-    from ..io.audio import peak_normalize, read_wav_mono, write_wav_pcm16
+    from ..io.audio import peak_normalize, read_audio_mono, write_audio_pcm16
 
     import hashlib
 
     import jax
 
-    reader = reader or read_wav_mono
-    writer = writer or write_wav_pcm16
+    if stem_format not in ("wav", "flac"):
+        raise ValueError(f"stem_format must be wav|flac, got {stem_format!r}")
+    reader = reader or read_audio_mono
+    writer = writer or write_audio_pcm16
     multi_host = jax.process_count() > 1
     # multi-host: every process enters the collective flushes (all
     # hosts read the same tracks from the shared filesystem and build
@@ -168,7 +174,7 @@ def separate_corpus(
             base = bases[path]
             for stem, data in (("harm", h), ("perc", p), ("residual", r)):
                 writer(
-                    os.path.join(out_dir, f"{base}_{stem}.wav"),
+                    os.path.join(out_dir, f"{base}_{stem}.{stem_format}"),
                     fs,
                     peak_normalize(np.asarray(data)),
                 )

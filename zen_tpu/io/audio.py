@@ -1,7 +1,9 @@
 """Audio file IO.
 
 Replaces the reference's vendored libnyquist decode/encode
-(zen/offline.h:88-117, 193-253): wav read via scipy, stereo-to-mono
+(zen/offline.h:88-117, 193-253): wav read via scipy or the native
+codec, FLAC via the from-scratch decoder (native/zenflac.cpp fast
+path, zen_tpu/io/flac.py pure-Python fallback), stereo-to-mono
 averaging, per-stem peak normalization, PCM16 encode. Host-side file
 IO is not performance-critical (SURVEY.md §2.2); the streaming ring
 buffer for live input lives in zen_tpu/runtime (native C++).
@@ -10,6 +12,31 @@ from __future__ import annotations
 
 import numpy as np
 from scipy.io import wavfile
+
+
+def read_audio_mono(path: str):
+    """Load an audio file as float32 mono in [-1, 1] by sniffing the
+    container magic — the front door every driver/CLI input goes
+    through (the NyquistIO::Load analog, zen/offline.h:88-102).
+    Supports RIFF wav and FLAC."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        try:
+            from ..runtime import native
+
+            if native.flac_available():
+                fs, frames = native.flac_read(path)
+                x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
+                return fs, np.ascontiguousarray(x, np.float32)
+        except ValueError:
+            raise  # malformed file: don't mask it with the fallback
+        except Exception:
+            pass
+        from .flac import read_flac_mono
+
+        return read_flac_mono(path)
+    return read_wav_mono(path)
 
 
 def read_wav_mono(path: str):
@@ -56,3 +83,16 @@ def write_wav_pcm16(path: str, fs: int, x: np.ndarray) -> None:
     no dither — zen/offline.h:193-197)."""
     x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
     wavfile.write(path, fs, np.round(x * 32767.0).astype(np.int16))
+
+
+def write_audio_pcm16(path: str, fs: int, x: np.ndarray) -> None:
+    """16-bit encode routed by extension: ``.flac`` gets the
+    from-scratch lossless encoder (io/flac.py — stems at roughly half
+    the wav size), anything else PCM16 wav.  The write analog of
+    :func:`read_audio_mono`'s magic sniffing."""
+    if path.lower().endswith(".flac"):
+        from .flac import write_flac
+
+        write_flac(path, int(fs), np.asarray(x, np.float32), bits=16)
+    else:
+        write_wav_pcm16(path, fs, x)

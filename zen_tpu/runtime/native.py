@@ -21,11 +21,28 @@ _lib = None
 _build_attempted = False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than any native source
+    (a stale build would silently miss newer symbols like the flac
+    decoder; make is a no-op when already fresh)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    try:
+        built = os.path.getmtime(_LIB_PATH)
+        for name in os.listdir(_NATIVE_DIR):
+            if name.endswith((".cpp", ".h")) or name == "Makefile":
+                if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > built:
+                    return True
+    except OSError:
+        pass
+    return False
+
+
 def _load():
     global _lib, _build_attempted
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build_attempted:
+    if _stale() and not _build_attempted:
         _build_attempted = True
         try:
             subprocess.run(
@@ -35,7 +52,8 @@ def _load():
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -78,6 +96,21 @@ def _load():
     lib.zen_wav_info.restype = ctypes.c_int
     lib.zen_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(_WavInfo)]
     lib._WavInfo = _WavInfo
+    try:  # absent from pre-flac builds of the .so
+        lib.zen_flac_decode_file.restype = ctypes.c_int
+        lib.zen_flac_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.zen_flac_free.restype = None
+        lib.zen_flac_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib._has_flac = True
+    except AttributeError:
+        lib._has_flac = False
     _lib = lib
     return lib
 
@@ -158,6 +191,45 @@ def wav_read_mono(path: str):
     if rc != 0:
         raise ValueError(f"zen_wav_read_mono failed: {rc}")
     return int(info.sample_rate), out
+
+
+def flac_available() -> bool:
+    lib = _load()
+    return lib is not None and lib._has_flac
+
+
+def flac_read(path: str):
+    """Native FLAC decode (native/zenflac.cpp). Returns
+    (fs, float32 [frames, channels] in [-1, 1]); callers fall back to
+    the pure-Python decoder (zen_tpu/io/flac.py) when unavailable."""
+    lib = _load()
+    if lib is None or not lib._has_flac:
+        raise RuntimeError("native flac decoder unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_uint64()
+    fs = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    rc = lib.zen_flac_decode_file(
+        path.encode(),
+        ctypes.byref(out),
+        ctypes.byref(frames),
+        ctypes.byref(fs),
+        ctypes.byref(ch),
+        ctypes.byref(bits),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_flac_decode_file failed: {rc}")
+    n = frames.value * ch.value
+    try:
+        arr = (
+            np.ctypeslib.as_array(out, shape=(n,)).copy()
+            if n
+            else np.zeros(0, np.float32)
+        )
+    finally:
+        lib.zen_flac_free(out)
+    return int(fs.value), arr.reshape(frames.value, ch.value)
 
 
 def wav_write_pcm16(path: str, fs: int, audio: np.ndarray) -> None:
