@@ -4,9 +4,10 @@
 // libnyquist (zen/offline.h:88-102); this image has no system decoder
 // to lean on, so zen-tpu implements the format directly.  The pure
 // Python codec in zen_tpu/io/flac.py is the reference implementation
-// and fallback; this file is the fast path (a Python Rice decoder
-// costs seconds per track-minute, this decodes ~100x faster), wired
-// through zen_tpu/runtime/native.py + zen_tpu/io/audio.py.
+// and fallback; this file is the fast path (measured on this host:
+// 22 Msamples/s = ~500x realtime vs the Python decoder's 0.34 — a
+// 65x speedup; docs/PERFORMANCE.md "host IO"), wired through
+// zen_tpu/runtime/native.py + zen_tpu/io/audio.py.
 //
 // Scope: everything our encoder can emit plus the common wild
 // variants — CONSTANT/VERBATIM/FIXED(0-4)/LPC(1-32) subframes,
