@@ -575,4 +575,11 @@ int zen_flac_decode_file(const char* path, float** out,
 
 void zen_flac_free(float* p) { free(p); }
 
+// Exported for the Python encoder: its per-byte table loop is the
+// encode hot spot (~1 us/byte); this is the same CRC the decoder
+// verifies with.
+uint16_t zen_crc16(const uint8_t* d, uint64_t n) { return crc16_of(d, n); }
+
+uint8_t zen_crc8(const uint8_t* d, uint64_t n) { return crc8_of(d, n); }
+
 }  // extern "C"

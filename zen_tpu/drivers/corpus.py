@@ -141,7 +141,14 @@ def separate_corpus(
                 digest = hashlib.sha1(p.encode()).hexdigest()[:8]
                 bases[p] = f"{base}-{digest}"
 
-    pending = [p for p in track_paths if not journal.is_done(p)]
+    # journal keys carry the stem format (wav keys stay bare for
+    # backward compatibility): resuming an interrupted wav run with
+    # --stem-format flac must re-process, not silently skip, tracks
+    # that only have wav stems
+    def _jkey(p):
+        return p if stem_format == "wav" else f"{p}::{stem_format}"
+
+    pending = [p for p in track_paths if not journal.is_done(_jkey(p))]
     done = len(track_paths) - len(pending)
     results = {"done": done, "processed": 0}
 
@@ -154,7 +161,7 @@ def separate_corpus(
 
         _ckpt_dir = os.path.join(out_dir, ".ckpt")
         for p in track_paths:
-            if journal.is_done(p):
+            if journal.is_done(_jkey(p)):
                 for p_tag in (f"{bases[p]}.p1", f"{bases[p]}.p2"):
                     clear_track_checkpoint(_ckpt_dir, p_tag)
 
@@ -178,7 +185,7 @@ def separate_corpus(
                     fs,
                     peak_normalize(np.asarray(data)),
                 )
-            journal.mark_done(path, {"samples": int(n_samples)})
+            journal.mark_done(_jkey(path), {"samples": int(n_samples)})
             results["processed"] += 1
             if after is not None:
                 after()
@@ -283,7 +290,7 @@ def separate_corpus(
             # for the no-op writer to discard)
             if multi_host and jax.process_index() != 0:
                 def _mark():
-                    journal.mark_done(path, {"samples": len(audio)})
+                    journal.mark_done(_jkey(path), {"samples": len(audio)})
                     results["processed"] += 1
 
                 # route through the writer pool: the counter increment

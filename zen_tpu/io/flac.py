@@ -63,6 +63,16 @@ def _crc8(data: bytes) -> int:
 
 
 def _crc16(data: bytes) -> int:
+    # native fast path when built (the per-byte Python loop is the
+    # encoder's hot spot at ~1 us/byte); identical table/poly
+    try:
+        from ..runtime import native
+
+        crc = native.crc16(data)
+        if crc is not None:
+            return crc
+    except Exception:
+        pass
     crc = 0
     for b in data:
         crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[(crc >> 8) ^ b]
@@ -101,6 +111,60 @@ class _BitWriter:
     def getvalue(self) -> bytes:
         assert self._n == 0, "unaligned"
         return bytes(self.buf)
+
+    # -- vectorized bulk writers (the per-sample Python loop costs
+    # ~3 us/sample, which made --stem-format flac the corpus
+    # bottleneck; these pack whole residual partitions with numpy) --
+
+    def _flush_bitarray(self, bits: np.ndarray) -> None:
+        """Append a uint8 0/1 array to the stream."""
+        if self._n:
+            head = np.array(
+                [(self._acc >> (self._n - 1 - k)) & 1
+                 for k in range(self._n)],
+                np.uint8,
+            )
+            bits = np.concatenate([head, bits])
+            self._acc = 0
+            self._n = 0
+        nbytes = len(bits) // 8
+        if nbytes:
+            self.buf += np.packbits(bits[: nbytes * 8]).tobytes()
+        for b in bits[nbytes * 8 :]:
+            self.write(int(b), 1)
+
+    def write_rice_array(self, u: np.ndarray, p: int) -> None:
+        """Rice fields for unsigned ``u``: (u>>p) zeros, a 1, then the
+        low p bits MSB-first — bit-identical to the scalar
+        write_unary+write loop (pinned by test)."""
+        u = u.astype(np.int64)
+        q = u >> p
+        lens = q + 1 + p
+        if int(lens.sum()) > (1 << 26):
+            # pathological quotients (a badly mismatched p on huge
+            # residuals) would allocate a giant bit array; take the
+            # scalar path — correctness over speed in the corner
+            for v in u:
+                self.write_unary(int(v) >> p)
+                self.write(int(v) & ((1 << p) - 1), p)
+            return
+        starts = np.cumsum(lens) - lens
+        bits = np.zeros(int(lens.sum()), np.uint8)
+        bits[starts + q] = 1
+        for k in range(p):
+            bits[starts + q + 1 + k] = (u >> (p - 1 - k)) & 1
+        self._flush_bitarray(bits)
+
+    def write_fixed_array(self, values: np.ndarray, bits: int) -> None:
+        """Two's-complement fixed-width fields, MSB-first — the
+        vectorized form of a write_signed loop."""
+        if bits == 0:
+            return
+        u = values.astype(np.int64) & ((1 << bits) - 1)
+        mat = (
+            (u[:, None] >> np.arange(bits - 1, -1, -1)[None, :]) & 1
+        ).astype(np.uint8)
+        self._flush_bitarray(mat.reshape(-1))
 
 
 class _BitReader:
@@ -215,9 +279,20 @@ def _fixed_residual(samples: np.ndarray, order: int) -> np.ndarray:
     return r
 
 
-def _rice_cost(resid: np.ndarray, p: int) -> int:
-    z = _zigzag(resid)
-    return int(np.sum(z >> p)) + len(z) * (1 + p)
+def _best_rice(z: np.ndarray, pmax: int = 30) -> tuple[int, int]:
+    """(best param, bits) for pre-zigzagged residuals.  cost(p) =
+    sum(z >> p) + n*(1+p); zigzag is hoisted to the caller because the
+    auto-mode order search evaluates many (order, p) pairs."""
+    # p >= bit_length(max) zeroes the quotient term and the linear
+    # term only grows after that — no need to scan further
+    m = int(z.max(initial=0))
+    pmax = min(pmax, m.bit_length() + 1)
+    best_p, best_c = 0, None
+    for p in range(pmax):
+        c = int((z >> p).sum()) + len(z) * (1 + p)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+    return best_p, best_c
 
 
 def _zigzag(v: np.ndarray) -> np.ndarray:
@@ -227,6 +302,21 @@ def _zigzag(v: np.ndarray) -> np.ndarray:
 
 def _zigzag_decode(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
+
+
+_U64 = 1 << 64
+
+
+def _wrap64(v: int) -> int:
+    """Two's-complement int64 wraparound — corrupt frame payloads
+    (caught only by the CRC *after* subframe decode) can blow the
+    predictor recurrence past int64; unbounded Python ints would then
+    raise OverflowError on assignment into the int64 output instead of
+    reaching the CRC check.  Matches the native decoder's uint64
+    arithmetic (modulo-2^64 is a ring homomorphism, so wrapping once
+    at the end equals the C++ per-operation wrap)."""
+    v &= _U64 - 1
+    return v - _U64 if v >> 63 else v
 
 
 # ------------------------------------------------------------ encoder
@@ -264,6 +354,7 @@ def _encode_rice_partitions(
     method_bits = 4  # RICE; RICE2 (5) emitted when a partition needs p > 14
     params: list[tuple[int, bool, int]] = []  # (param, escaped, rawbits)
     chunks: list[np.ndarray] = []
+    zigzags: list[np.ndarray] = []
     # clamp per frame: the ragged final block rarely divides 2^order
     # (libFLAC does the same)
     while partition_order > 0 and (
@@ -278,6 +369,7 @@ def _encode_rice_partitions(
         chunk = resid[start : start + cnt]
         start += cnt
         chunks.append(chunk)
+        zigzags.append(_zigzag(chunk))
         if force_escape:
             rawbits = int(
                 max(
@@ -285,30 +377,27 @@ def _encode_rice_partitions(
                     default=1,
                 )
             )
-            params.append((0, True, rawbits))
-            continue
-        best_p, best_c = 0, None
-        for p in range(0, 30):
-            c = _rice_cost(chunk, p)
-            if best_c is None or c < best_c:
-                best_p, best_c = p, c
+            # the escape raw-bit-count field is 5 bits (max 31); a
+            # residual needing more cannot be escaped — fall through
+            # to Rice for that partition (unbounded via the unary part)
+            if rawbits <= 31:
+                params.append((0, True, rawbits))
+                continue
+        best_p, _ = _best_rice(zigzags[-1])
         params.append((best_p, False, 0))
     if any(not esc and p > 14 for p, esc, _ in params):
         method_bits = 5
     escape_code = (1 << method_bits) - 1
     w.write(0 if method_bits == 4 else 1, 2)
     w.write(partition_order, 4)
-    for (p, escaped, rawbits), chunk in zip(params, chunks):
+    for (p, escaped, rawbits), chunk, z in zip(params, chunks, zigzags):
         if escaped:
             w.write(escape_code, method_bits)
             w.write(rawbits, 5)
-            for v in chunk:
-                w.write_signed(int(v), rawbits)
+            w.write_fixed_array(chunk, rawbits)
         else:
             w.write(p, method_bits)
-            for u in _zigzag(chunk):
-                w.write_unary(int(u) >> p)
-                w.write(int(u) & ((1 << p) - 1), p)
+            w.write_rice_array(z, p)
 
 
 def _encode_subframe(
@@ -354,12 +443,14 @@ def _encode_subframe(
             force = "constant"
         else:
             costs = {}
+            resid = samples
             for o in range(5):
                 if n > o:
-                    resid = _fixed_residual(samples, o)
-                    costs[o] = o * eff + min(
-                        _rice_cost(resid, p) for p in range(15)
-                    )
+                    if o:
+                        resid = np.diff(resid)
+                    costs[o] = o * eff + _best_rice(
+                        _zigzag(resid), pmax=15
+                    )[1]
             o = min(costs, key=costs.get)
             force = f"fixed{o}" if costs[o] < n * eff else "verbatim"
 
@@ -370,8 +461,7 @@ def _encode_subframe(
         w.write_signed(int(samples[0]), eff)
     elif force == "verbatim":
         header(0b000001)
-        for v in samples:
-            w.write_signed(int(v), eff)
+        w.write_fixed_array(samples, eff)
     elif force.startswith("fixed"):
         order = int(force[5:])
         if n <= order:
@@ -461,6 +551,8 @@ def write_flac(
         raise FlacError("bits must be one of 8/12/16/20/24")
     if not 16 <= block_size <= 65535:
         raise FlacError("block size out of range")
+    if not 1 <= int(fs) < (1 << 20):
+        raise FlacError("sample rate must fit STREAMINFO's 20 bits")
     if n == 0:
         raise FlacError("empty audio")
 
@@ -585,10 +677,10 @@ def _decode_subframe(
         out[:order] = warm
         coefs = _FIXED_COEFS[order]
         for i in range(order, bs):
-            acc = resid[i - order]
+            acc = int(resid[i - order])
             for j, c in enumerate(coefs):
-                acc += c * out[i - 1 - j]
-            out[i] = acc
+                acc += c * int(out[i - 1 - j])
+            out[i] = _wrap64(acc)
     elif type_code >= 0b100000:
         order = (type_code & 0x1F) + 1
         if bs <= order:
@@ -608,7 +700,7 @@ def _decode_subframe(
             acc = 0
             for j in range(order):
                 acc += coefs[j] * int(out[i - 1 - j])
-            out[i] = resid[i - order] + (acc >> shift)
+            out[i] = _wrap64(int(resid[i - order]) + (_wrap64(acc) >> shift))
     else:
         raise FlacError(f"reserved subframe type {type_code:#08b}")
     return out << wasted
@@ -650,7 +742,7 @@ def _decode_rice_partitions(
 _RATE_CODES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
                6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
                11: 96000}
-_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
 def read_flac(path: str):
@@ -738,6 +830,8 @@ def decode_flac_bytes(data: bytes):
             r.read(16)
         else:
             raise FlacError("invalid sample rate code")
+        if size_code == 3:
+            raise FlacError("reserved sample size code")
         frame_bits = _SIZE_CODES.get(size_code, bits)
         hdr_end = r.byte_pos() if r.bit % 8 == 0 else None
         if hdr_end is None:

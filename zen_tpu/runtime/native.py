@@ -108,6 +108,10 @@ def _load():
         ]
         lib.zen_flac_free.restype = None
         lib.zen_flac_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.zen_crc16.restype = ctypes.c_uint16
+        lib.zen_crc16.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.zen_crc8.restype = ctypes.c_uint8
+        lib.zen_crc8.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
         lib._has_flac = True
     except AttributeError:
         lib._has_flac = False
@@ -196,6 +200,21 @@ def wav_read_mono(path: str):
 def flac_available() -> bool:
     lib = _load()
     return lib is not None and lib._has_flac
+
+
+def crc16(data: bytes) -> int | None:
+    """Native CRC-16 (poly 0x8005) or None when unavailable."""
+    lib = _load()
+    if lib is None or not lib._has_flac:
+        return None
+    return int(lib.zen_crc16(data, len(data)))
+
+
+def crc8(data: bytes) -> int | None:
+    lib = _load()
+    if lib is None or not lib._has_flac:
+        return None
+    return int(lib.zen_crc8(data, len(data)))
 
 
 def flac_read(path: str):
