@@ -345,7 +345,20 @@ extern "C" {
 int zen_flac_decode_mem(const uint8_t* data, uint64_t len, float** out,
                         uint64_t* out_frames, int32_t* out_fs,
                         int32_t* out_channels, int32_t* out_bits) {
-    if (!data || len < 4 || memcmp(data, "fLaC", 4) != 0)
+    if (!data) return ZEN_FLAC_EBAD;
+    // skip a leading ID3v2 tag (synchsafe size), like libFLAC
+    if (len >= 10 && memcmp(data, "ID3", 3) == 0) {
+        if ((data[6] | data[7] | data[8] | data[9]) & 0x80)
+            return ZEN_FLAC_EBAD;
+        uint64_t skip = ((uint64_t(data[6]) << 21) |
+                         (uint64_t(data[7]) << 14) |
+                         (uint64_t(data[8]) << 7) | data[9]) +
+                        10 + ((data[5] & 0x10) ? 10 : 0);
+        if (skip >= len) return ZEN_FLAC_EBAD;
+        data += skip;
+        len -= skip;
+    }
+    if (len < 4 || memcmp(data, "fLaC", 4) != 0)
         return ZEN_FLAC_EBAD;
     uint64_t pos = 4;
     const uint8_t* si = nullptr;

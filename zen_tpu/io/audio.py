@@ -20,7 +20,18 @@ def read_audio_mono(path: str):
     through (the NyquistIO::Load analog, zen/offline.h:88-102).
     Supports RIFF wav and FLAC."""
     with open(path, "rb") as f:
-        magic = f.read(4)
+        head = f.read(10)
+        magic = head[:4]
+        if head[:3] == b"ID3":
+            # FLAC files tagged by common tools carry an ID3v2 tag
+            # before the fLaC magic; sniff past it like the decoders do
+            from .flac import FlacError, skip_id3
+
+            try:
+                f.seek(skip_id3(head))
+                magic = f.read(4)
+            except FlacError:
+                pass
     if magic == b"fLaC":
         try:
             from ..runtime import native

@@ -754,7 +754,25 @@ def read_flac(path: str):
     return decode_flac_bytes(data)
 
 
+def skip_id3(data: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 when absent) — files
+    tagged by common tools carry one before the fLaC magic and libFLAC
+    skips it, so we do too.  Size is synchsafe (7 bits/byte), +10
+    header bytes, +10 more when the footer flag (bit 4) is set."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    if any(b & 0x80 for b in data[6:10]):
+        raise FlacError("corrupt ID3 synchsafe size")
+    size = (
+        (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    ) + 10
+    if data[5] & 0x10:
+        size += 10  # footer present
+    return size
+
+
 def decode_flac_bytes(data: bytes):
+    data = data[skip_id3(data) :]
     if data[:4] != b"fLaC":
         raise FlacError("not a FLAC stream")
     pos = 4
