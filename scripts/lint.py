@@ -99,6 +99,14 @@ def check_file(rel):
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Name)
                 and node.func.id == "print"
+                # stderr diagnostics are fine — the contract protects
+                # stdout (CLI metric lines / pipe-mode audio)
+                and not any(
+                    kw.arg == "file"
+                    and isinstance(kw.value, ast.Attribute)
+                    and kw.value.attr == "stderr"
+                    for kw in node.keywords
+                )
             ):
                 problems.append(
                     f"{rel}:{node.lineno}: print() in library module "
