@@ -102,8 +102,19 @@ def write_audio_pcm16(path: str, fs: int, x: np.ndarray) -> None:
     the wav size), anything else PCM16 wav.  The write analog of
     :func:`read_audio_mono`'s magic sniffing."""
     if path.lower().endswith(".flac"):
+        x = np.asarray(x, np.float32)
+        if x.ndim == 1:
+            try:
+                from ..runtime import native
+
+                # byte-identical to the Python encoder (pinned by
+                # test), ~3.4x faster — mono 16-bit is the stem shape
+                native.flac_write_mono16(path, int(fs), x)
+                return
+            except (RuntimeError, OSError):
+                pass  # not built: Python encoder below
         from .flac import write_flac
 
-        write_flac(path, int(fs), np.asarray(x, np.float32), bits=16)
+        write_flac(path, int(fs), x, bits=16)
     else:
         write_wav_pcm16(path, fs, x)

@@ -112,6 +112,14 @@ def _load():
         lib.zen_crc16.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
         lib.zen_crc8.restype = ctypes.c_uint8
         lib.zen_crc8.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.zen_flac_encode_mono16.restype = ctypes.c_int
+        lib.zen_flac_encode_mono16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+        ]
         lib._has_flac = True
     except AttributeError:
         lib._has_flac = False
@@ -215,6 +223,30 @@ def crc8(data: bytes) -> int | None:
     if lib is None or not lib._has_flac:
         return None
     return int(lib.zen_crc8(data, len(data)))
+
+
+def flac_write_mono16(
+    path: str, fs: int, audio: np.ndarray, block_size: int = 4096
+) -> None:
+    """Native FLAC encode of float mono as 16-bit — byte-identical to
+    zen_tpu.io.flac.write_flac(bits=16) on the same input (pinned by
+    test); ~the wav-write speed class instead of the Python encoder's
+    ~2 Msamples/s. Raises on unavailability; callers fall back."""
+    lib = _load()
+    if lib is None or not lib._has_flac:
+        raise RuntimeError("native flac encoder unavailable")
+    x = np.ascontiguousarray(audio, np.float32)
+    if x.ndim != 1:
+        raise ValueError("mono audio expected")
+    rc = lib.zen_flac_encode_mono16(
+        path.encode(),
+        int(fs),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(x),
+        int(block_size),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_flac_encode_mono16 failed: {rc}")
 
 
 def flac_read(path: str):
