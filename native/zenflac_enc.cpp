@@ -12,8 +12,9 @@
 // its output is BYTE-IDENTICAL to write_flac(audio, bits=16,
 // block_size=..., partition_order=0) — pinned by
 // tests/test_flac.py::test_native_encoder_byte_identical. Anything
-// outside this shape returns ZEN_FLAC_EUNSUP and the caller falls
-// back to Python.
+// outside this shape returns an error code; the Python caller
+// (io/audio.py write_audio_pcm16) treats ANY failure here as "fall
+// back to the Python encoder", which re-raises properly-typed errors.
 //
 // MD5 (STREAMINFO integrity) is implemented from RFC 1321 with the
 // sin-derived constant table computed at startup — no vendored code.
@@ -287,12 +288,19 @@ int zen_flac_encode_mono16(const char* path, uint32_t fs,
     const uint32_t bits = 16;
 
     // quantize like the Python _quantize: clip to [-1,1], scale by
-    // 2^15, round-half-even (np.round == nearbyint under the default
-    // FE_TONEAREST mode), clip to int16 range
+    // 2^15, round-half-even (np.round == nearbyint under
+    // FE_TONEAREST), clip to int16 range; NaN encodes as silence
+    // (both encoders — casting NaN to int is UB here and
+    // platform-defined in numpy)
     std::vector<int32_t> s(n);
+    const int prev_round = std::fegetround();
     std::fesetround(FE_TONEAREST);
     for (uint64_t i = 0; i < n; i++) {
         double v = audio[i];
+        if (v != v) {
+            s[i] = 0;
+            continue;
+        }
         if (v > 1.0) v = 1.0;
         if (v < -1.0) v = -1.0;
         double r = std::nearbyint(v * 32768.0);
@@ -300,6 +308,7 @@ int zen_flac_encode_mono16(const char* path, uint32_t fs,
         if (r < -32768.0) r = -32768.0;
         s[i] = static_cast<int32_t>(r);
     }
+    std::fesetround(prev_round);
 
     Md5 md5;
     {

@@ -111,8 +111,11 @@ def write_audio_pcm16(path: str, fs: int, x: np.ndarray) -> None:
                 # test), ~3.4x faster — mono 16-bit is the stem shape
                 native.flac_write_mono16(path, int(fs), x)
                 return
-            except (RuntimeError, OSError):
-                pass  # not built: Python encoder below
+            except (RuntimeError, OSError, ValueError):
+                # not built / unsupported shape / native IO error:
+                # the Python encoder below either succeeds or raises
+                # a properly-typed error (OSError with errno+path)
+                pass
         from .flac import write_flac
 
         write_flac(path, int(fs), x, bits=16)

@@ -337,7 +337,12 @@ def _quantize(audio: np.ndarray, bits: int) -> np.ndarray:
             raise FlacError(f"integer samples exceed {bits}-bit range")
         return s
     scale = float(1 << (bits - 1))
-    x = np.clip(np.asarray(audio, np.float64), -1.0, 1.0)
+    # NaN encodes as silence (defined on both encoders — np.astype of
+    # NaN is platform-defined, the C++ cast would be UB)
+    x = np.nan_to_num(
+        np.asarray(audio, np.float64), nan=0.0, posinf=1.0, neginf=-1.0
+    )
+    x = np.clip(x, -1.0, 1.0)
     return np.clip(
         np.round(x * scale), -scale, scale - 1
     ).astype(np.int64)

@@ -112,6 +112,10 @@ def _load():
         lib.zen_crc16.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
         lib.zen_crc8.restype = ctypes.c_uint8
         lib.zen_crc8.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib._has_flac = True
+    except AttributeError:
+        lib._has_flac = False
+    try:  # own flag: a pre-encoder .so must keep native DECODE alive
         lib.zen_flac_encode_mono16.restype = ctypes.c_int
         lib.zen_flac_encode_mono16.argtypes = [
             ctypes.c_char_p,
@@ -120,9 +124,9 @@ def _load():
             ctypes.c_uint64,
             ctypes.c_uint32,
         ]
-        lib._has_flac = True
+        lib._has_flac_enc = True
     except AttributeError:
-        lib._has_flac = False
+        lib._has_flac_enc = False
     _lib = lib
     return lib
 
@@ -233,7 +237,7 @@ def flac_write_mono16(
     test); ~the wav-write speed class instead of the Python encoder's
     ~2 Msamples/s. Raises on unavailability; callers fall back."""
     lib = _load()
-    if lib is None or not lib._has_flac:
+    if lib is None or not lib._has_flac_enc:
         raise RuntimeError("native flac encoder unavailable")
     x = np.ascontiguousarray(audio, np.float32)
     if x.ndim != 1:
