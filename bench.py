@@ -30,6 +30,7 @@ verified experimentally):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -45,6 +46,22 @@ BASELINE_US_PER_10MS = 160.0  # reference README.md:50
 FS = 44100.0
 HOP = 1024
 BLOCK_HOPS = 32
+
+# ZEN_TPU_BENCH_SMOKE=1: validate the COMPLETE bench code path (every
+# metric + the JSON line) with tiny configs/scan lengths — runnable on
+# the CPU backend in minutes, so a refactor can be proven round-end
+# safe without the TPU tunnel. Numbers are meaningless; the JSON line
+# carries "smoke": true.
+SMOKE = os.environ.get("ZEN_TPU_BENCH_SMOKE") == "1"
+if SMOKE:
+    FS = 8000.0
+    HOP = 128
+    BLOCK_HOPS = 4
+
+
+def _sc(n: int) -> int:
+    """Scale a scan length down in smoke mode."""
+    return max(2, n // 64) if SMOKE else n
 
 
 def log(*a):
@@ -169,11 +186,17 @@ def time_offline(n1=2, n2=10):
     from zen_tpu.drivers.offline import _bucket_len, _two_pass
     from zen_tpu import HPRConfig, OUTPUT_ALL, OUTPUT_PERCUSSIVE, OUTPUT_RESIDUAL
 
-    length = 161571  # the reference README's 3.66 s clip
-    cfg_h = HPRConfig(fs=FS, hop=4096, beta=2.0, causal=False, outputs=OUTPUT_ALL)
+    length = 16000 if SMOKE else 161571  # reference README's 3.66 s clip
+    cfg_h = HPRConfig(
+        fs=FS,
+        hop=512 if SMOKE else 4096,
+        beta=2.0,
+        causal=False,
+        outputs=OUTPUT_ALL,
+    )
     cfg_p = HPRConfig(
         fs=FS,
-        hop=256,
+        hop=64 if SMOKE else 256,
         beta=2.0,
         causal=False,
         outputs=OUTPUT_PERCUSSIVE | OUTPUT_RESIDUAL,
@@ -238,7 +261,7 @@ def main():
     cfg = HPRConfig(
         fs=FS, hop=HOP, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
     )
-    us_per_hop = time_stream(cfg, BLOCK_HOPS)
+    us_per_hop = time_stream(cfg, BLOCK_HOPS, n1=_sc(128), n2=_sc(1024))
     hop_ms = 1000.0 * HOP / FS
     us_per_10ms = us_per_hop * (10.0 / hop_ms)
     rtf = us_per_hop / (hop_ms * 1000.0)
@@ -250,9 +273,13 @@ def main():
 
     # secondary: the reference's default fakert config (hop 256)
     cfg256 = HPRConfig(
-        fs=FS, hop=256, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
+        fs=FS,
+        hop=64 if SMOKE else 256,
+        beta=2.0,
+        causal=True,
+        outputs=OUTPUT_PERCUSSIVE,
     )
-    us256 = time_stream(cfg256, 128, n1=64, n2=512)
+    us256 = time_stream(cfg256, 8 if SMOKE else 128, n1=_sc(64), n2=_sc(512))
     log(
         f"hop-256 stream: {us256:.2f} us/hop "
         f"(budget 5805 us, reference: 173.99 us/hop)"
@@ -272,16 +299,21 @@ def main():
             outputs=OUTPUT_PERCUSSIVE,
             **kw,
         )
-        us_v = time_stream(cfg_v, BLOCK_HOPS, n1=64, n2=512)
+        us_v = time_stream(cfg_v, BLOCK_HOPS, n1=_sc(64), n2=_sc(512))
         log(
             f"hop-1024 {name} variant: {us_v:.2f} us/hop "
             f"({us_v * 10 / hop_ms:.2f} us per 10ms)"
         )
 
     # secondary: BASELINE configs[3] — batched multi-channel fakert
-    sps = time_multistream(cfg256, 64, 32)
+    n_streams = 4 if SMOKE else 64
+    sps = time_multistream(
+        cfg256, n_streams, 4 if SMOKE else 32,
+        n1=_sc(16), n2=max(3, _sc(128)),
+    )
     log(
-        f"multichannel 64x hop-256: {sps / 1e6:.0f} Msamples/s/chip "
+        f"multichannel {n_streams}x hop-{cfg256.hop}: "
+        f"{sps / 1e6:.0f} Msamples/s/chip "
         f"= {sps / FS:.0f} realtime 44.1 kHz streams/chip"
     )
 
@@ -292,22 +324,21 @@ def main():
         f"(reference transcript: 487 ms)"
     )
 
-    lat = single_hop_latency(cfg)
+    lat = single_hop_latency(cfg, repeats=2 if SMOKE else 20)
     log(
         f"hop-1024 single-hop round trip (incl. tunnel sync): "
         f"{lat:.0f} us"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "us_per_10ms_hop1024_hpr",
-                "value": round(us_per_10ms, 2),
-                "unit": "us",
-                "vs_baseline": round(BASELINE_US_PER_10MS / us_per_10ms, 3),
-            }
-        )
-    )
+    line = {
+        "metric": "us_per_10ms_hop1024_hpr",
+        "value": round(us_per_10ms, 2),
+        "unit": "us",
+        "vs_baseline": round(BASELINE_US_PER_10MS / us_per_10ms, 3),
+    }
+    if SMOKE:
+        line["smoke"] = True  # tiny-config path validation, not a number
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
