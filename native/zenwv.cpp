@@ -1,0 +1,940 @@
+// zenwv.cpp — from-scratch WavPack (.wv) decoder, pure lossless path.
+//
+// Native fast path behind zen_tpu/io/wavpack.py (the pure-Python
+// fallback + oracle): same coding scheme, bit-identical output, with
+// every block's stored CRC (and the WVX extension CRC when present)
+// verified, so success IS proof of a correct decode.  Scope matches
+// the Python module: WavPack 4/5 streams (0x402..0x410), mono/stereo
+// and chained multichannel sets, 8/16/24/32-bit int + 32-bit float,
+// all decorrelation terms, zero-run entropy mode, WVX side channel.
+// Hybrid (lossy) streams are rejected.
+//
+// Replaces the reference's use of vendored libnyquist WavPackDecoder
+// (vendor/libnyquist/src/WavPackDecoder.cpp); format semantics were
+// studied from the public WavPack sources it vendors (read_words.c,
+// unpack.c, unpack_floats.c, open_utils.c) — the implementation here
+// is original and fully bounds-checked for hostile input.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+#include <vector>
+
+namespace {
+
+// ---- block header flags ----------------------------------------------------
+constexpr uint32_t kBytesStoredMask = 3;
+constexpr uint32_t kMonoFlag = 0x4;
+constexpr uint32_t kHybridFlag = 0x8;
+constexpr uint32_t kJointStereo = 0x10;
+constexpr uint32_t kFloatData = 0x80;
+constexpr uint32_t kInt32Data = 0x100;
+constexpr uint32_t kInitialBlock = 0x800;
+constexpr uint32_t kFinalBlock = 0x1000;
+constexpr int kShiftLsb = 13;
+constexpr int kSrateLsb = 23;
+constexpr uint32_t kFalseStereo = 0x40000000u;
+constexpr uint32_t kMonoData = kMonoFlag | kFalseStereo;
+
+constexpr int32_t kSampleRates[16] = {
+    6000,  8000,  9600,  11025, 12000, 16000, 22050, 24000,
+    32000, 44100, 48000, 64000, 88200, 96000, 192000, 0,
+};
+
+// metadata ids (low 6 bits)
+constexpr uint8_t kIdOddSize = 0x40;
+constexpr uint8_t kIdLarge = 0x80;
+constexpr uint8_t kIdDecorrTerms = 0x02;
+constexpr uint8_t kIdDecorrWeights = 0x03;
+constexpr uint8_t kIdDecorrSamples = 0x04;
+constexpr uint8_t kIdEntropyVars = 0x05;
+constexpr uint8_t kIdFloatInfo = 0x08;
+constexpr uint8_t kIdInt32Info = 0x09;
+constexpr uint8_t kIdWvBits = 0x0A;
+constexpr uint8_t kIdWvcBits = 0x0B;
+constexpr uint8_t kIdWvxBits = 0x0C;
+constexpr uint8_t kIdSampleRate = 0x27;
+
+constexpr int kMaxTerm = 8;
+constexpr int kLimitOnes = 16;
+constexpr int kMaxPasses = 16;
+
+// float_flags bits
+constexpr int kFltShiftOnes = 1;
+constexpr int kFltShiftSame = 2;
+constexpr int kFltShiftSent = 4;
+constexpr int kFltZerosSent = 8;
+constexpr int kFltNegZeros = 0x10;
+
+struct WvError {};  // thrown on any malformed/unsupported input
+
+[[noreturn]] void fail() { throw WvError{}; }
+
+inline int32_t wrap32(int64_t v) { return static_cast<int32_t>(static_cast<uint32_t>(v)); }
+
+// exp2_table[i] == round(256*(2^(i/256)-1)); built once.
+struct Exp2Table {
+  uint8_t t[256];
+  Exp2Table() {
+    for (int i = 0; i < 256; ++i) {
+      double v = 256.0 * (__builtin_exp2(i / 256.0) - 1.0);
+      t[i] = static_cast<uint8_t>(v + 0.5);
+    }
+  }
+};
+const Exp2Table g_exp2;
+
+int32_t exp2s(int32_t log2v) {
+  if (log2v < 0) return -exp2s(-log2v);
+  uint32_t value = g_exp2.t[log2v & 0xFF] | 0x100;
+  log2v >>= 8;
+  if (log2v <= 9) return static_cast<int32_t>(value >> (9 - log2v));
+  if (log2v > 9 + 22) fail();  // would overflow: not producible by encoders
+  return static_cast<int32_t>(value << (log2v - 9));
+}
+
+int32_t restore_weight(int8_t w) {
+  int32_t r = static_cast<int32_t>(w) << 3;
+  if (r > 0) r += (r + 64) >> 7;
+  return r;
+}
+
+// ---- LSB-first bit reader --------------------------------------------------
+// Reads past the end return 1-bits (the format's EOF convention: an
+// over-long unary run means stream end) but are bounded so hostile
+// inputs terminate.
+struct Bits {
+  const uint8_t* d = nullptr;
+  size_t len = 0, pos = 0;
+  uint64_t acc = 0;
+  int n = 0;
+  int over = 0;
+
+  void init(const uint8_t* data, size_t size) {
+    d = data; len = size; pos = 0; acc = 0; n = 0; over = 0;
+  }
+  void fill(int need) {
+    while (n < need) {
+      uint64_t byte;
+      if (pos < len) {
+        byte = d[pos++];
+      } else {
+        byte = 0xFF;
+        if (++over > 16) fail();
+      }
+      acc |= byte << n;
+      n += 8;
+    }
+  }
+  uint32_t getbit() {
+    if (!n) fill(1);
+    uint32_t b = static_cast<uint32_t>(acc & 1);
+    acc >>= 1;
+    --n;
+    return b;
+  }
+  uint32_t getbits(int nbits) {
+    if (nbits == 0) return 0;
+    fill(nbits);
+    uint32_t v = static_cast<uint32_t>(acc & ((1ull << nbits) - 1));
+    acc >>= nbits;
+    n -= nbits;
+    return v;
+  }
+  uint32_t count_ones(int limit) {
+    uint32_t count = 0;
+    while (static_cast<int>(count) < limit && getbit()) ++count;
+    return count;
+  }
+};
+
+// Economical binary code for a value in [0, maxcode].
+uint32_t read_code(Bits& bs, uint32_t maxcode) {
+  if (maxcode < 2) return maxcode ? bs.getbit() : 0;
+  int bitcount = 32 - __builtin_clz(maxcode);
+  uint32_t extras = (1u << bitcount) - maxcode - 1;
+  uint32_t code = bs.getbits(bitcount - 1);
+  if (code >= extras) code = (code << 1) - extras + bs.getbit();
+  return code;
+}
+
+// ---- entropy state ---------------------------------------------------------
+struct Entropy {
+  uint32_t med[2][3] = {{0, 0, 0}, {0, 0, 0}};
+  uint32_t holding_one = 0, holding_zero = 0, zeros_acc = 0;
+};
+
+// Decode nflat interleaved residual words (lossless variant of the
+// medians-based coder).
+void get_words(Entropy& e, Bits& bs, int32_t* out, size_t nflat, bool stereo) {
+  uint32_t holding_one = e.holding_one;
+  uint32_t holding_zero = e.holding_zero;
+  uint32_t zeros_acc = e.zeros_acc;
+  size_t i = 0;
+  while (i < nflat) {
+    uint32_t* c = e.med[stereo ? (i & 1) : 0];
+
+    if (holding_zero) {
+      holding_zero = 0;
+      uint32_t high = (c[0] >> 4);  // GET_MED(0) - 1
+      c[0] -= ((c[0] + 126) / 128) * 2;
+      uint32_t v = read_code(bs, high);
+      out[i++] = bs.getbit() ? ~v : v;
+      if (i == nflat) break;
+      c = e.med[stereo ? (i & 1) : 0];
+    }
+
+    if (e.med[0][0] < 2 && e.med[1][0] < 2 && !holding_one) {
+      if (zeros_acc) {
+        if (--zeros_acc) {
+          out[i++] = 0;
+          continue;
+        }
+      } else {
+        uint32_t cbits = bs.count_ones(33);
+        if (cbits == 33) fail();
+        if (cbits < 2) {
+          zeros_acc = cbits;
+        } else {
+          uint32_t mask = 1;
+          zeros_acc = 0;
+          while (cbits > 1) {
+            if (bs.getbit()) zeros_acc |= mask;
+            mask <<= 1;
+            --cbits;
+          }
+          zeros_acc |= mask;
+        }
+        if (zeros_acc) {
+          std::memset(e.med, 0, sizeof(e.med));
+          out[i++] = 0;
+          continue;
+        }
+      }
+    }
+
+    uint32_t ones = bs.count_ones(kLimitOnes + 1);
+    if (ones >= kLimitOnes) {
+      if (ones == kLimitOnes + 1) fail();
+      uint32_t cbits = bs.count_ones(33);
+      if (cbits == 33) fail();
+      if (cbits < 2) {
+        ones = cbits;
+      } else {
+        uint32_t mask = 1;
+        ones = 0;
+        while (cbits > 1) {
+          if (bs.getbit()) ones |= mask;
+          mask <<= 1;
+          --cbits;
+        }
+        ones |= mask;
+      }
+      ones += kLimitOnes;
+    }
+
+    if (holding_one) {
+      holding_one = ones & 1;
+      ones = (ones >> 1) + 1;
+    } else {
+      holding_one = ones & 1;
+      ones >>= 1;
+    }
+    holding_zero = holding_one ? 0 : 1;
+
+    uint32_t low, high;
+    if (ones == 0) {
+      low = 0;
+      high = (c[0] >> 4);
+      c[0] -= ((c[0] + 126) / 128) * 2;
+    } else {
+      low = (c[0] >> 4) + 1;
+      c[0] += ((c[0] + 128) / 128) * 5;
+      if (ones == 1) {
+        high = low + (c[1] >> 4);
+        c[1] -= ((c[1] + 62) / 64) * 2;
+      } else {
+        low += (c[1] >> 4) + 1;
+        c[1] += ((c[1] + 64) / 64) * 5;
+        uint32_t med2 = (c[2] >> 4) + 1;
+        if (ones == 2) {
+          high = low + med2 - 1;
+          c[2] -= ((c[2] + 30) / 32) * 2;
+        } else {
+          low += (ones - 2) * med2;
+          high = low + med2 - 1;
+          c[2] += ((c[2] + 32) / 32) * 5;
+        }
+      }
+    }
+    low &= 0x7FFFFFFF;
+    high &= 0x7FFFFFFF;
+    if (low > high) high = low;
+    uint32_t v = low + read_code(bs, high - low);
+    out[i++] = bs.getbit() ? ~v : v;
+  }
+  e.holding_one = holding_one;
+  e.holding_zero = holding_zero;
+  e.zeros_acc = zeros_acc;
+}
+
+// ---- decorrelation ---------------------------------------------------------
+struct Pass {
+  int term = 0;
+  int32_t delta = 0;
+  int32_t w[2] = {0, 0};
+  int32_t hist[2][kMaxTerm] = {{0}, {0}};
+};
+
+inline int32_t apply_weight(int32_t w, int32_t s) {
+  if (s == static_cast<int16_t>(s))
+    return wrap32((static_cast<int64_t>(w) * s + 512) >> 10);
+  // wide-sample form: the 16/16 split evaluation (low half unsigned,
+  // high half signed), matching the studied fixed-point semantics
+  int64_t lo = (static_cast<int64_t>(s & 0xFFFF) * w) >> 9;
+  int64_t s_hi = static_cast<int64_t>(s) - (s & 0xFFFF);
+  return wrap32((lo + (s_hi >> 9) * w + 1) >> 1);
+}
+
+inline void update_weight(int32_t& w, int32_t delta, int32_t sam, int32_t res) {
+  if (sam && res) w += ((sam ^ res) >= 0) ? delta : -delta;
+}
+
+inline void update_weight_clip(int32_t& w, int32_t delta, int32_t sam, int32_t res) {
+  if (sam && res) {
+    if ((sam ^ res) >= 0) {
+      if ((w += delta) > 1024) w = 1024;
+    } else {
+      if ((w -= delta) < -1024) w = -1024;
+    }
+  }
+}
+
+// Positive-term prediction over one channel in place; hist layout:
+// hist[0] == x[-term] .. hist[term-1] == x[-1] for terms 1..8;
+// hist[0] == x[-1], hist[1] == x[-2] for terms 17/18.
+void decorr_channel(Pass& p, int ch, int32_t* buf, size_t n) {
+  int32_t w = p.w[ch];
+  int32_t delta = p.delta;
+  int32_t* hist = p.hist[ch];
+  if (p.term == 17 || p.term == 18) {
+    int32_t p1 = hist[0], p2 = hist[1];
+    if (p.term == 17) {
+      for (size_t i = 0; i < n; ++i) {
+        int32_t sam = wrap32(2 * static_cast<int64_t>(p1) - p2);
+        int32_t t = buf[i];
+        int32_t nv = wrap32(static_cast<int64_t>(apply_weight(w, sam)) + t);
+        buf[i] = nv;
+        update_weight(w, delta, sam, t);
+        p2 = p1;
+        p1 = nv;
+      }
+    } else {
+      for (size_t i = 0; i < n; ++i) {
+        int32_t sam = wrap32(p1 + ((static_cast<int64_t>(p1) - p2) >> 1));
+        int32_t t = buf[i];
+        int32_t nv = wrap32(static_cast<int64_t>(apply_weight(w, sam)) + t);
+        buf[i] = nv;
+        update_weight(w, delta, sam, t);
+        p2 = p1;
+        p1 = nv;
+      }
+    }
+    hist[0] = p1;
+    hist[1] = p2;
+  } else {
+    const int term = p.term;  // 1..8: reference to x[i - term]
+    // ring over the history seam, then direct indexing
+    for (size_t i = 0; i < n; ++i) {
+      int32_t sam = (i < static_cast<size_t>(term)) ? hist[i]
+                                                    : buf[i - term];
+      int32_t t = buf[i];
+      int32_t nv = wrap32(static_cast<int64_t>(apply_weight(w, sam)) + t);
+      buf[i] = nv;
+      update_weight(w, delta, sam, t);
+    }
+    for (int m = 0; m < term; ++m) {
+      size_t idx = n + m;  // x[n - term + m]
+      hist[m] = (idx >= static_cast<size_t>(term) && idx - term < n)
+                    ? buf[idx - term]
+                    : hist[m];
+    }
+  }
+  p.w[ch] = w;
+}
+
+void decorr_block(std::vector<Pass>& passes, int32_t* a, int32_t* b, size_t n,
+                  bool stereo) {
+  for (Pass& p : passes) {
+    if (p.term > 0) {
+      decorr_channel(p, 0, a, n);
+      if (stereo) decorr_channel(p, 1, b, n);
+    } else if (!stereo) {
+      fail();  // cross-channel term in a mono stream
+    } else if (p.term == -1) {
+      int32_t wa = p.w[0], wb = p.w[1], prev_r = p.hist[0][0];
+      for (size_t i = 0; i < n; ++i) {
+        int32_t ra = a[i], rb = b[i];
+        int32_t left = wrap32(static_cast<int64_t>(apply_weight(wa, prev_r)) + ra);
+        update_weight_clip(wa, p.delta, prev_r, ra);
+        a[i] = left;
+        int32_t right = wrap32(static_cast<int64_t>(apply_weight(wb, left)) + rb);
+        update_weight_clip(wb, p.delta, left, rb);
+        b[i] = prev_r = right;
+      }
+      p.w[0] = wa;
+      p.w[1] = wb;
+      p.hist[0][0] = prev_r;
+    } else if (p.term == -2) {
+      int32_t wa = p.w[0], wb = p.w[1], prev_l = p.hist[1][0];
+      for (size_t i = 0; i < n; ++i) {
+        int32_t ra = a[i], rb = b[i];
+        int32_t right = wrap32(static_cast<int64_t>(apply_weight(wb, prev_l)) + rb);
+        update_weight_clip(wb, p.delta, prev_l, rb);
+        b[i] = right;
+        int32_t left = wrap32(static_cast<int64_t>(apply_weight(wa, right)) + ra);
+        update_weight_clip(wa, p.delta, right, ra);
+        a[i] = prev_l = left;
+      }
+      p.w[0] = wa;
+      p.w[1] = wb;
+      p.hist[1][0] = prev_l;
+    } else if (p.term == -3) {
+      int32_t wa = p.w[0], wb = p.w[1];
+      int32_t prev_r = p.hist[0][0], prev_l = p.hist[1][0];
+      for (size_t i = 0; i < n; ++i) {
+        int32_t ra = a[i], rb = b[i];
+        int32_t left = wrap32(static_cast<int64_t>(apply_weight(wa, prev_r)) + ra);
+        update_weight_clip(wa, p.delta, prev_r, ra);
+        int32_t right = wrap32(static_cast<int64_t>(apply_weight(wb, prev_l)) + rb);
+        update_weight_clip(wb, p.delta, prev_l, rb);
+        a[i] = prev_l = left;
+        b[i] = prev_r = right;
+      }
+      p.w[0] = wa;
+      p.w[1] = wb;
+      p.hist[0][0] = prev_r;
+      p.hist[1][0] = prev_l;
+    } else {
+      fail();
+    }
+  }
+}
+
+// ---- block container -------------------------------------------------------
+struct Meta {
+  uint8_t id;
+  const uint8_t* data;
+  size_t len;
+};
+
+struct Block {
+  uint16_t version;
+  uint32_t total_samples, block_index, block_samples, flags, crc;
+  std::vector<Meta> meta;
+  size_t end;  // offset just past this block
+};
+
+uint32_t rd32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (p[1] << 8) | (p[2] << 16) |
+         (static_cast<uint32_t>(p[3]) << 24);
+}
+
+bool parse_block(const uint8_t* d, size_t len, size_t off, Block& blk) {
+  if (len - off < 32) return false;
+  const uint8_t* h = d + off;
+  if (std::memcmp(h, "wvpk", 4) != 0) return false;
+  uint32_t cksize = rd32(h + 4);
+  blk.version = static_cast<uint16_t>(h[8] | (h[9] << 8));
+  blk.total_samples = rd32(h + 12);
+  blk.block_index = rd32(h + 16);
+  blk.block_samples = rd32(h + 20);
+  blk.flags = rd32(h + 24);
+  blk.crc = rd32(h + 28);
+  if (cksize < 24 || cksize > len - off - 8) return false;
+  if (blk.version < 0x402 || blk.version > 0x410) return false;
+  blk.end = off + 8 + cksize;
+  blk.meta.clear();
+  size_t mo = off + 32;
+  while (mo < blk.end) {
+    uint8_t mid = d[mo];
+    size_t words;
+    if (mid & kIdLarge) {
+      if (mo + 4 > blk.end) return false;
+      words = static_cast<size_t>(d[mo + 1]) | (d[mo + 2] << 8) |
+              (static_cast<size_t>(d[mo + 3]) << 16);
+      mo += 4;
+    } else {
+      if (mo + 2 > blk.end) return false;
+      words = d[mo + 1];
+      mo += 2;
+    }
+    size_t size = words * 2;
+    if (size > blk.end - mo) return false;
+    Meta m;
+    m.id = mid & ~(kIdLarge | kIdOddSize);
+    m.data = d + mo;
+    m.len = (mid & kIdOddSize) ? (size ? size - 1 : 0) : size;
+    blk.meta.push_back(m);
+    mo += size;
+  }
+  return true;
+}
+
+// ---- per-stream decode -----------------------------------------------------
+struct Stream {
+  std::vector<Pass> passes;
+  Entropy entropy;
+
+  // Decodes one block into per-channel int32 vectors (post joint-
+  // stereo restore, pre fixup); verifies the block CRC.  Returns the
+  // channel count (1 or 2) and fills the float/int32 info + wvx span.
+  int decode_ints(const Block& blk, std::vector<int32_t>& a,
+                  std::vector<int32_t>& b, const Meta*& float_info,
+                  const Meta*& int32_info, const Meta*& wvx) {
+    uint32_t flags = blk.flags;
+    if (flags & kHybridFlag) fail();
+    bool mono = (flags & kMonoData) != 0;
+    const Meta* wv = nullptr;
+    float_info = int32_info = wvx = nullptr;
+    for (const Meta& m : blk.meta) {
+      switch (m.id) {
+        case kIdDecorrTerms: {
+          if (m.len > kMaxPasses) fail();
+          passes.assign(m.len, Pass{});
+          // stored in reverse application order
+          for (size_t i = 0; i < m.len; ++i) {
+            uint8_t byte = m.data[i];
+            int term = static_cast<int>(byte & 0x1F) - 5;
+            bool ok = (term >= 1 && term <= kMaxTerm) || term == 17 ||
+                      term == 18 || (term >= -3 && term <= -1 && !mono);
+            if (!ok) fail();
+            Pass& p = passes[m.len - 1 - i];
+            p.term = term;
+            p.delta = (byte >> 5) & 0x7;
+          }
+          break;
+        }
+        case kIdDecorrWeights: {
+          size_t per = mono ? 1 : 2;
+          size_t count = m.len / per;
+          if (count > passes.size()) fail();
+          for (Pass& p : passes) p.w[0] = p.w[1] = 0;
+          size_t k = 0;
+          // first stored weight belongs to the last pass
+          for (size_t pi = passes.size(); pi-- > 0 && k / per < count;) {
+            passes[pi].w[0] = restore_weight(static_cast<int8_t>(m.data[k++]));
+            if (!mono)
+              passes[pi].w[1] = restore_weight(static_cast<int8_t>(m.data[k++]));
+          }
+          break;
+        }
+        case kIdDecorrSamples: {
+          for (Pass& p : passes) {
+            std::memset(p.hist, 0, sizeof(p.hist));
+          }
+          size_t pos = 0;
+          auto next16 = [&]() -> int32_t {
+            if (pos + 2 > m.len) fail();
+            int16_t v = static_cast<int16_t>(m.data[pos] | (m.data[pos + 1] << 8));
+            pos += 2;
+            return exp2s(v);
+          };
+          // history is stored last-pass-first too
+          for (size_t pi = passes.size(); pi-- > 0;) {
+            if (pos >= m.len) break;
+            Pass& p = passes[pi];
+            if (p.term > kMaxTerm) {
+              p.hist[0][0] = next16();
+              p.hist[0][1] = next16();
+              if (!mono) {
+                p.hist[1][0] = next16();
+                p.hist[1][1] = next16();
+              }
+            } else if (p.term < 0) {
+              p.hist[0][0] = next16();
+              p.hist[1][0] = next16();
+            } else {
+              for (int mm = 0; mm < p.term; ++mm) {
+                p.hist[0][mm] = next16();
+                if (!mono) p.hist[1][mm] = next16();
+              }
+            }
+          }
+          if (pos != m.len) fail();
+          break;
+        }
+        case kIdEntropyVars: {
+          size_t want = mono ? 6 : 12;
+          if (m.len != want) fail();
+          for (size_t ci = 0; ci < want / 6; ++ci)
+            for (int j = 0; j < 3; ++j) {
+              int16_t v = static_cast<int16_t>(m.data[ci * 6 + j * 2] |
+                                               (m.data[ci * 6 + j * 2 + 1] << 8));
+              entropy.med[ci][j] = static_cast<uint32_t>(exp2s(v));
+            }
+          entropy.holding_one = entropy.holding_zero = entropy.zeros_acc = 0;
+          break;
+        }
+        case kIdFloatInfo:
+          if (m.len != 4) fail();
+          float_info = &m;
+          break;
+        case kIdInt32Info:
+          if (m.len != 4) fail();
+          int32_info = &m;
+          break;
+        case kIdWvBits:
+          wv = &m;
+          break;
+        case kIdWvxBits:
+          if (m.len <= 4) fail();
+          wvx = &m;
+          break;
+        case kIdWvcBits:
+          fail();  // hybrid correction stream
+        default:
+          break;  // RIFF wrapper, config, tags: ignored
+      }
+    }
+    if (!wv) fail();
+
+    size_t n = blk.block_samples;
+    size_t nflat = mono ? n : 2 * n;
+    std::vector<int32_t> res(nflat);
+    Bits bs;
+    bs.init(wv->data, wv->len);
+    get_words(entropy, bs, res.data(), nflat, !mono);
+
+    uint32_t crc = 0xFFFFFFFFu;
+    if (mono) {
+      a.assign(res.begin(), res.end());
+      b.clear();
+      decorr_block(passes, a.data(), nullptr, n, false);
+      for (size_t i = 0; i < n; ++i)
+        crc = crc * 3 + static_cast<uint32_t>(a[i]);
+    } else {
+      a.resize(n);
+      b.resize(n);
+      for (size_t i = 0; i < n; ++i) {
+        a[i] = res[2 * i];
+        b[i] = res[2 * i + 1];
+      }
+      decorr_block(passes, a.data(), b.data(), n, true);
+      if (flags & kJointStereo) {
+        for (size_t i = 0; i < n; ++i) {
+          int32_t r = wrap32(static_cast<int64_t>(b[i]) - (a[i] >> 1));
+          int32_t l = wrap32(static_cast<int64_t>(a[i]) + r);
+          a[i] = l;
+          b[i] = r;
+          crc = crc * 9 + static_cast<uint32_t>(l) * 3 + static_cast<uint32_t>(r);
+        }
+      } else {
+        for (size_t i = 0; i < n; ++i)
+          crc = crc * 9 + static_cast<uint32_t>(a[i]) * 3 +
+                static_cast<uint32_t>(b[i]);
+      }
+    }
+    if (crc != blk.crc) fail();
+    return mono ? 1 : 2;
+  }
+};
+
+// Rebuild IEEE-754 words (interleaved wvx walk across channels).
+void restore_floats(std::vector<int32_t>* chans, int nch, const Meta* finfo,
+                    const Meta* wvx) {
+  int fflags = finfo->data[0], fshift = finfo->data[1];
+  int fmax_exp = finfo->data[2];
+  Bits xb;
+  uint32_t crc_stored = 0;
+  bool have_x = wvx != nullptr;
+  if (have_x) {
+    crc_stored = rd32(wvx->data);
+    xb.init(wvx->data + 4, wvx->len - 4);
+  }
+  uint32_t crc = 0xFFFFFFFFu;
+  size_t n = chans[0].size();
+  for (size_t i = 0; i < n; ++i) {
+    for (int c = 0; c < nch; ++c) {
+      int64_t v = chans[c][i];
+      uint32_t sign = 0, mant = 0;
+      int exp = fmax_exp;
+      if (v == 0) {
+        exp = 0;
+        if (have_x && (fflags & kFltZerosSent)) {
+          if (xb.getbit()) {
+            mant = xb.getbits(23);
+            if (fmax_exp >= 25) exp = xb.getbits(8);
+            sign = xb.getbit();
+          } else if (fflags & kFltNegZeros) {
+            sign = xb.getbit();
+          }
+        }
+      } else {
+        v = wrap32(v << fshift);
+        if (v < 0) {
+          v = -v;
+          sign = 1;
+        }
+        if (v == 0x1000000 && have_x) {
+          if (xb.getbit()) mant = xb.getbits(23);
+          exp = 255;
+        } else {
+          if (v >= 0x1000000 && !have_x) {
+            while (v & 0xF000000) {
+              v >>= 1;
+              ++exp;
+            }
+          }
+          int shift_count = 0;
+          while (exp && !(v & 0x800000)) {
+            // the decrement that lands on 0 exits unshifted (denormal)
+            if (!--exp) break;
+            ++shift_count;
+            v = wrap32(v << 1);
+          }
+          if (shift_count) {
+            if ((fflags & kFltShiftOnes) ||
+                ((fflags & kFltShiftSame) && have_x && xb.getbit())) {
+              v |= (1 << shift_count) - 1;
+            } else if ((fflags & kFltShiftSent) && have_x) {
+              v |= xb.getbits(shift_count) & ((1u << shift_count) - 1);
+            }
+          }
+          mant = static_cast<uint32_t>(v) & 0x7FFFFF;
+        }
+      }
+      crc = crc * 27 + mant * 9 + static_cast<uint32_t>(exp) * 3 + sign;
+      chans[c][i] =
+          static_cast<int32_t>((sign << 31) | (static_cast<uint32_t>(exp) << 23) | mant);
+    }
+  }
+  if (have_x && crc != crc_stored) fail();
+}
+
+void restore_int32(std::vector<int32_t>* chans, int nch, const Meta* iinfo,
+                   const Meta* wvx, int shift) {
+  int sent_bits = iinfo->data[0], zeros = iinfo->data[1];
+  int ones = iinfo->data[2], dups = iinfo->data[3];
+  size_t n = chans[0].size();
+  if (wvx) {
+    uint32_t crc_stored = rd32(wvx->data);
+    Bits xb;
+    xb.init(wvx->data + 4, wvx->len - 4);
+    uint32_t crc = 0xFFFFFFFFu;
+    uint32_t mask = sent_bits ? ((1u << sent_bits) - 1) : 0;
+    for (size_t i = 0; i < n; ++i) {
+      for (int c = 0; c < nch; ++c) {
+        int64_t v = chans[c][i];
+        uint32_t data = sent_bits ? xb.getbits(sent_bits) : 0;
+        v = wrap32((v << sent_bits) | (data & mask));
+        if (zeros)
+          v = wrap32(v << zeros);
+        else if (ones)
+          v = wrap32(((v + 1) << ones) - 1);
+        else if (dups)
+          v = wrap32(((v + (v & 1)) << dups) - (v & 1));
+        chans[c][i] = static_cast<int32_t>(v);
+        uint32_t uv = static_cast<uint32_t>(v);
+        crc = crc * 9 + (uv & 0xFFFF) * 3 + ((uv >> 16) & 0xFFFF);
+      }
+    }
+    if (crc != crc_stored) fail();
+  } else if (!sent_bits && (zeros + ones + dups)) {
+    for (int c = 0; c < nch; ++c)
+      for (size_t i = 0; i < n; ++i) {
+        int64_t v = chans[c][i];
+        if (zeros)
+          v = wrap32(v << zeros);
+        else if (ones)
+          v = wrap32(((v + 1) << ones) - 1);
+        else if (dups)
+          v = wrap32(((v + (v & 1)) << dups) - (v & 1));
+        chans[c][i] = static_cast<int32_t>(v);
+      }
+  } else {
+    shift += zeros + sent_bits + ones + dups;
+  }
+  if (shift) {
+    if (shift > 31) fail();
+    for (int c = 0; c < nch; ++c)
+      for (size_t i = 0; i < n; ++i)
+        chans[c][i] = wrap32(static_cast<int64_t>(chans[c][i]) << shift);
+  }
+}
+
+struct Decoded {
+  int32_t fs = 0;
+  int nch = 0;
+  std::vector<std::vector<float>> chans;  // deinterleaved
+};
+
+void decode_stream(const uint8_t* d, size_t len, Decoded& out) {
+  // find the first plausible block (tolerate leading tags/junk)
+  size_t off = 0;
+  bool found = false;
+  Block blk;
+  size_t limit = len < (1u << 20) ? len : (1u << 20);
+  for (size_t i = 0; i + 32 <= limit; ++i) {
+    if (d[i] == 'w' && parse_block(d, len, i, blk)) {
+      off = i;
+      found = true;
+      break;
+    }
+  }
+  if (!found) fail();
+
+  std::vector<Stream> streams;
+  size_t stream_idx = 0;
+  int nch_total = -1;
+  bool have_fmt = false;
+  bool is_float = false;
+  int bits = 0;
+  int fnorm_exp = 127;
+  std::vector<std::vector<int32_t>> seg_ints;  // channels of current segment
+
+  while (off + 32 <= len && std::memcmp(d + off, "wvpk", 4) == 0) {
+    if (!parse_block(d, len, off, blk)) fail();
+    off = blk.end;
+    if (blk.block_samples == 0) continue;  // metadata-only block
+    if (blk.flags & kInitialBlock) stream_idx = 0;
+    if (stream_idx >= streams.size()) {
+      if (streams.size() >= 64) fail();
+      streams.emplace_back();
+    }
+    if (!have_fmt) {
+      have_fmt = true;
+      out.fs = kSampleRates[(blk.flags >> kSrateLsb) & 0xF];
+      for (const Meta& m : blk.meta)
+        if (m.id == kIdSampleRate && m.len >= 3)
+          out.fs = m.data[0] | (m.data[1] << 8) | (m.data[2] << 16);
+      is_float = (blk.flags & kFloatData) != 0;
+      bits = 8 * static_cast<int>((blk.flags & kBytesStoredMask) + 1);
+    }
+    std::vector<int32_t> a, b;
+    const Meta *finfo, *iinfo, *wvx;
+    int nch = streams[stream_idx].decode_ints(blk, a, b, finfo, iinfo, wvx);
+    int shift = (blk.flags >> kShiftLsb) & 0x1F;
+    std::vector<int32_t> chans2[2] = {std::move(a), std::move(b)};
+    if (blk.flags & kFloatData) {
+      if (!finfo) fail();
+      fnorm_exp = finfo->data[3];
+      restore_floats(chans2, nch, finfo, wvx);
+    } else if (blk.flags & kInt32Data) {
+      if (!iinfo) fail();
+      restore_int32(chans2, nch, iinfo, wvx, shift);
+    } else if (shift) {
+      if (shift > 31) fail();
+      for (int c = 0; c < nch; ++c)
+        for (int32_t& v : chans2[c]) v = wrap32(static_cast<int64_t>(v) << shift);
+    }
+    if (blk.flags & kFalseStereo) {
+      chans2[1] = chans2[0];
+      nch = 2;
+    }
+    for (int c = 0; c < nch; ++c) seg_ints.push_back(std::move(chans2[c]));
+    ++stream_idx;
+    if (blk.flags & kFinalBlock) {
+      if (nch_total < 0) {
+        nch_total = static_cast<int>(seg_ints.size());
+        if (nch_total == 0 || nch_total > 64) fail();
+        out.chans.resize(nch_total);
+      } else if (static_cast<int>(seg_ints.size()) != nch_total) {
+        fail();
+      }
+      // convert + append
+      for (int c = 0; c < nch_total; ++c) {
+        std::vector<float>& dst = out.chans[c];
+        const std::vector<int32_t>& src = seg_ints[c];
+        size_t base = dst.size();
+        dst.resize(base + src.size());
+        if (is_float) {
+          float scale =
+              static_cast<float>(__builtin_exp2(127 - fnorm_exp));
+          for (size_t i = 0; i < src.size(); ++i) {
+            float f;
+            uint32_t w = static_cast<uint32_t>(src[i]);
+            std::memcpy(&f, &w, 4);
+            dst[base + i] = f * scale;
+          }
+        } else {
+          float scale = 1.0f / static_cast<float>(1u << (bits - 1));
+          for (size_t i = 0; i < src.size(); ++i)
+            dst[base + i] = static_cast<float>(src[i]) * scale;
+        }
+      }
+      seg_ints.clear();
+      stream_idx = 0;
+    }
+  }
+  if (nch_total < 0) fail();
+  out.nch = nch_total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a WavPack buffer. On success *out is malloc'd (free with
+// zen_wv_free) holding interleaved float32 frames; returns 0.
+// Nonzero: malformed/unsupported input (including any CRC mismatch).
+int zen_wv_decode_mem(const uint8_t* data, uint64_t len, float** out,
+                      uint64_t* frames, int32_t* fs, int32_t* nch) {
+  *out = nullptr;
+  *frames = 0;
+  try {
+    Decoded dec;
+    decode_stream(data, static_cast<size_t>(len), dec);
+    size_t n = dec.chans.empty() ? 0 : dec.chans[0].size();
+    for (auto& c : dec.chans)
+      if (c.size() != n) return 2;
+    float* buf = static_cast<float*>(malloc(n * dec.nch * sizeof(float)));
+    if (!buf && n) return 3;
+    for (size_t i = 0; i < n; ++i)
+      for (int c = 0; c < dec.nch; ++c) buf[i * dec.nch + c] = dec.chans[c][i];
+    *out = buf;
+    *frames = n;
+    *fs = dec.fs;
+    *nch = dec.nch;
+    return 0;
+  } catch (const WvError&) {
+    return 1;
+  } catch (const std::bad_alloc&) {
+    return 3;
+  }
+}
+
+int zen_wv_decode_file(const char* path, float** out, uint64_t* frames,
+                       int32_t* fs, int32_t* nch) {
+  *out = nullptr;
+  *frames = 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return 10;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (sz <= 0 || sz > (1L << 31)) {
+    fclose(f);
+    return 11;
+  }
+  uint8_t* buf = static_cast<uint8_t*>(malloc(static_cast<size_t>(sz)));
+  if (!buf) {
+    fclose(f);
+    return 12;
+  }
+  size_t got = fread(buf, 1, static_cast<size_t>(sz), f);
+  fclose(f);
+  if (got != static_cast<size_t>(sz)) {
+    free(buf);
+    return 13;
+  }
+  int rc = zen_wv_decode_mem(buf, got, out, frames, fs, nch);
+  free(buf);
+  return rc;
+}
+
+void zen_wv_free(float* p) { free(p); }
+
+}  // extern "C"

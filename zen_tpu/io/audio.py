@@ -18,7 +18,7 @@ def read_audio_mono(path: str):
     """Load an audio file as float32 mono in [-1, 1] by sniffing the
     container magic — the front door every driver/CLI input goes
     through (the NyquistIO::Load analog, zen/offline.h:88-102).
-    Supports RIFF wav and FLAC."""
+    Supports RIFF wav, FLAC, and WavPack."""
     with open(path, "rb") as f:
         head = f.read(10)
         magic = head[:4]
@@ -32,6 +32,21 @@ def read_audio_mono(path: str):
                 magic = f.read(4)
             except FlacError:
                 pass
+    if magic == b"wvpk":
+        try:
+            from ..runtime import native
+
+            if native.wv_available():
+                fs, frames = native.wv_read(path)
+                x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
+                return fs, np.ascontiguousarray(x, np.float32)
+        except ValueError:
+            raise  # malformed file: don't mask it with the fallback
+        except Exception:
+            pass
+        from .wavpack import read_wavpack_mono
+
+        return read_wavpack_mono(path)
     if magic == b"fLaC":
         try:
             from ..runtime import native

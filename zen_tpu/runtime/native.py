@@ -127,6 +127,20 @@ def _load():
         lib._has_flac_enc = True
     except AttributeError:
         lib._has_flac_enc = False
+    try:  # own flag: absent from pre-wavpack builds of the .so
+        lib.zen_wv_decode_file.restype = ctypes.c_int
+        lib.zen_wv_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.zen_wv_free.restype = None
+        lib.zen_wv_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib._has_wv = True
+    except AttributeError:
+        lib._has_wv = False
     _lib = lib
     return lib
 
@@ -284,6 +298,45 @@ def flac_read(path: str):
         )
     finally:
         lib.zen_flac_free(out)
+    return int(fs.value), arr.reshape(frames.value, ch.value)
+
+
+def wv_available() -> bool:
+    lib = _load()
+    return lib is not None and lib._has_wv
+
+
+def wv_read(path: str):
+    """Native WavPack decode (native/zenwv.cpp). Returns
+    (fs, float32 [frames, channels] in [-1, 1]); callers fall back to
+    the pure-Python decoder (zen_tpu/io/wavpack.py) when unavailable.
+    Block CRCs (and the WVX CRC when present) are verified natively —
+    a nonzero return means the file failed to prove itself."""
+    lib = _load()
+    if lib is None or not lib._has_wv:
+        raise RuntimeError("native wavpack decoder unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_uint64()
+    fs = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    rc = lib.zen_wv_decode_file(
+        path.encode(),
+        ctypes.byref(out),
+        ctypes.byref(frames),
+        ctypes.byref(fs),
+        ctypes.byref(ch),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_wv_decode_file failed: {rc}")
+    n = frames.value * ch.value
+    try:
+        arr = (
+            np.ctypeslib.as_array(out, shape=(n,)).copy()
+            if n
+            else np.zeros(0, np.float32)
+        )
+    finally:
+        lib.zen_wv_free(out)
     return int(fs.value), arr.reshape(frames.value, ch.value)
 
 
