@@ -74,6 +74,12 @@ struct WvError {};  // thrown on any malformed/unsupported input
 
 inline int32_t wrap32(int64_t v) { return static_cast<int32_t>(static_cast<uint32_t>(v)); }
 
+// Left shift with C's wraparound intent but without the
+// signed-shift UB (evaluated in the unsigned domain).
+inline int64_t shl(int64_t v, int k) {
+  return static_cast<int64_t>(static_cast<uint64_t>(v) << k);
+}
+
 // exp2_table[i] == round(256*(2^(i/256)-1)); built once.
 struct Exp2Table {
   uint8_t t[256];
@@ -96,7 +102,7 @@ int32_t exp2s(int32_t log2v) {
 }
 
 int32_t restore_weight(int8_t w) {
-  int32_t r = static_cast<int32_t>(w) << 3;
+  int32_t r = static_cast<int32_t>(w) * 8;
   if (r > 0) r += (r + 64) >> 7;
   return r;
 }
@@ -673,7 +679,7 @@ void restore_floats(std::vector<int32_t>* chans, int nch, const Meta* finfo,
           }
         }
       } else {
-        v = wrap32(v << fshift);
+        v = wrap32(shl(v, fshift));
         if (v < 0) {
           v = -v;
           sign = 1;
@@ -693,12 +699,12 @@ void restore_floats(std::vector<int32_t>* chans, int nch, const Meta* finfo,
             // the decrement that lands on 0 exits unshifted (denormal)
             if (!--exp) break;
             ++shift_count;
-            v = wrap32(v << 1);
+            v = wrap32(shl(v, 1));
           }
           if (shift_count) {
             if ((fflags & kFltShiftOnes) ||
                 ((fflags & kFltShiftSame) && have_x && xb.getbit())) {
-              v |= (1 << shift_count) - 1;
+              v |= (int64_t{1} << shift_count) - 1;
             } else if ((fflags & kFltShiftSent) && have_x) {
               v |= xb.getbits(shift_count) & ((1u << shift_count) - 1);
             }
@@ -729,13 +735,13 @@ void restore_int32(std::vector<int32_t>* chans, int nch, const Meta* iinfo,
       for (int c = 0; c < nch; ++c) {
         int64_t v = chans[c][i];
         uint32_t data = sent_bits ? xb.getbits(sent_bits) : 0;
-        v = wrap32((v << sent_bits) | (data & mask));
+        v = wrap32(shl(v, sent_bits) | (data & mask));
         if (zeros)
-          v = wrap32(v << zeros);
+          v = wrap32(shl(v, zeros));
         else if (ones)
-          v = wrap32(((v + 1) << ones) - 1);
+          v = wrap32(shl(v + 1, ones) - 1);
         else if (dups)
-          v = wrap32(((v + (v & 1)) << dups) - (v & 1));
+          v = wrap32(shl(v + (v & 1), dups) - (v & 1));
         chans[c][i] = static_cast<int32_t>(v);
         uint32_t uv = static_cast<uint32_t>(v);
         crc = crc * 9 + (uv & 0xFFFF) * 3 + ((uv >> 16) & 0xFFFF);
@@ -747,11 +753,11 @@ void restore_int32(std::vector<int32_t>* chans, int nch, const Meta* iinfo,
       for (size_t i = 0; i < n; ++i) {
         int64_t v = chans[c][i];
         if (zeros)
-          v = wrap32(v << zeros);
+          v = wrap32(shl(v, zeros));
         else if (ones)
-          v = wrap32(((v + 1) << ones) - 1);
+          v = wrap32(shl(v + 1, ones) - 1);
         else if (dups)
-          v = wrap32(((v + (v & 1)) << dups) - (v & 1));
+          v = wrap32(shl(v + (v & 1), dups) - (v & 1));
         chans[c][i] = static_cast<int32_t>(v);
       }
   } else {
@@ -761,7 +767,7 @@ void restore_int32(std::vector<int32_t>* chans, int nch, const Meta* iinfo,
     if (shift > 31) fail();
     for (int c = 0; c < nch; ++c)
       for (size_t i = 0; i < n; ++i)
-        chans[c][i] = wrap32(static_cast<int64_t>(chans[c][i]) << shift);
+        chans[c][i] = wrap32(shl(chans[c][i], shift));
   }
 }
 
@@ -828,7 +834,7 @@ void decode_stream(const uint8_t* d, size_t len, Decoded& out) {
     } else if (shift) {
       if (shift > 31) fail();
       for (int c = 0; c < nch; ++c)
-        for (int32_t& v : chans2[c]) v = wrap32(static_cast<int64_t>(v) << shift);
+        for (int32_t& v : chans2[c]) v = wrap32(shl(v, shift));
     }
     if (blk.flags & kFalseStereo) {
       chans2[1] = chans2[0];
