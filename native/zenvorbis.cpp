@@ -1,0 +1,1192 @@
+// zenvorbis.cpp — from-scratch Ogg Vorbis decoder.
+//
+// The reference front door accepts .ogg because libnyquist routes it
+// through libvorbis (vendor/libnyquist/src/VorbisDecoder.cpp); this
+// gives the rebuild the same capability without vendoring anything.
+// Implements the full Vorbis I decode spec: Ogg page/packet layer
+// with CRC-checked pages, codebook huffman + VQ lookup, floor type 1,
+// residue types 0/1/2, channel coupling, window-switched IMDCT
+// (radix-2 FFT factorization), lapped overlap-add, and granule-based
+// edge trimming.  Floor type 0 (legacy LSP floors, absent from any
+// mainstream encoder output) is rejected with a clear error.
+//
+// Format semantics were studied from the Vorbis I specification and
+// the libvorbis sources the reference vendors (sharedbook.c make_words
+// + unquantize, floor1.c render/neighbor rules, res0.c partition
+// loops, mapping0.c coupling, block.c lapping, window.c slopes); the
+// implementation here is original, bounds-checked, and validated
+// against real foreign-encoded files with a lossless ground truth.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+#include <vector>
+
+namespace {
+
+struct VbError {};   // malformed/unsupported stream
+[[noreturn]] void fail() { throw VbError{}; }
+
+struct EopError {};  // ran off the end of a packet: recoverable per spec
+
+inline int ilog(uint32_t v) {
+  int r = 0;
+  while (v) {
+    ++r;
+    v >>= 1;
+  }
+  return r;
+}
+
+// Vorbis packed float: 21-bit mantissa, 10-bit exponent, sign.
+inline float float32_unpack(uint32_t v) {
+  double mant = v & 0x1FFFFF;
+  int exp = (v & 0x7FE00000u) >> 21;
+  if (v & 0x80000000u) mant = -mant;
+  return static_cast<float>(std::ldexp(mant, exp - 788));
+}
+
+// ---- LSB-first bit reader over one packet ---------------------------------
+struct Bits {
+  const uint8_t* d;
+  size_t len, pos = 0;
+  uint64_t acc = 0;
+  int n = 0;
+
+  explicit Bits(const uint8_t* data, size_t size) : d(data), len(size) {}
+
+  uint32_t get(int nbits) {
+    while (n < nbits) {
+      if (pos >= len) throw EopError{};
+      acc |= static_cast<uint64_t>(d[pos++]) << n;
+      n += 8;
+    }
+    uint32_t v = static_cast<uint32_t>(acc & ((nbits < 64 ? (1ull << nbits) : 0) - 1));
+    acc >>= nbits;
+    n -= nbits;
+    return v;
+  }
+  uint32_t get1() { return get(1); }
+};
+
+// ---- Ogg layer -------------------------------------------------------------
+struct Crc32 {
+  uint32_t t[256];
+  Crc32() {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t r = i << 24;
+      for (int j = 0; j < 8; ++j)
+        r = (r & 0x80000000u) ? (r << 1) ^ 0x04C11DB7u : (r << 1);
+      t[i] = r;
+    }
+  }
+  uint32_t run(const uint8_t* d, size_t n, uint32_t crc = 0) const {
+    for (size_t i = 0; i < n; ++i) crc = (crc << 8) ^ t[((crc >> 24) ^ d[i]) & 0xFF];
+    return crc;
+  }
+};
+
+struct Packet {
+  std::vector<uint8_t> data;
+  int64_t granule = -1;  // granulepos of the page this packet ENDS on
+  bool page_end = false; // last packet completed on its page
+  bool eos = false;      // ends on an end-of-stream page
+};
+
+// Split the physical stream into packets of the first logical stream.
+void ogg_packets(const uint8_t* d, size_t len, std::vector<Packet>& out) {
+  static const Crc32 crc;
+  size_t off = 0;
+  bool have_serial = false;
+  uint32_t serial = 0;
+  std::vector<uint8_t> pending;
+  while (off + 27 <= len) {
+    if (std::memcmp(d + off, "OggS", 4) != 0) {
+      // resync: scan forward (tolerates junk the way real demuxers do)
+      const void* p = std::memchr(d + off + 1, 'O', len - off - 1);
+      if (!p) break;
+      off = static_cast<size_t>(static_cast<const uint8_t*>(p) - d);
+      continue;
+    }
+    if (d[off + 4] != 0) fail();  // stream structure version
+    uint8_t htype = d[off + 5];
+    int64_t granule;
+    std::memcpy(&granule, d + off + 6, 8);  // LE host assumed (x86/arm)
+    uint32_t ser;
+    std::memcpy(&ser, d + off + 14, 4);
+    uint8_t nseg = d[off + 26];
+    size_t hdr = 27 + nseg;
+    if (off + hdr > len) break;
+    size_t body = 0;
+    for (int i = 0; i < nseg; ++i) body += d[off + 27 + i];
+    if (off + hdr + body > len) break;
+
+    // page CRC (field zeroed during computation)
+    {
+      uint8_t tmp[27 + 255];
+      std::memcpy(tmp, d + off, hdr);
+      std::memset(tmp + 22, 0, 4);
+      uint32_t want;
+      std::memcpy(&want, d + off + 22, 4);
+      uint32_t got = crc.run(tmp, hdr);
+      got = crc.run(d + off + hdr, body, got);
+      if (got != want) {
+        off += 1;  // corrupt page: resync past it
+        continue;
+      }
+    }
+
+    if (!have_serial) {
+      if (htype & 0x2) {  // first BOS page selects the logical stream
+        serial = ser;
+        have_serial = true;
+      } else {
+        off += hdr + body;
+        continue;
+      }
+    }
+    if (ser != serial) {
+      off += hdr + body;
+      continue;
+    }
+
+    bool cont_flag = (htype & 0x1) != 0;
+    bool eos = (htype & 0x4) != 0;
+    if (!cont_flag && !pending.empty()) pending.clear();  // lost continuation
+    // a continuation with nothing pending is the tail of a packet we
+    // never saw (stream joined mid-flight): drop that first span
+    bool drop_first = cont_flag && pending.empty();
+
+    size_t p = off + hdr;
+    size_t start = p;
+    std::vector<std::pair<size_t, size_t>> spans;  // completed packets
+    bool ends_partial = nseg > 0 && d[off + 27 + nseg - 1] == 255;
+    for (int i = 0; i < nseg; ++i) {
+      size_t l = d[off + 27 + i];
+      p += l;
+      if (l < 255) {
+        spans.emplace_back(start, p);
+        start = p;
+      }
+    }
+    for (size_t si = 0; si < spans.size(); ++si) {
+      if (si == 0 && drop_first) continue;  // tail of a packet we never saw
+      Packet pkt;
+      if (si == 0 && cont_flag) {
+        pkt.data = std::move(pending);
+        pending.clear();
+      }
+      pkt.data.insert(pkt.data.end(), d + spans[si].first, d + spans[si].second);
+      pkt.page_end = (si + 1 == spans.size());
+      pkt.granule = granule;
+      pkt.eos = eos;
+      out.push_back(std::move(pkt));
+    }
+    if (ends_partial) {
+      if (!(spans.empty() && drop_first))
+        pending.insert(pending.end(), d + start, d + off + hdr + body);
+    } else {
+      pending.clear();
+    }
+    off += hdr + body;
+  }
+}
+
+// ---- codebooks -------------------------------------------------------------
+struct Codebook {
+  int dim = 0;
+  int entries = 0;
+  std::vector<uint8_t> lengths;
+  // huffman trie: nodes[i] = {child0, child1}; child < 0 encodes
+  // leaf entry -(e+1); child 0 with index 0 = unassigned
+  std::vector<int32_t> tree;
+  std::vector<float> values;  // entries*dim when lookup != 0
+  bool has_values = false;
+
+  int decode(Bits& b) const {
+    int node = 0;
+    for (;;) {
+      int32_t c = tree[2 * node + b.get1()];
+      if (c < 0) return -c - 1;
+      if (c == 0) fail();  // codeword outside the assigned tree
+      node = c;
+    }
+  }
+
+  void add_codeword(uint32_t code, int len, int entry) {
+    // code bits MSB-first (the order they appear to an LSB-first
+    // reader after libvorbis's bit reversal)
+    int node = 0;
+    for (int i = len - 1; i >= 0; --i) {
+      int bit = (code >> i) & 1;
+      size_t slot = 2 * node + bit;  // index, not a reference: the
+                                     // resize below would invalidate it
+      if (i == 0) {
+        if (tree[slot] != 0) fail();
+        tree[slot] = -(entry + 1);
+      } else {
+        if (tree[slot] < 0) fail();
+        if (tree[slot] == 0) {
+          tree[slot] = static_cast<int32_t>(tree.size() / 2);
+          tree.resize(tree.size() + 2, 0);
+        }
+        node = tree[slot];
+      }
+    }
+  }
+
+  // Codeword assignment: lowest available leaf per entry, in entry
+  // order (the spec's canonical-ish algorithm).
+  void build_tree() {
+    tree.assign(2, 0);
+    uint32_t marker[33] = {0};
+    int used = 0;
+    int single_entry = -1;
+    for (int i = 0; i < entries; ++i) {
+      int length = lengths[i];
+      if (!length) continue;
+      ++used;
+      single_entry = i;
+      uint32_t entry = marker[length];
+      if (length < 32 && (entry >> length)) fail();  // overpopulated
+      add_codeword(entry, length, i);
+      for (int j = length; j > 0; --j) {
+        if (marker[j] & 1) {
+          if (j == 1)
+            ++marker[1];
+          else
+            marker[j] = marker[j - 1] << 1;
+          break;
+        }
+        ++marker[j];
+      }
+      for (int j = length + 1; j < 33; ++j) {
+        if ((marker[j] >> 1) == entry) {
+          entry = marker[j];
+          marker[j] = marker[j - 1] << 1;
+        } else
+          break;
+      }
+    }
+    if (used == 1) {
+      // single-entry books: one 1-bit codeword '0' (spec retcon)
+      tree.assign(2, 0);
+      tree[0] = -(single_entry + 1);
+      tree[1] = -(single_entry + 1);
+      return;
+    }
+    // underpopulated trees are invalid
+    for (int i = 1; i < 33; ++i)
+      if (marker[i] & (0xFFFFFFFFu >> (32 - i))) fail();
+  }
+
+  void parse(Bits& b) {
+    if (b.get(24) != 0x564342) fail();
+    dim = b.get(16);
+    entries = b.get(24);
+    if (dim <= 0 || entries < 0 || entries > (1 << 24)) fail();
+    lengths.assign(entries, 0);
+    bool ordered = b.get1();
+    if (!ordered) {
+      bool sparse = b.get1();
+      for (int i = 0; i < entries; ++i) {
+        if (sparse) {
+          if (b.get1()) lengths[i] = b.get(5) + 1;
+        } else {
+          lengths[i] = b.get(5) + 1;
+        }
+      }
+    } else {
+      int cur = 0;
+      int curlen = b.get(5) + 1;
+      while (cur < entries) {
+        int num = b.get(ilog(entries - cur));
+        if (cur + num > entries || curlen > 32) fail();
+        for (int i = 0; i < num; ++i) lengths[cur + i] = curlen;
+        cur += num;
+        ++curlen;
+      }
+    }
+    build_tree();
+    int lookup = b.get(4);
+    if (lookup == 0) return;
+    if (lookup > 2) fail();
+    float minv = float32_unpack(b.get(32));
+    float delta = float32_unpack(b.get(32));
+    int value_bits = b.get(4) + 1;
+    bool sequence_p = b.get1();
+    long lookup_values;
+    if (lookup == 1) {
+      // greatest v with v^dim <= entries, verified with integers
+      long v = static_cast<long>(std::floor(std::pow(static_cast<double>(entries),
+                                                     1.0 / dim)));
+      for (;;) {
+        long acc = 1, acc1 = 1;
+        bool ok = true, ok1 = true;
+        for (int i = 0; i < dim; ++i) {
+          if (acc > entries / (v ? v : 1)) ok = false;
+          acc *= v;
+          if (acc1 > (1 << 24) / (v + 1)) ok1 = false;
+          acc1 *= v + 1;
+        }
+        if (ok && acc <= entries && (!ok1 || acc1 > entries)) break;
+        if (!ok || acc > entries)
+          --v;
+        else
+          ++v;
+        if (v < 0 || v > entries) fail();
+      }
+      lookup_values = v;
+    } else {
+      lookup_values = static_cast<long>(entries) * dim;
+    }
+    if (lookup_values < 0 || lookup_values > (1 << 24)) fail();
+    std::vector<uint32_t> mults(lookup_values);
+    for (long i = 0; i < lookup_values; ++i) mults[i] = b.get(value_bits);
+    values.assign(static_cast<size_t>(entries) * dim, 0.0f);
+    for (int e = 0; e < entries; ++e) {
+      float last = 0.0f;
+      if (lookup == 1) {
+        long indexdiv = 1;
+        for (int k = 0; k < dim; ++k) {
+          long index = (e / indexdiv) % lookup_values;
+          float val = mults[index] * delta + minv + last;
+          values[static_cast<size_t>(e) * dim + k] = val;
+          if (sequence_p) last = val;
+          indexdiv *= lookup_values;
+        }
+      } else {
+        for (int k = 0; k < dim; ++k) {
+          float val = mults[static_cast<size_t>(e) * dim + k] * delta + minv + last;
+          values[static_cast<size_t>(e) * dim + k] = val;
+          if (sequence_p) last = val;
+        }
+      }
+    }
+    has_values = true;
+  }
+};
+
+// ---- floor 1 ---------------------------------------------------------------
+struct Floor1 {
+  int partitions = 0;
+  std::vector<int> part_class;
+  std::vector<int> class_dims, class_subs, class_books;
+  std::vector<std::vector<int>> sub_books;
+  int multiplier = 0;
+  std::vector<int> xlist;          // posts in stream order
+  std::vector<int> fwd_index;      // xlist sort order
+  std::vector<int> lo_nb, hi_nb;   // neighbors for posts 2..
+  int quant_q = 0;
+
+  void parse(Bits& b, int nbooks) {
+    partitions = b.get(5);
+    part_class.resize(partitions);
+    int maxclass = -1;
+    for (int i = 0; i < partitions; ++i) {
+      part_class[i] = b.get(4);
+      if (part_class[i] > maxclass) maxclass = part_class[i];
+    }
+    class_dims.resize(maxclass + 1);
+    class_subs.resize(maxclass + 1);
+    class_books.resize(maxclass + 1);
+    sub_books.resize(maxclass + 1);
+    for (int i = 0; i <= maxclass; ++i) {
+      class_dims[i] = b.get(3) + 1;
+      class_subs[i] = b.get(2);
+      class_books[i] = class_subs[i] ? static_cast<int>(b.get(8)) : -1;
+      if (class_books[i] >= nbooks) fail();
+      int n = 1 << class_subs[i];
+      sub_books[i].resize(n);
+      for (int j = 0; j < n; ++j) {
+        sub_books[i][j] = static_cast<int>(b.get(8)) - 1;
+        if (sub_books[i][j] >= nbooks) fail();
+      }
+    }
+    multiplier = b.get(2) + 1;
+    int rangebits = b.get(4);
+    xlist.clear();
+    xlist.push_back(0);
+    xlist.push_back(1 << rangebits);
+    for (int i = 0; i < partitions; ++i) {
+      int cls = part_class[i];
+      for (int j = 0; j < class_dims[cls]; ++j)
+        xlist.push_back(b.get(rangebits));
+    }
+    if (xlist.size() > 65) fail();
+    // duplicate X positions are illegal (div by zero in render)
+    int posts = static_cast<int>(xlist.size());
+    fwd_index.resize(posts);
+    for (int i = 0; i < posts; ++i) fwd_index[i] = i;
+    for (int i = 1; i < posts; ++i)  // insertion sort by x
+      for (int j = i; j > 0 && xlist[fwd_index[j - 1]] > xlist[fwd_index[j]]; --j)
+        std::swap(fwd_index[j], fwd_index[j - 1]);
+    for (int i = 1; i < posts; ++i)
+      if (xlist[fwd_index[i - 1]] == xlist[fwd_index[i]]) fail();
+    lo_nb.resize(posts);
+    hi_nb.resize(posts);
+    for (int i = 2; i < posts; ++i) {
+      int lo = 0, hi = 1;
+      for (int j = 0; j < i; ++j) {
+        if (xlist[j] < xlist[i] && xlist[j] > xlist[lo]) lo = j;
+        if (xlist[j] > xlist[i] && xlist[j] < xlist[hi]) hi = j;
+      }
+      lo_nb[i] = lo;
+      hi_nb[i] = hi;
+    }
+    static const int qmap[4] = {0, 256, 128, 86};
+    quant_q = (multiplier < 4) ? qmap[multiplier] : 64;
+    if (multiplier == 4) quant_q = 64;
+  }
+};
+
+// inverse-dB amplitude table: fromdb[i] = 10^((i-255)*7/256) (the
+// spec's floor1_inverse_dB_table, generated rather than embedded)
+struct FromDbInit {
+  float t[256];
+  FromDbInit() {
+    for (int i = 0; i < 256; ++i)
+      t[i] = static_cast<float>(std::pow(10.0, (i - 255) * 7.0 / 256.0));
+  }
+};
+const FromDbInit g_fromdb;
+
+// render helpers (integer line interpolation per spec)
+inline int render_point(int x0, int x1, int y0, int y1, int x) {
+  y0 &= 0x7FFF;
+  y1 &= 0x7FFF;
+  int dy = y1 - y0;
+  int adx = x1 - x0;
+  int ady = std::abs(dy);
+  int err = ady * (x - x0);
+  int off = err / adx;
+  return (dy < 0) ? (y0 - off) : (y0 + off);
+}
+
+void render_line(int n, int x0, int x1, int y0, int y1, float* d) {
+  int dy = y1 - y0;
+  int adx = x1 - x0;
+  int ady = std::abs(dy);
+  int base = dy / adx;
+  int sy = (dy < 0) ? base - 1 : base + 1;
+  int x = x0, y = y0, err = 0;
+  ady -= std::abs(base * adx);
+  if (n > x1) n = x1;
+  if (x < n) d[x] *= g_fromdb.t[y];
+  while (++x < n) {
+    err += ady;
+    if (err >= adx) {
+      err -= adx;
+      y += sy;
+    } else {
+      y += base;
+    }
+    d[x] *= g_fromdb.t[y];
+  }
+}
+
+// ---- residue ---------------------------------------------------------------
+struct Residue {
+  int type = 0;
+  long begin = 0, end = 0;
+  int grouping = 0;  // samples per partition
+  int partitions = 0;
+  int classbook = 0;
+  std::vector<uint8_t> cascade;
+  std::vector<std::vector<int>> books;  // [class][pass] (-1 = none)
+
+  void parse(Bits& b, int t, int nbooks) {
+    type = t;
+    begin = b.get(24);
+    end = b.get(24);
+    grouping = b.get(24) + 1;
+    partitions = b.get(6) + 1;
+    classbook = b.get(8);
+    if (classbook >= nbooks) fail();
+    cascade.resize(partitions);
+    for (int i = 0; i < partitions; ++i) {
+      int low = b.get(3);
+      int high = b.get1() ? b.get(5) : 0;
+      cascade[i] = static_cast<uint8_t>((high << 3) | low);
+    }
+    books.assign(partitions, {});
+    for (int i = 0; i < partitions; ++i) {
+      books[i].assign(8, -1);
+      for (int p = 0; p < 8; ++p) {
+        if (cascade[i] & (1 << p)) {
+          books[i][p] = b.get(8);
+          if (books[i][p] >= nbooks) fail();
+        }
+      }
+    }
+  }
+};
+
+// ---- mapping / mode --------------------------------------------------------
+struct Mapping {
+  int submaps = 1;
+  std::vector<int> mag, ang;      // coupling steps
+  std::vector<int> mux;           // channel -> submap
+  std::vector<int> submap_floor, submap_residue;
+};
+
+struct Mode {
+  bool blockflag = false;
+  int mapping = 0;
+};
+
+// ---- decoder ---------------------------------------------------------------
+struct Decoder {
+  int channels = 0;
+  long rate = 0;
+  int bs[2] = {0, 0};  // blocksizes
+  std::vector<Codebook> books;
+  std::vector<Floor1> floors;
+  std::vector<Residue> residues;
+  std::vector<Mapping> mappings;
+  std::vector<Mode> modes;
+
+  // window slopes per blocksize, length bs/2
+  std::vector<float> slope[2];
+
+  // FFT twiddles per blocksize
+  struct FftPlan {
+    int n4 = 0;
+    std::vector<float> tw_re, tw_im;     // pre/post twiddles e^{-ia(p)}
+    std::vector<float> post_re, post_im; // e^{-ia(q+0.25)}
+    std::vector<int> rev;
+    std::vector<float> w_re, w_im;       // fft stage twiddles
+  } plan[2];
+
+  // ---- header parsing ----
+  void parse_ident(const Packet& p) {
+    Bits b(p.data.data(), p.data.size());
+    if (b.get(8) != 1) fail();
+    check_vorbis(b);
+    if (b.get(32) != 0) fail();
+    channels = b.get(8);
+    rate = b.get(32);
+    if (!channels || channels > 16 || !rate) fail();
+    b.get(32); b.get(32); b.get(32);  // bitrates
+    int b0 = b.get(4), b1 = b.get(4);
+    bs[0] = 1 << b0;
+    bs[1] = 1 << b1;
+    if (b0 < 6 || b0 > 13 || b1 < b0 || b1 > 13) fail();
+    if (!b.get1()) fail();  // framing
+    for (int w = 0; w < 2; ++w) {
+      int n = bs[w];
+      slope[w].resize(n / 2);
+      for (int i = 0; i < n / 2; ++i) {
+        double s = std::sin(M_PI * (i + 0.5) / n);
+        slope[w][i] = static_cast<float>(std::sin(0.5 * M_PI * s * s));
+      }
+      make_plan(plan[w], n);
+    }
+  }
+
+  static void check_vorbis(Bits& b) {
+    static const char v[6] = {'v', 'o', 'r', 'b', 'i', 's'};
+    for (int i = 0; i < 6; ++i)
+      if (b.get(8) != static_cast<uint32_t>(v[i])) fail();
+  }
+
+  void parse_setup(const Packet& p) {
+    Bits b(p.data.data(), p.data.size());
+    if (b.get(8) != 5) fail();
+    check_vorbis(b);
+    int nbooks = b.get(8) + 1;
+    books.resize(nbooks);
+    for (int i = 0; i < nbooks; ++i) books[i].parse(b);
+    int ntimes = b.get(6) + 1;
+    for (int i = 0; i < ntimes; ++i)
+      if (b.get(16) != 0) fail();
+    int nfloors = b.get(6) + 1;
+    floors.resize(nfloors);
+    for (int i = 0; i < nfloors; ++i) {
+      int ft = b.get(16);
+      if (ft == 0)
+        fail();  // floor0 (legacy LSP): unsupported, documented
+      if (ft != 1) fail();
+      floors[i].parse(b, nbooks);
+    }
+    int nres = b.get(6) + 1;
+    residues.resize(nres);
+    for (int i = 0; i < nres; ++i) {
+      int rt = b.get(16);
+      if (rt > 2) fail();
+      residues[i].parse(b, rt, nbooks);
+    }
+    int nmaps = b.get(6) + 1;
+    mappings.resize(nmaps);
+    for (int i = 0; i < nmaps; ++i) {
+      if (b.get(16) != 0) fail();
+      Mapping& m = mappings[i];
+      m.submaps = b.get1() ? static_cast<int>(b.get(4)) + 1 : 1;
+      if (b.get1()) {
+        int steps = b.get(8) + 1;
+        m.mag.resize(steps);
+        m.ang.resize(steps);
+        int cbits = ilog(channels - 1);
+        for (int s = 0; s < steps; ++s) {
+          m.mag[s] = cbits ? b.get(cbits) : 0;
+          m.ang[s] = cbits ? b.get(cbits) : 0;
+          if (m.mag[s] == m.ang[s] || m.mag[s] >= channels ||
+              m.ang[s] >= channels)
+            fail();
+        }
+      }
+      if (b.get(2) != 0) fail();
+      m.mux.assign(channels, 0);
+      if (m.submaps > 1)
+        for (int c = 0; c < channels; ++c) {
+          m.mux[c] = b.get(4);
+          if (m.mux[c] >= m.submaps) fail();
+        }
+      m.submap_floor.resize(m.submaps);
+      m.submap_residue.resize(m.submaps);
+      for (int s = 0; s < m.submaps; ++s) {
+        b.get(8);  // unused time config
+        m.submap_floor[s] = b.get(8);
+        m.submap_residue[s] = b.get(8);
+        if (m.submap_floor[s] >= static_cast<int>(floors.size()) ||
+            m.submap_residue[s] >= static_cast<int>(residues.size()))
+          fail();
+      }
+    }
+    int nmodes = b.get(6) + 1;
+    modes.resize(nmodes);
+    for (int i = 0; i < nmodes; ++i) {
+      modes[i].blockflag = b.get1();
+      if (b.get(16) != 0) fail();  // windowtype
+      if (b.get(16) != 0) fail();  // transformtype
+      modes[i].mapping = b.get(8);
+      if (modes[i].mapping >= static_cast<int>(mappings.size())) fail();
+    }
+    if (!b.get1()) fail();  // framing
+  }
+
+  // ---- FFT (iterative radix-2, size n4) ----
+  static void make_plan(FftPlan& pl, int n) {
+    int n2 = n / 2, n4 = n / 4;
+    pl.n4 = n4;
+    double a = M_PI / n2;
+    pl.tw_re.resize(n4);
+    pl.tw_im.resize(n4);
+    pl.post_re.resize(n4);
+    pl.post_im.resize(n4);
+    for (int p = 0; p < n4; ++p) {
+      pl.tw_re[p] = static_cast<float>(std::cos(a * p));
+      pl.tw_im[p] = static_cast<float>(-std::sin(a * p));
+      pl.post_re[p] = static_cast<float>(std::cos(a * (p + 0.25)));
+      pl.post_im[p] = static_cast<float>(-std::sin(a * (p + 0.25)));
+    }
+    pl.rev.resize(n4);
+    int bits = ilog(n4) - 1;
+    for (int i = 0; i < n4; ++i) {
+      int r = 0;
+      for (int j = 0; j < bits; ++j) r |= ((i >> j) & 1) << (bits - 1 - j);
+      pl.rev[i] = r;
+    }
+    pl.w_re.resize(n4);
+    pl.w_im.resize(n4);
+    for (int i = 0; i < n4 / 2; ++i) {
+      pl.w_re[i] = static_cast<float>(std::cos(2 * M_PI * i / n4));
+      pl.w_im[i] = static_cast<float>(-std::sin(2 * M_PI * i / n4));
+    }
+  }
+
+  // In-place complex FFT over re/im (length plan.n4)
+  static void fft(const FftPlan& pl, float* re, float* im) {
+    int n = pl.n4;
+    for (int i = 0; i < n; ++i) {
+      int r = pl.rev[i];
+      if (r > i) {
+        std::swap(re[i], re[r]);
+        std::swap(im[i], im[r]);
+      }
+    }
+    for (int len = 2; len <= n; len <<= 1) {
+      int half = len >> 1;
+      int step = n / len;
+      for (int base = 0; base < n; base += len) {
+        for (int k = 0; k < half; ++k) {
+          float wr = pl.w_re[k * step], wi = pl.w_im[k * step];
+          int a = base + k, bidx = base + k + half;
+          float tr = re[bidx] * wr - im[bidx] * wi;
+          float ti = re[bidx] * wi + im[bidx] * wr;
+          re[bidx] = re[a] - tr;
+          im[bidx] = im[a] - ti;
+          re[a] += tr;
+          im[a] += ti;
+        }
+      }
+    }
+  }
+
+  // IMDCT: n/2 spectral coefficients -> n time samples (spec lapped
+  // transform), via one n/4 complex FFT:
+  //   z[p]  = X[2p] + i X[n/2-1-2p]
+  //   w     = FFT(z * e^{-iap}) * e^{-ia(q+0.25)},  a = 2pi/n
+  //   t[2q] = Re w[q];  t[n/2-1-2q] = -Im w[q]   (t = DCT-IV of X)
+  //   y = [ t[n/4..n/2), -t[n/2) mirrored, -t[0..n/4) ]  (verified
+  //   numerically against the spec's direct formula)
+  void imdct(int w, float* X, float* y, float* scratch) const {
+    const FftPlan& pl = plan[w];
+    int n = bs[w], n2 = n / 2, n4 = n / 4;
+    float* re = scratch;
+    float* im = scratch + n4;
+    for (int p = 0; p < n4; ++p) {
+      float zr = X[2 * p], zi = X[n2 - 1 - 2 * p];
+      re[p] = zr * pl.tw_re[p] - zi * pl.tw_im[p];
+      im[p] = zr * pl.tw_im[p] + zi * pl.tw_re[p];
+    }
+    fft(pl, re, im);
+    // t in-place into X (reused as DCT-IV buffer)
+    for (int q = 0; q < n4; ++q) {
+      float wr = re[q] * pl.post_re[q] - im[q] * pl.post_im[q];
+      float wi = re[q] * pl.post_im[q] + im[q] * pl.post_re[q];
+      X[2 * q] = wr;
+      X[n2 - 1 - 2 * q] = -wi;
+    }
+    for (int j = 0; j < n4; ++j) y[j] = X[n4 + j];
+    for (int j = 0; j < n2; ++j) y[n4 + j] = -X[n2 - 1 - j];
+    for (int j = 0; j < n4; ++j) y[n4 + n2 + j] = -X[j];
+  }
+
+  // ---- floor1 decode ----
+  // returns false if floor unused this frame (channel silent)
+  bool floor1_decode(const Floor1& f, Bits& b, std::vector<int>& fit) const {
+    if (!b.get1()) return false;
+    int posts = static_cast<int>(f.xlist.size());
+    fit.assign(posts, 0);
+    int qbits = ilog(f.quant_q - 1);
+    fit[0] = b.get(qbits);
+    fit[1] = b.get(qbits);
+    int j = 2;
+    for (int i = 0; i < f.partitions; ++i) {
+      int cls = f.part_class[i];
+      int cdim = f.class_dims[cls];
+      int csubbits = f.class_subs[cls];
+      int csub = 1 << csubbits;
+      int cval = 0;
+      if (csubbits) cval = books[f.class_books[cls]].decode(b);
+      for (int k = 0; k < cdim; ++k) {
+        int book = f.sub_books[cls][cval & (csub - 1)];
+        cval >>= csubbits;
+        fit[j + k] = (book >= 0) ? books[book].decode(b) : 0;
+      }
+      j += cdim;
+    }
+    // unwrap predicted deltas
+    for (int i = 2; i < posts; ++i) {
+      int pred = render_point(f.xlist[f.lo_nb[i]], f.xlist[f.hi_nb[i]],
+                              fit[f.lo_nb[i]], fit[f.hi_nb[i]], f.xlist[i]);
+      int hiroom = f.quant_q - pred;
+      int loroom = pred;
+      int room = (hiroom < loroom ? hiroom : loroom) << 1;
+      int val = fit[i];
+      if (val) {
+        if (val >= room) {
+          val = (hiroom > loroom) ? val - loroom : -1 - (val - hiroom);
+        } else {
+          val = (val & 1) ? -((val + 1) >> 1) : (val >> 1);
+        }
+        fit[i] = (val + pred) & 0x7FFF;
+        fit[f.lo_nb[i]] &= 0x7FFF;
+        fit[f.hi_nb[i]] &= 0x7FFF;
+      } else {
+        fit[i] = pred | 0x8000;
+      }
+    }
+    return true;
+  }
+
+  void floor1_apply(const Floor1& f, const std::vector<int>& fit, float* out,
+                    int n) const {
+    int posts = static_cast<int>(f.xlist.size());
+    int hx = 0, lx = 0;
+    int ly = fit[0] * f.multiplier;
+    ly = ly < 0 ? 0 : (ly > 255 ? 255 : ly);
+    for (int j = 1; j < posts; ++j) {
+      int cur = f.fwd_index[j];
+      int hy = fit[cur] & 0x7FFF;
+      if (hy == fit[cur]) {
+        hx = f.xlist[cur];
+        hy *= f.multiplier;
+        hy = hy < 0 ? 0 : (hy > 255 ? 255 : hy);
+        render_line(n, lx, hx, ly, hy, out);
+        lx = hx;
+        ly = hy;
+      }
+    }
+    for (int j = hx; j < n; ++j) out[j] *= g_fromdb.t[ly];
+  }
+
+  // ---- residue decode ----
+  void residue_decode(const Residue& r, Bits& b, std::vector<float*>& ch_vec,
+                      const std::vector<uint8_t>& do_not_decode, int n2) const {
+    int ch = static_cast<int>(ch_vec.size());
+    if (!ch) return;
+    long actual_size = n2;
+    if (r.type == 2) actual_size *= ch;
+    long limit_begin = r.begin < actual_size ? r.begin : actual_size;
+    long limit_end = r.end < actual_size ? r.end : actual_size;
+    long nn = limit_end - limit_begin;
+    if (nn <= 0) return;
+    if (r.type == 2) {
+      bool any = false;
+      for (int c = 0; c < ch; ++c)
+        if (!do_not_decode[c]) any = true;
+      if (!any) return;
+    }
+    const Codebook& phrase = books[r.classbook];
+    int spp = r.grouping;
+    int ppw = phrase.dim;
+    long partvals = nn / spp;
+    if (ppw <= 0) fail();
+    long partwords = (partvals + ppw - 1) / ppw;
+    int nvec = (r.type == 2) ? 1 : ch;
+    std::vector<std::vector<int>> partword(
+        static_cast<size_t>(nvec), std::vector<int>(partwords * ppw, 0));
+    try {
+      for (int s = 0; s < 8; ++s) {
+        // highest cascade pass actually used
+        bool used = false;
+        for (int i = 0; i < r.partitions; ++i)
+          if (r.cascade[i] & (1 << s)) used = true;
+        if (!used && s > 0) continue;
+        for (long i = 0, l = 0; i < partvals; ++l) {
+          if (s == 0) {
+            for (int v = 0; v < nvec; ++v) {
+              if (r.type != 2 && do_not_decode[v]) {
+                // libvorbis drops silent channels from the bundle
+                // before _01inverse; callers here pass only decoded
+                // channels for types 0/1, so this branch is unused
+              }
+              int temp = phrase.decode(b);
+              long t = temp;
+              // expand base-partitions digits, MSD first
+              for (int k = ppw - 1; k >= 0; --k) {
+                partword[v][l * ppw + k] = static_cast<int>(t % r.partitions);
+                t /= r.partitions;
+              }
+              if (t) fail();
+            }
+          }
+          for (int k = 0; k < ppw && i < partvals; ++k, ++i) {
+            for (int v = 0; v < nvec; ++v) {
+              int cls = partword[v][l * ppw + k];
+              int book = r.books[cls][s];
+              if (!(r.cascade[cls] & (1 << s)) || book < 0) continue;
+              const Codebook& cb = books[book];
+              if (!cb.has_values) continue;
+              long offset = limit_begin + i * spp;
+              if (r.type == 0) {
+                // interleaved stride within the partition
+                int step = spp / cb.dim;
+                std::vector<int> entry(step);
+                for (int e = 0; e < step; ++e) entry[e] = cb.decode(b);
+                for (int d = 0, o = 0; d < cb.dim; ++d, o += step)
+                  for (int e = 0; e < step; ++e)
+                    ch_vec[v][offset + o + e] +=
+                        cb.values[static_cast<size_t>(entry[e]) * cb.dim + d];
+              } else if (r.type == 1) {
+                for (int o = 0; o < spp;) {
+                  int e = cb.decode(b);
+                  for (int d = 0; d < cb.dim && o < spp; ++d, ++o)
+                    ch_vec[v][offset + o] +=
+                        cb.values[static_cast<size_t>(e) * cb.dim + d];
+                }
+              } else {
+                // type 2: channels interleaved in one long vector
+                long o = offset;
+                int chptr = static_cast<int>((o % ch + ch) % ch);
+                long idx = o / ch;
+                for (long done = 0; done < spp;) {
+                  int e = cb.decode(b);
+                  for (int d = 0; d < cb.dim && done < spp; ++d, ++done) {
+                    ch_vec[chptr][idx] +=
+                        cb.values[static_cast<size_t>(e) * cb.dim + d];
+                    if (++chptr == ch) {
+                      chptr = 0;
+                      ++idx;
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    } catch (const EopError&) {
+      // spec: end-of-packet mid-residue keeps what was decoded
+    }
+  }
+
+  // ---- audio packet ----
+  // Decodes one packet; returns blocksize index W, fills raw IMDCT
+  // output (bs[W] samples per channel) into out.  Returns -1 when the
+  // packet is not an audio packet / truncated before the mode bits.
+  int decode_packet(const Packet& pkt, std::vector<std::vector<float>>& pcm,
+                    std::vector<float>& scratch) const {
+    Bits b(pkt.data.data(), pkt.data.size());
+    int W;
+    int mode_idx;
+    try {
+      if (b.get1() != 0) return -1;  // not an audio packet
+      int mbits = ilog(static_cast<uint32_t>(modes.size()) - 1);
+      mode_idx = mbits ? static_cast<int>(b.get(mbits)) : 0;
+      if (mode_idx >= static_cast<int>(modes.size())) return -1;
+      W = modes[mode_idx].blockflag ? 1 : 0;
+      if (W) {
+        b.get1();  // prev window flag (window shape only)
+        b.get1();  // next window flag
+      }
+    } catch (const EopError&) {
+      return -1;
+    }
+    const Mapping& map = mappings[modes[mode_idx].mapping];
+    int n = bs[W], n2 = n / 2;
+
+    std::vector<std::vector<int>> fits(channels);
+    std::vector<uint8_t> floor_used(channels, 0);
+    for (int c = 0; c < channels; ++c) {
+      const Floor1& f = floors[map.submap_floor[map.mux[c]]];
+      try {
+        floor_used[c] = floor1_decode(f, b, fits[c]) ? 1 : 0;
+      } catch (const EopError&) {
+        floor_used[c] = 0;
+      }
+      pcm[c].assign(n, 0.0f);  // full imdct buffer; spectrum in [0, n2)
+    }
+    // coupling dirties the residue-decode flags, but the final floor
+    // apply stage keeps using the per-channel floor_used state (an
+    // unused floor zeroes its channel even when its partner decoded)
+    std::vector<uint8_t> nonzero = floor_used;
+    for (size_t s = 0; s < map.mag.size(); ++s)
+      if (nonzero[map.mag[s]] || nonzero[map.ang[s]])
+        nonzero[map.mag[s]] = nonzero[map.ang[s]] = 1;
+
+    for (int sm = 0; sm < map.submaps; ++sm) {
+      const Residue& r = residues[map.submap_residue[sm]];
+      std::vector<float*> vecs;
+      std::vector<uint8_t> dnd;
+      for (int c = 0; c < channels; ++c) {
+        if (map.mux[c] != sm) continue;
+        if (r.type == 2) {
+          vecs.push_back(pcm[c].data());
+          dnd.push_back(nonzero[c] ? 0 : 1);
+        } else if (nonzero[c]) {
+          vecs.push_back(pcm[c].data());
+          dnd.push_back(0);
+        }
+      }
+      residue_decode(r, b, vecs, dnd, n2);
+    }
+
+    // inverse coupling, last step first
+    for (int s = static_cast<int>(map.mag.size()) - 1; s >= 0; --s) {
+      float* M = pcm[map.mag[s]].data();
+      float* A = pcm[map.ang[s]].data();
+      for (int i = 0; i < n2; ++i) {
+        float m = M[i], a = A[i];
+        if (m > 0) {
+          if (a > 0) {
+            M[i] = m;
+            A[i] = m - a;
+          } else {
+            A[i] = m;
+            M[i] = m + a;
+          }
+        } else {
+          if (a > 0) {
+            M[i] = m;
+            A[i] = m + a;
+          } else {
+            A[i] = m;
+            M[i] = m - a;
+          }
+        }
+      }
+    }
+
+    // apply floor curve + transform
+    if (static_cast<int>(scratch.size()) < n) scratch.resize(n);
+    std::vector<float> y(n);
+    for (int c = 0; c < channels; ++c) {
+      if (floor_used[c]) {
+        const Floor1& f = floors[map.submap_floor[map.mux[c]]];
+        floor1_apply(f, fits[c], pcm[c].data(), n2);
+      } else {
+        std::memset(pcm[c].data(), 0, sizeof(float) * n2);
+      }
+      imdct(W, pcm[c].data(), y.data(), scratch.data());
+      std::copy(y.begin(), y.end(), pcm[c].begin());
+    }
+    return W;
+  }
+};
+
+struct DecodedV {
+  long rate = 0;
+  int channels = 0;
+  std::vector<std::vector<float>> pcm;  // per channel
+};
+
+void vorbis_decode_stream(const uint8_t* d, size_t len, DecodedV& out) {
+  std::vector<Packet> packets;
+  ogg_packets(d, len, packets);
+  if (packets.size() < 3) fail();
+  Decoder dec;
+  dec.parse_ident(packets[0]);
+  // packets[1] = comments (skipped), packets[2] = setup
+  {
+    Bits b(packets[1].data.data(), packets[1].data.size());
+    if (b.get(8) != 3) fail();
+    Decoder::check_vorbis(b);
+  }
+  dec.parse_setup(packets[2]);
+
+  out.rate = dec.rate;
+  out.channels = dec.channels;
+  out.pcm.assign(dec.channels, {});
+
+  std::vector<std::vector<float>> block(dec.channels);
+  std::vector<float> scratch;
+  std::vector<std::vector<float>> tail(dec.channels);  // prev right half
+  int prevW = -1;
+  int64_t produced = 0;      // samples emitted
+  int64_t lead_trim = -1;    // set at first granule-bearing page
+  int64_t sample_count = 0;  // blockin-style accumulated count
+  int64_t final_granule = -1;
+  bool saw_eos = false;
+
+  for (size_t pi = 3; pi < packets.size(); ++pi) {
+    const Packet& pkt = packets[pi];
+    int W = dec.decode_packet(pkt, block, scratch);
+    if (W >= 0) {
+      int nc = dec.bs[W], hc = nc / 2;
+      if (prevW >= 0) {
+        int np = dec.bs[prevW], hp = np / 2;
+        int smin = std::min(np, nc) / 2;        // slope length
+        int off_tail = hp / 2 - smin / 2;
+        int off_cur = hc / 2 - smin / 2;
+        const float* w = dec.slope[np < nc ? prevW : W].data();
+        // slope table: use the table whose blocksize == smin*2
+        const float* ws = (dec.bs[0] / 2 == smin) ? dec.slope[0].data()
+                                                  : dec.slope[1].data();
+        (void)w;
+        long L = hp / 2 + hc / 2;
+        for (int c = 0; c < dec.channels; ++c) {
+          std::vector<float>& o = out.pcm[c];
+          const float* tl = tail[c].data();
+          const float* cur = block[c].data();
+          size_t base = o.size();
+          o.resize(base + L);
+          for (int i = 0; i < off_tail; ++i) o[base + i] = tl[i];
+          for (int i = 0; i < smin; ++i)
+            o[base + off_tail + i] = tl[off_tail + i] * ws[smin - 1 - i] +
+                                     cur[off_cur + i] * ws[i];
+          for (long i = off_tail + smin; i < L; ++i)
+            o[base + i] = cur[off_cur + i - off_tail];
+        }
+        produced += L;
+        sample_count += np / 4 + nc / 4;
+      }
+      for (int c = 0; c < dec.channels; ++c)
+        tail[c].assign(block[c].begin() + hc, block[c].end());
+      prevW = W;
+    }
+    if (pkt.page_end && pkt.granule >= 0) {
+      if (lead_trim < 0) {
+        lead_trim = sample_count - pkt.granule;
+        if (lead_trim < 0) lead_trim = 0;
+        if (lead_trim > produced) lead_trim = produced;
+      }
+      final_granule = pkt.granule;
+      if (pkt.eos) saw_eos = true;
+    }
+  }
+  (void)saw_eos;
+
+  if (lead_trim < 0) lead_trim = 0;
+  // trim the decoder lead-in and the end padding
+  for (int c = 0; c < dec.channels; ++c) {
+    std::vector<float>& v = out.pcm[c];
+    if (lead_trim > 0 && lead_trim <= static_cast<int64_t>(v.size()))
+      v.erase(v.begin(), v.begin() + lead_trim);
+    if (final_granule >= 0) {
+      uint64_t want = static_cast<uint64_t>(final_granule);
+      if (v.size() > want) v.resize(want);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int zen_vorbis_decode_mem(const uint8_t* data, uint64_t len, float** out,
+                          uint64_t* frames, int32_t* fs, int32_t* nch) {
+  *out = nullptr;
+  *frames = 0;
+  try {
+    DecodedV dec;
+    vorbis_decode_stream(data, static_cast<size_t>(len), dec);
+    size_t n = dec.pcm.empty() ? 0 : dec.pcm[0].size();
+    for (auto& c : dec.pcm)
+      if (c.size() != n) return 2;
+    float* buf = static_cast<float*>(malloc(n * dec.channels * sizeof(float)));
+    if (!buf && n) return 3;
+    for (size_t i = 0; i < n; ++i)
+      for (int c = 0; c < dec.channels; ++c)
+        buf[i * dec.channels + c] = dec.pcm[c][i];
+    *out = buf;
+    *frames = n;
+    *fs = static_cast<int32_t>(dec.rate);
+    *nch = dec.channels;
+    return 0;
+  } catch (const VbError&) {
+    return 1;
+  } catch (const EopError&) {
+    return 1;
+  } catch (const std::bad_alloc&) {
+    return 3;
+  }
+}
+
+int zen_vorbis_decode_file(const char* path, float** out, uint64_t* frames,
+                           int32_t* fs, int32_t* nch) {
+  *out = nullptr;
+  *frames = 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return 10;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (sz <= 0 || sz > (1L << 31)) {
+    fclose(f);
+    return 11;
+  }
+  uint8_t* buf = static_cast<uint8_t*>(malloc(static_cast<size_t>(sz)));
+  if (!buf) {
+    fclose(f);
+    return 12;
+  }
+  size_t got = fread(buf, 1, static_cast<size_t>(sz), f);
+  fclose(f);
+  if (got != static_cast<size_t>(sz)) {
+    free(buf);
+    return 13;
+  }
+  int rc = zen_vorbis_decode_mem(buf, got, out, frames, fs, nch);
+  free(buf);
+  return rc;
+}
+
+void zen_vorbis_free(float* p) { free(p); }
+
+}  // extern "C"

@@ -18,7 +18,7 @@ def read_audio_mono(path: str):
     """Load an audio file as float32 mono in [-1, 1] by sniffing the
     container magic — the front door every driver/CLI input goes
     through (the NyquistIO::Load analog, zen/offline.h:88-102).
-    Supports RIFF wav, FLAC, and WavPack."""
+    Supports RIFF wav, FLAC, WavPack, and Ogg Vorbis."""
     with open(path, "rb") as f:
         head = f.read(10)
         magic = head[:4]
@@ -32,6 +32,17 @@ def read_audio_mono(path: str):
                 magic = f.read(4)
             except FlacError:
                 pass
+    if magic == b"OggS":
+        from ..runtime import native
+
+        if not native.vorbis_available():
+            raise RuntimeError(
+                "Ogg Vorbis input needs the native decoder; build it "
+                "with `make -C native` (no pure-Python fallback)"
+            )
+        fs, frames = native.vorbis_read(path)
+        x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
+        return fs, np.ascontiguousarray(x, np.float32)
     if magic == b"wvpk":
         try:
             from ..runtime import native

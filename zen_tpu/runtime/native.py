@@ -141,6 +141,20 @@ def _load():
         lib._has_wv = True
     except AttributeError:
         lib._has_wv = False
+    try:  # own flag: absent from pre-vorbis builds of the .so
+        lib.zen_vorbis_decode_file.restype = ctypes.c_int
+        lib.zen_vorbis_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.zen_vorbis_free.restype = None
+        lib.zen_vorbis_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib._has_vorbis = True
+    except AttributeError:
+        lib._has_vorbis = False
     _lib = lib
     return lib
 
@@ -337,6 +351,45 @@ def wv_read(path: str):
         )
     finally:
         lib.zen_wv_free(out)
+    return int(fs.value), arr.reshape(frames.value, ch.value)
+
+
+def vorbis_available() -> bool:
+    lib = _load()
+    return lib is not None and lib._has_vorbis
+
+
+def vorbis_read(path: str):
+    """Native Ogg Vorbis decode (native/zenvorbis.cpp). Returns
+    (fs, float32 [frames, channels]).  There is no pure-Python
+    fallback for Vorbis (a lossy perceptual codec is not a reasonable
+    interpreter-speed target); callers surface a clear error when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None or not lib._has_vorbis:
+        raise RuntimeError("native vorbis decoder unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_uint64()
+    fs = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    rc = lib.zen_vorbis_decode_file(
+        path.encode(),
+        ctypes.byref(out),
+        ctypes.byref(frames),
+        ctypes.byref(fs),
+        ctypes.byref(ch),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_vorbis_decode_file failed: {rc}")
+    n = frames.value * ch.value
+    try:
+        arr = (
+            np.ctypeslib.as_array(out, shape=(n,)).copy()
+            if n
+            else np.zeros(0, np.float32)
+        )
+    finally:
+        lib.zen_vorbis_free(out)
     return int(fs.value), arr.reshape(frames.value, ch.value)
 
 
