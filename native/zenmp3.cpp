@@ -1,0 +1,914 @@
+// zenmp3.cpp — from-scratch MPEG-1/2/2.5 Layer III (MP3) decoder.
+//
+// The reference front door accepts .mp3 because libnyquist routes it
+// through a vendored decoder; this gives the rebuild the same
+// capability without vendoring anything.  Implements the full Layer
+// III decode chain: frame sync + resync, bit reservoir, MPEG-1 and
+// LSF side info / scalefactors (incl. scfsi sharing and the LSF
+// mixed-radix partitions), all Huffman tables with linbits escapes,
+// requantization, mid/side and intensity stereo (both MPEG-1 and LSF
+// rules), short-block reordering, alias reduction, the 36/12-point
+// IMDCT hybrid filterbank with all four window types and mixed
+// blocks, frequency inversion, and the polyphase synthesis filterbank
+// (ISO D window).  Layers I/II and free-format streams are rejected
+// with a clear error.
+//
+// The ISO standard data tables live in zenmp3_tables.h (generated —
+// see scripts/gen_mp3_tables.py for provenance).  Decode semantics
+// were studied from ISO/IEC 11172-3 and the public minimp3 the
+// reference vendors; the implementation here is original (canonical
+// Huffman tries, direct-form IMDCT/DCT matrices, spec-form V-ring
+// synthesis) and validated against a reference decode of real
+// encoder output.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+#include <vector>
+
+#include "zenmp3_tables.h"
+
+namespace {
+
+struct Mp3Error {};
+[[noreturn]] void fail() { throw Mp3Error{}; }
+
+// ---- MSB-first bit reader --------------------------------------------------
+struct Bits {
+  const uint8_t* d = nullptr;
+  size_t nbits = 0;
+  size_t pos = 0;  // in bits
+
+  void init(const uint8_t* data, size_t bytes) {
+    d = data;
+    nbits = bytes * 8;
+    pos = 0;
+  }
+  uint32_t get(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      uint32_t b = 0;
+      if (pos < nbits) b = (d[pos >> 3] >> (7 - (pos & 7))) & 1;
+      ++pos;  // reads past the end return 0 (frame CRCs/limits catch it)
+      v = (v << 1) | b;
+    }
+    return v;
+  }
+  uint32_t get1() { return get(1); }
+};
+
+// ---- huffman tries (built once from the canonical tables) ------------------
+struct Trie {
+  std::vector<int32_t> nodes;  // pairs; <0 = leaf -(payload+1); 0 = unset
+
+  void build(const Mp3Huff* tab, int n) {
+    nodes.assign(2, 0);
+    for (int e = 0; e < n; ++e) {
+      if (tab[e].len == 0) continue;
+      int node = 0;
+      for (int i = tab[e].len - 1; i >= 0; --i) {
+        int bit = (tab[e].code >> i) & 1;
+        size_t slot = 2 * node + bit;
+        if (i == 0) {
+          if (nodes[slot] != 0) fail();
+          nodes[slot] = -(static_cast<int32_t>(tab[e].xy) + 1);
+        } else {
+          if (nodes[slot] < 0) fail();
+          if (nodes[slot] == 0) {
+            nodes[slot] = static_cast<int32_t>(nodes.size() / 2);
+            nodes.resize(nodes.size() + 2, 0);
+          }
+          node = nodes[slot];
+        }
+      }
+    }
+  }
+  // returns xy payload; emits 0 for the empty table
+  int decode(Bits& b) const {
+    if (nodes.size() == 2 && !nodes[0] && !nodes[1]) return 0;
+    int node = 0;
+    for (int guard = 0; guard < 33; ++guard) {
+      int32_t c = nodes[2 * node + b.get1()];
+      if (c < 0) return -c - 1;
+      if (c == 0) fail();
+      node = c;
+    }
+    fail();
+  }
+};
+
+struct Tries {
+  Trie big[32];
+  Trie count1[2];
+  Tries() {
+    for (int t = 0; t < 32; ++t) big[t].build(kHuffTabs[t], kHuffTabLen[t]);
+    count1[0].build(kCount1A, kCount1ALen);
+    count1[1].build(kCount1B, kCount1BLen);
+  }
+};
+const Tries g_tries;
+
+// ---- header ----------------------------------------------------------------
+struct Header {
+  bool mpeg1 = false, mpeg25 = false;
+  int layer = 0;           // 1..3 (stored as spec layer number)
+  int bitrate_kbps = 0;
+  int fs = 0;
+  int padding = 0;
+  bool crc = false;
+  int mode = 0;            // 0 stereo, 1 joint, 2 dual, 3 mono
+  int mode_ext = 0;
+  bool valid = false;
+
+  int channels() const { return mode == 3 ? 1 : 2; }
+  bool ms_stereo() const { return mode == 1 && (mode_ext & 2); }
+  bool i_stereo() const { return mode == 1 && (mode_ext & 1); }
+  int granules() const { return mpeg1 ? 2 : 1; }
+  int frame_samples() const { return mpeg1 ? 1152 : 576; }
+  int sr_row() const {
+    // 8-row index into the scalefactor band tables:
+    // MPEG2.5 {11025,12000,8000} -> rows 0..2 (row 0 merged with 1),
+    // MPEG2 -> 3..5, MPEG1 -> 5..7 (see generator provenance)
+    int idx = fs_index + (mpeg25 ? 0 : (mpeg1 ? 6 : 3));
+    return idx - (idx != 0);
+  }
+  int fs_index = 0;
+
+  int side_info_bytes() const {
+    if (mpeg1) return channels() == 1 ? 17 : 32;
+    return channels() == 1 ? 9 : 17;
+  }
+  int frame_bytes() const {
+    return frame_samples() * bitrate_kbps * 125 / fs + padding;
+  }
+};
+
+bool parse_header(const uint8_t* h, Header& out) {
+  out.valid = false;
+  if (h[0] != 0xFF) return false;
+  if ((h[1] & 0xE0) != 0xE0) return false;
+  int version = (h[1] >> 3) & 3;  // 0=2.5, 1=bad, 2=2, 3=1
+  if (version == 1) return false;
+  int layer = (h[1] >> 1) & 3;  // 1 = Layer III
+  if (layer == 0) return false;
+  int bidx = (h[2] >> 4) & 15;
+  int fidx = (h[2] >> 2) & 3;
+  if (bidx == 15 || fidx == 3) return false;
+  if (bidx == 0) return false;  // free format: unsupported
+  out.mpeg1 = version == 3;
+  out.mpeg25 = version == 0;
+  out.layer = 4 - layer;
+  out.fs_index = fidx;
+  static const int fs1[3] = {44100, 48000, 32000};
+  out.fs = fs1[fidx] >> (out.mpeg1 ? 0 : 1) >> (out.mpeg25 ? 1 : 0);
+  static const int br1[15] = {0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320};
+  static const int br2[15] = {0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160};
+  out.bitrate_kbps = (out.mpeg1 ? br1 : br2)[bidx];
+  out.padding = (h[2] & 2) ? 1 : 0;
+  out.crc = !(h[1] & 1);
+  out.mode = (h[3] >> 6) & 3;
+  out.mode_ext = (h[3] >> 4) & 3;
+  out.valid = true;
+  return true;
+}
+
+bool header_compatible(const Header& a, const uint8_t* h) {
+  Header b;
+  if (!parse_header(h, b)) return false;
+  return b.layer == a.layer && b.fs == a.fs && (b.mode == 3) == (a.mode == 3);
+}
+
+// ---- side info -------------------------------------------------------------
+struct GrInfo {
+  int part_23_length = 0;
+  int big_values = 0;
+  int global_gain = 0;
+  int scalefac_compress = 0;
+  int block_type = 0;
+  int mixed_block_flag = 0;
+  int table_select[3] = {0, 0, 0};
+  int subblock_gain[3] = {0, 0, 0};
+  int region_sfb[3] = {0, 0, 0};  // sfb counts per region
+  int preflag = 0;
+  int scalefac_scale = 0;
+  int count1_table = 0;
+  int scfsi = 0;
+  const uint8_t* sfbtab = nullptr;
+  int n_long_sfb = 0;
+  int n_short_sfb = 0;
+};
+
+int read_side_info(Bits& bs, const Header& h, GrInfo gr[2][2]) {
+  int nch = h.channels();
+  int main_data_begin;
+  int scfsi_ch[2] = {0, 0};
+  if (h.mpeg1) {
+    main_data_begin = bs.get(9);
+    bs.get(nch == 1 ? 5 : 3);  // private bits
+    for (int c = 0; c < nch; ++c) scfsi_ch[c] = bs.get(4);
+  } else {
+    main_data_begin = bs.get(8);
+    bs.get(nch == 1 ? 1 : 2);
+  }
+  int sr = h.sr_row();
+  for (int g = 0; g < h.granules(); ++g) {
+    for (int c = 0; c < nch; ++c) {
+      GrInfo& gi = gr[g][c];
+      gi = GrInfo{};
+      gi.part_23_length = bs.get(12);
+      gi.big_values = bs.get(9);
+      if (gi.big_values > 288) fail();
+      gi.global_gain = bs.get(8);
+      gi.scalefac_compress = bs.get(h.mpeg1 ? 4 : 9);
+      gi.sfbtab = kScfLong[sr];
+      gi.n_long_sfb = 22;
+      gi.n_short_sfb = 0;
+      if (bs.get1()) {  // window switching
+        gi.block_type = bs.get(2);
+        if (gi.block_type == 0) fail();
+        gi.mixed_block_flag = bs.get1();
+        gi.region_sfb[0] = 7 + 1;
+        gi.region_sfb[1] = 255;
+        if (gi.block_type == 2) {
+          if (!gi.mixed_block_flag) {
+            gi.region_sfb[0] = 8 + 1;
+            gi.sfbtab = kScfShort[sr];
+            gi.n_long_sfb = 0;
+            gi.n_short_sfb = 39;
+          } else {
+            gi.sfbtab = kScfMixed[sr];
+            gi.n_long_sfb = h.mpeg1 ? 8 : 6;
+            gi.n_short_sfb = 30;
+          }
+        }
+        gi.table_select[0] = bs.get(5);
+        gi.table_select[1] = bs.get(5);
+        gi.table_select[2] = 0;
+        gi.subblock_gain[0] = bs.get(3);
+        gi.subblock_gain[1] = bs.get(3);
+        gi.subblock_gain[2] = bs.get(3);
+      } else {
+        gi.block_type = 0;
+        gi.mixed_block_flag = 0;
+        gi.table_select[0] = bs.get(5);
+        gi.table_select[1] = bs.get(5);
+        gi.table_select[2] = bs.get(5);
+        gi.region_sfb[0] = bs.get(4) + 1;
+        gi.region_sfb[1] = bs.get(3) + 1;
+        gi.region_sfb[2] = 255;
+      }
+      gi.preflag = h.mpeg1 ? bs.get1() : (gi.scalefac_compress >= 500);
+      gi.scalefac_scale = bs.get1();
+      gi.count1_table = bs.get1();
+      gi.scfsi = (g == 1) ? scfsi_ch[c] : 0;
+    }
+  }
+  // scalefactor sharing is per channel between the two granules and is
+  // void when either granule uses window switching into short blocks
+  if (h.mpeg1) {
+    for (int c = 0; c < nch; ++c)
+      if (gr[0][c].block_type == 2 || gr[1][c].block_type == 2)
+        gr[1][c].scfsi = 0;
+  }
+  return main_data_begin;
+}
+
+// ---- scalefactors ----------------------------------------------------------
+// iscf: integer scalefactors per sfb entry; ist_pos: intensity
+// positions (shared storage across granules for scfsi reuse)
+void decode_scalefactors(const Header& h, uint8_t* ist_pos, Bits& bs,
+                         const GrInfo& gi, float* scf, int ch) {
+  const uint8_t* part = kScfPartitions[(gi.n_short_sfb ? 1 : 0) +
+                                       (gi.n_long_sfb ? 0 : 1)];
+  uint8_t scf_size[4];
+  uint8_t iscf[40] = {0};
+  int scfsi = gi.scfsi;
+  bool lsf_marking = false;
+  if (h.mpeg1) {
+    int p = kScfcDecode[gi.scalefac_compress];
+    scf_size[0] = scf_size[1] = static_cast<uint8_t>(p >> 2);
+    scf_size[2] = scf_size[3] = static_cast<uint8_t>(p & 3);
+  } else {
+    int ist = (h.i_stereo() && ch) ? 1 : 0;
+    int sfc = gi.scalefac_compress >> ist;
+    int k = ist * 3 * 4;
+    for (; sfc >= 0; k += 4) {
+      int modprod = 1;
+      for (int i = 3; i >= 0; --i) {
+        scf_size[i] = static_cast<uint8_t>(sfc / modprod % kScfMod[k + i]);
+        modprod *= kScfMod[k + i];
+      }
+      if (sfc < modprod) { /* decomposed in this set */ }
+      sfc -= modprod;
+    }
+    part += k;
+    scfsi = -16;
+    lsf_marking = true;
+  }
+  // read the four partition groups
+  {
+    uint8_t* dst = iscf;
+    uint8_t* ip = ist_pos;
+    int si = scfsi;
+    for (int i = 0; i < 4 && part[i]; ++i, si *= 2) {
+      int cnt = part[i];
+      if (si & 8) {
+        std::memcpy(dst, ip, cnt);
+      } else {
+        int bits = scf_size[i];
+        if (!bits) {
+          std::memset(dst, 0, cnt);
+          std::memset(ip, 0, cnt);
+        } else {
+          int max_scf = lsf_marking ? (1 << bits) - 1 : -1;
+          for (int k2 = 0; k2 < cnt; ++k2) {
+            int s = bs.get(bits);
+            ip[k2] = static_cast<uint8_t>(s == max_scf ? 255 : s);
+            dst[k2] = static_cast<uint8_t>(s);
+          }
+        }
+      }
+      ip += cnt;
+      dst += cnt;
+    }
+    dst[0] = dst[1] = dst[2] = 0;
+  }
+
+  int scf_shift = gi.scalefac_scale + 1;
+  if (gi.n_short_sfb) {
+    int sh = 3 - scf_shift;
+    for (int i = 0; i < gi.n_short_sfb; i += 3) {
+      iscf[gi.n_long_sfb + i + 0] += gi.subblock_gain[0] << sh;
+      iscf[gi.n_long_sfb + i + 1] += gi.subblock_gain[1] << sh;
+      iscf[gi.n_long_sfb + i + 2] += gi.subblock_gain[2] << sh;
+    }
+  } else if (gi.preflag) {
+    for (int i = 0; i < 10; ++i) iscf[11 + i] += kPreamp[i];
+  }
+
+  // quarter-power-of-two gains; MS stereo folds the 1/sqrt(2) of the
+  // (L+R)/(L-R) reconstruction into the gain
+  double gain = std::pow(2.0, (gi.global_gain - 210) / 4.0);
+  if (h.ms_stereo()) gain *= 1.0 / std::sqrt(2.0);
+  int n = gi.n_long_sfb + gi.n_short_sfb;
+  for (int i = 0; i < n; ++i)
+    scf[i] = static_cast<float>(gain *
+                                std::pow(2.0, -((iscf[i] << scf_shift) / 4.0)));
+}
+
+// ---- huffman spectrum decode ----------------------------------------------
+float pow43(int x) {
+  static float small[129] = {0};
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 129; ++i)
+      small[i] = static_cast<float>(std::pow(i, 4.0 / 3.0));
+    init = true;
+  }
+  if (x < 129) return small[x];
+  return static_cast<float>(std::pow(x, 4.0 / 3.0));
+}
+
+void huffman_decode(float* dst, Bits& bs, const GrInfo& gi, const float* scf,
+                    size_t limit_bits) {
+  int big = gi.big_values;  // pairs
+  const uint8_t* sfb = gi.sfbtab;
+  int pos_out = 0;
+  float one = 0.0f;
+  int region = 0;
+  int sfb_left_in_region = gi.region_sfb[0];
+  const Trie* trie = &g_tries.big[gi.table_select[0]];
+  int linbits = kHuffLinbits[gi.table_select[0]];
+  int pairs_left = 0;  // within current sfb
+  while (big > 0 && pos_out < 576) {
+    if (pairs_left == 0) {
+      if (sfb_left_in_region == 0 || *sfb == 0) {
+        // advance region (also handles sfb table exhaustion)
+        ++region;
+        if (region > 2) break;
+        sfb_left_in_region = gi.region_sfb[region];
+        trie = &g_tries.big[gi.table_select[region]];
+        linbits = kHuffLinbits[gi.table_select[region]];
+        continue;
+      }
+      pairs_left = *sfb++ / 2;
+      --sfb_left_in_region;
+      one = *scf++;
+      if (pairs_left == 0) continue;
+    }
+    int take = pairs_left < big ? pairs_left : big;
+    pairs_left -= take;
+    big -= take;
+    while (take--) {
+      int xy = trie->decode(bs);
+      int vals[2] = {xy >> 4, xy & 15};
+      for (int j = 0; j < 2; ++j) {
+        int v = vals[j];
+        if (v == 15 && linbits) v += bs.get(linbits);
+        float f = v ? pow43(v) * one : 0.0f;
+        if (v && bs.get1()) f = -f;
+        dst[pos_out++] = f;
+      }
+    }
+  }
+  // count1 region
+  const Trie& c1 = g_tries.count1[gi.count1_table];
+  // scalefactor tracking continues across the same sfb walk
+  int in_sfb = pairs_left * 2;
+  while (pos_out < 576) {
+    int quad = c1.decode(bs);
+    if (bs.pos > limit_bits) break;  // quad straddling the granule edge
+    int vals[4];
+    for (int s = 0; s < 4; ++s) vals[s] = (quad >> (3 - s)) & 1;
+    float out[4];
+    for (int s = 0; s < 4; ++s)
+      out[s] = vals[s] ? (bs.get1() ? -1.0f : 1.0f) : 0.0f;
+    for (int s = 0; s < 4 && pos_out < 576; ++s) {
+      if (in_sfb == 0) {
+        if (*sfb == 0) {
+          one = 0.0f;
+          in_sfb = 576;  // beyond table: zero scale
+        } else {
+          in_sfb = *sfb++;
+          one = *scf++;
+        }
+      }
+      dst[pos_out++] = out[s] * one;
+      --in_sfb;
+    }
+  }
+  while (pos_out < 576) dst[pos_out++] = 0.0f;
+  bs.pos = limit_bits;  // spec: jump to the granule's bit boundary
+}
+
+// ---- stereo ----------------------------------------------------------------
+void midside(float* left, float* right, int n) {
+  for (int i = 0; i < n; ++i) {
+    float a = left[i], b = right[i];
+    left[i] = a + b;
+    right[i] = a - b;
+  }
+}
+
+void stereo_process(float* left, float* right, const uint8_t* ist_pos,
+                    const uint8_t* sfb, const Header& h, const int max_band[3],
+                    int mpeg2_sh) {
+  static const float pan[7 * 2] = {
+      0, 1, 0.21132487f, 0.78867513f, 0.36602540f, 0.63397460f, 0.5f, 0.5f,
+      0.63397460f, 0.36602540f, 0.78867513f, 0.21132487f, 1, 0};
+  unsigned max_pos = h.mpeg1 ? 7 : 64;
+  int off = 0;
+  for (int i = 0; sfb[i]; ++i) {
+    unsigned ipos = ist_pos[i];
+    int n = sfb[i];
+    if (i > max_band[i % 3] && ipos < max_pos) {
+      float kl, kr;
+      float s = h.ms_stereo() ? 1.41421356f : 1.0f;
+      if (h.mpeg1) {
+        kl = pan[2 * ipos];
+        kr = pan[2 * ipos + 1];
+      } else {
+        kl = 1.0f;
+        kr = static_cast<float>(
+            std::pow(2.0, -0.25 * ((ipos + 1) >> 1 << mpeg2_sh)));
+        if (ipos & 1) {
+          kl = kr;
+          kr = 1.0f;
+        }
+      }
+      for (int k = 0; k < n; ++k) {
+        right[off + k] = left[off + k] * kr * s;
+        left[off + k] = left[off + k] * kl * s;
+      }
+    } else if (h.ms_stereo()) {
+      midside(left + off, right + off, n);
+    }
+    off += n;
+  }
+}
+
+void intensity_stereo(float* left, float* right, uint8_t* ist_pos,
+                      const GrInfo gr[2], const Header& h) {
+  int max_band[3] = {-1, -1, -1};
+  int n_sfb = gr[0].n_long_sfb + gr[0].n_short_sfb;
+  {
+    const uint8_t* sfb = gr[0].sfbtab;
+    int off = 0;
+    for (int i = 0; i < n_sfb; ++i) {
+      for (int k = 0; k < sfb[i]; k += 2)
+        if (right[off + k] != 0 || right[off + k + 1] != 0) {
+          max_band[i % 3] = i;
+          break;
+        }
+      off += sfb[i];
+    }
+  }
+  int max_blocks = gr[0].n_short_sfb ? 3 : 1;
+  if (gr[0].n_long_sfb) {
+    int m = max_band[0];
+    if (max_band[1] > m) m = max_band[1];
+    if (max_band[2] > m) m = max_band[2];
+    max_band[0] = max_band[1] = max_band[2] = m;
+  }
+  for (int i = 0; i < max_blocks; ++i) {
+    int default_pos = h.mpeg1 ? 3 : 0;
+    int itop = n_sfb - max_blocks + i;
+    int prev = itop - max_blocks;
+    ist_pos[itop] = static_cast<uint8_t>(
+        max_band[i] >= prev ? default_pos : ist_pos[prev]);
+  }
+  stereo_process(left, right, ist_pos, gr[0].sfbtab, h, max_band,
+                 gr[1].scalefac_compress & 1);
+}
+
+// ---- reorder / antialias ---------------------------------------------------
+void reorder_short(float* grbuf, const uint8_t* sfb) {
+  float scratch[576];
+  float* dst = scratch;
+  float* src = grbuf;
+  int len;
+  for (; 0 != (len = *sfb); sfb += 3, src += 2 * len) {
+    for (int i = 0; i < len; ++i, ++src) {
+      *dst++ = src[0 * len];
+      *dst++ = src[1 * len];
+      *dst++ = src[2 * len];
+    }
+  }
+  std::memcpy(grbuf, scratch, (dst - scratch) * sizeof(float));
+}
+
+void antialias(float* grbuf, int nbands) {
+  // cs/ca from the standard ci constants
+  static const double ci[8] = {-0.6, -0.535, -0.33, -0.185,
+                               -0.095, -0.041, -0.0142, -0.0037};
+  static float cs[8], ca[8];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 8; ++i) {
+      double d = std::sqrt(1.0 + ci[i] * ci[i]);
+      cs[i] = static_cast<float>(1.0 / d);
+      ca[i] = static_cast<float>(-ci[i] / d);
+    }
+    init = true;
+  }
+  for (; nbands > 0; --nbands, grbuf += 18) {
+    for (int i = 0; i < 8; ++i) {
+      float u = grbuf[18 + i];
+      float d = grbuf[17 - i];
+      grbuf[18 + i] = u * cs[i] - d * ca[i];
+      grbuf[17 - i] = u * ca[i] + d * cs[i];
+    }
+  }
+}
+
+// ---- hybrid filterbank (IMDCT + overlap) -----------------------------------
+struct ImdctTables {
+  float m36[36][18];  // direct IMDCT matrices
+  float m12[12][6];
+  float win_norm[36], win_start[36], win_stop[36], win_short12[12];
+  ImdctTables() {
+    for (int i = 0; i < 36; ++i)
+      for (int k = 0; k < 18; ++k)
+        m36[i][k] = static_cast<float>(
+            std::cos(M_PI / 72.0 * (2 * i + 1 + 18) * (2 * k + 1)));
+    for (int i = 0; i < 12; ++i)
+      for (int k = 0; k < 6; ++k)
+        m12[i][k] = static_cast<float>(
+            std::cos(M_PI / 24.0 * (2 * i + 1 + 6) * (2 * k + 1)));
+    for (int i = 0; i < 36; ++i)
+      win_norm[i] = static_cast<float>(std::sin(M_PI / 36.0 * (i + 0.5)));
+    for (int i = 0; i < 12; ++i)
+      win_short12[i] = static_cast<float>(std::sin(M_PI / 12.0 * (i + 0.5)));
+    for (int i = 0; i < 36; ++i) {
+      win_start[i] = i < 18 ? win_norm[i]
+                   : i < 24 ? 1.0f
+                   : i < 30 ? static_cast<float>(
+                                  std::sin(M_PI / 12.0 * (i - 24 + 0.5 + 6)))
+                            : 0.0f;
+      win_stop[i] = i < 6 ? 0.0f
+                  : i < 12 ? static_cast<float>(
+                                 std::sin(M_PI / 12.0 * (i - 6 + 0.5)))
+                  : i < 18 ? 1.0f
+                           : win_norm[i];
+    }
+  }
+};
+const ImdctTables g_imdct;
+
+// one 18-coefficient band -> 36 windowed samples + overlap-add
+void imdct_long(const float* x, float* out18, float* overlap9x2,
+                const float* win) {
+  float z[36];
+  for (int i = 0; i < 36; ++i) {
+    float acc = 0.0f;
+    for (int k = 0; k < 18; ++k) acc += x[k] * g_imdct.m36[i][k];
+    z[i] = acc * win[i];
+  }
+  for (int i = 0; i < 18; ++i) {
+    out18[i] = z[i] + overlap9x2[i];
+    overlap9x2[i] = z[18 + i];
+  }
+}
+
+void imdct_short_band(const float* x, float* out18, float* overlap) {
+  float z[36] = {0};
+  for (int w = 0; w < 3; ++w) {
+    float xw[6];
+    for (int k = 0; k < 6; ++k) xw[k] = x[3 * k + w];
+    for (int i = 0; i < 12; ++i) {
+      float acc = 0.0f;
+      for (int k = 0; k < 6; ++k) acc += xw[k] * g_imdct.m12[i][k];
+      z[6 + 6 * w + i] += acc * g_imdct.win_short12[i];
+    }
+  }
+  for (int i = 0; i < 18; ++i) {
+    out18[i] = z[i] + overlap[i];
+    overlap[i] = z[18 + i];
+  }
+}
+
+void imdct_granule(float* grbuf, float* overlap /*32*18*/, int block_type,
+                   int n_long_bands) {
+  for (int b = 0; b < 32; ++b) {
+    float* x = grbuf + 18 * b;
+    float out[18];
+    if (b < n_long_bands || block_type != 2) {
+      const float* win = g_imdct.win_norm;
+      if (b >= n_long_bands) {
+        if (block_type == 1) win = g_imdct.win_start;
+        else if (block_type == 3) win = g_imdct.win_stop;
+      }
+      imdct_long(x, out, overlap + 18 * b, win);
+    } else {
+      imdct_short_band(x, out, overlap + 18 * b);
+    }
+    std::memcpy(x, out, sizeof(out));
+  }
+  // frequency inversion on odd bands
+  for (int b = 1; b < 32; b += 2)
+    for (int i = 1; i < 18; i += 2) grbuf[18 * b + i] = -grbuf[18 * b + i];
+}
+
+// ---- polyphase synthesis ---------------------------------------------------
+struct SynthTables {
+  float N[64][32];
+  SynthTables() {
+    for (int i = 0; i < 64; ++i)
+      for (int b = 0; b < 32; ++b)
+        N[i][b] = static_cast<float>(
+            std::cos((16 + i) * (2 * b + 1) * M_PI / 64.0));
+  }
+};
+const SynthTables g_synth;
+
+struct SynthState {
+  float hist[1024 + 64] = {0};  // newest 64-slot at hist[0]
+};
+
+// 32 subband samples -> 32 PCM samples
+void synth_step(SynthState& st, const float* S, float* pcm) {
+  std::memmove(st.hist + 64, st.hist, 1024 * sizeof(float));
+  for (int i = 0; i < 64; ++i) {
+    float acc = 0.0f;
+    for (int b = 0; b < 32; ++b) acc += g_synth.N[i][b] * S[b];
+    st.hist[i] = acc;
+  }
+  static const int off[16] = {0, 96, 128, 224, 256, 352, 384, 480,
+                              512, 608, 640, 736, 768, 864, 896, 992};
+  for (int k = 0; k < 32; ++k) {
+    float acc = 0.0f;
+    for (int i = 0; i < 16; ++i)
+      acc += st.hist[off[i] + k] * kSynthD[k + 32 * i];
+    pcm[k] = acc;
+  }
+}
+
+// ---- frame decode ----------------------------------------------------------
+constexpr int kMaxReservoir = 511;
+
+struct Decoder {
+  Header hdr;  // stream-defining header (first valid)
+  std::vector<uint8_t> reservoir;
+  float grbuf[2][576];
+  float mdct_overlap[2][576] = {{0}, {0}};
+  uint8_t ist_pos[2][40] = {{0}, {0}};
+  SynthState synth[2];
+  std::vector<float> pcm[2];
+
+  // decode one frame's worth of main data; h is this frame's header
+  void decode_frame(const Header& h, const uint8_t* frame, int frame_len) {
+    int nch = h.channels();
+    int hdr_len = 4 + (h.crc ? 2 : 0);
+    int side_len = h.side_info_bytes();
+    if (hdr_len + side_len > frame_len) fail();
+    Bits side;
+    side.init(frame + hdr_len, side_len);
+    GrInfo gr[2][2];
+    int main_data_begin = read_side_info(side, h, gr);
+
+    const uint8_t* md = frame + hdr_len + side_len;
+    int md_len = frame_len - hdr_len - side_len;
+    if (md_len < 0) fail();
+
+    bool have = static_cast<int>(reservoir.size()) >= main_data_begin;
+    std::vector<uint8_t> assembled;
+    if (have) {
+      assembled.assign(reservoir.end() - main_data_begin, reservoir.end());
+      assembled.insert(assembled.end(), md, md + md_len);
+    }
+    // roll the reservoir forward regardless (decoders joining
+    // mid-stream need a few frames of warm-up)
+    reservoir.insert(reservoir.end(), md, md + md_len);
+    if (reservoir.size() > kMaxReservoir)
+      reservoir.erase(reservoir.begin(),
+                      reservoir.end() - kMaxReservoir);
+    if (!have) return;  // not enough reservoir: no output for this frame
+
+    Bits bs;
+    bs.init(assembled.data(), assembled.size());
+    for (int g = 0; g < h.granules(); ++g) {
+      for (int c = 0; c < nch; ++c) {
+        size_t limit = bs.pos + gr[g][c].part_23_length;
+        float scf[40];
+        decode_scalefactors(h, ist_pos[c], bs, gr[g][c], scf, c);
+        huffman_decode(grbuf[c], bs, gr[g][c], scf, limit);
+      }
+      if (h.i_stereo()) {
+        intensity_stereo(grbuf[0], grbuf[1], ist_pos[1], gr[g], h);
+      } else if (h.ms_stereo()) {
+        midside(grbuf[0], grbuf[1], 576);
+      }
+      for (int c = 0; c < nch; ++c) {
+        const GrInfo& gi = gr[g][c];
+        int n_long_bands =
+            (gi.mixed_block_flag ? 2 : 0)
+            << ((h.mpeg25 && h.fs_index == 2) ? 1 : 0);
+        if (gi.n_short_sfb) {
+          reorder_short(grbuf[c] + n_long_bands * 18,
+                        gi.sfbtab + gi.n_long_sfb);
+          antialias(grbuf[c], n_long_bands - 1);
+        } else {
+          antialias(grbuf[c], 31);
+        }
+        imdct_granule(grbuf[c], mdct_overlap[c], gi.block_type, n_long_bands);
+        // synthesize 18 x 32 samples
+        float S[32], out[32];
+        size_t base = pcm[c].size();
+        pcm[c].resize(base + 576);
+        for (int t = 0; t < 18; ++t) {
+          for (int b = 0; b < 32; ++b) S[b] = grbuf[c][18 * b + t];
+          synth_step(synth[c], S, out);
+          std::memcpy(pcm[c].data() + base + 32 * t, out, sizeof(out));
+        }
+      }
+      if (nch == 1) continue;
+    }
+  }
+};
+
+bool looks_like_info_tag(const Header& h, const uint8_t* frame, int frame_len) {
+  int off = 4 + (h.crc ? 2 : 0) + h.side_info_bytes();
+  if (off + 4 > frame_len) return false;
+  return std::memcmp(frame + off, "Xing", 4) == 0 ||
+         std::memcmp(frame + off, "Info", 4) == 0 ||
+         std::memcmp(frame + off, "VBRI", 4) == 0;
+}
+
+void decode_stream(const uint8_t* d, size_t len, int* fs, int* nch,
+                   std::vector<float> pcm_out[2]) {
+  size_t off = 0;
+  // leading ID3v2
+  if (len >= 10 && d[0] == 'I' && d[1] == 'D' && d[2] == '3') {
+    size_t sz = ((d[6] & 0x7F) << 21) | ((d[7] & 0x7F) << 14) |
+                ((d[8] & 0x7F) << 7) | (d[9] & 0x7F);
+    size_t skip = 10 + sz + ((d[5] & 0x10) ? 10 : 0);
+    if (skip < len) off = skip;
+  }
+  Decoder dec;
+  bool have_stream = false;
+  int frames = 0;
+  while (off + 4 <= len) {
+    Header h;
+    if (!parse_header(d + off, h) ||
+        (have_stream && !header_compatible(dec.hdr, d + off))) {
+      ++off;
+      continue;
+    }
+    if (h.layer != 3) {
+      if (have_stream) {
+        ++off;
+        continue;
+      }
+      fail();  // Layer I/II: unsupported (documented)
+    }
+    int fb = h.frame_bytes();
+    if (fb < 24 || off + fb > len) {
+      // last partial frame (or bogus sync): try to decode what's
+      // there only if it is the true tail; otherwise resync
+      if (off + fb > len && have_stream && off + 24 <= len) break;
+      ++off;
+      continue;
+    }
+    // require the next frame to look right when there is room
+    if (off + fb + 4 <= len && !header_compatible(h, d + off + fb) ) {
+      // tolerate tag blocks after the last frame
+      bool tail_tag = (std::memcmp(d + off + fb, "TAG", 3) == 0 ||
+                       std::memcmp(d + off + fb, "APET", 4) == 0);
+      if (!tail_tag && !(have_stream)) {
+        ++off;
+        continue;
+      }
+      if (!tail_tag && have_stream && frames < 1) {
+        ++off;
+        continue;
+      }
+    }
+    if (!have_stream) {
+      dec.hdr = h;
+      have_stream = true;
+      *fs = h.fs;
+      *nch = h.channels();
+      if (looks_like_info_tag(h, d + off, fb)) {
+        off += fb;
+        continue;  // Xing/Info header frame carries no audio
+      }
+    }
+    try {
+      dec.decode_frame(h, d + off, fb);
+    } catch (const Mp3Error&) {
+      // damaged frame: drop it, resync on the next one
+      dec.reservoir.clear();
+    }
+    ++frames;
+    off += fb;
+  }
+  if (!have_stream || !frames) fail();
+  pcm_out[0] = std::move(dec.pcm[0]);
+  if (*nch == 2) pcm_out[1] = std::move(dec.pcm[1]);
+}
+
+}  // namespace
+
+extern "C" {
+
+int zen_mp3_decode_mem(const uint8_t* data, uint64_t len, float** out,
+                       uint64_t* frames, int32_t* fs, int32_t* nch) {
+  *out = nullptr;
+  *frames = 0;
+  try {
+    std::vector<float> pcm[2];
+    int rate = 0, channels = 0;
+    decode_stream(data, static_cast<size_t>(len), &rate, &channels, pcm);
+    size_t n = pcm[0].size();
+    if (channels == 2 && pcm[1].size() != n) return 2;
+    float* buf = static_cast<float*>(malloc(n * channels * sizeof(float)));
+    if (!buf && n) return 3;
+    for (size_t i = 0; i < n; ++i)
+      for (int c = 0; c < channels; ++c) buf[i * channels + c] = pcm[c][i];
+    *out = buf;
+    *frames = n;
+    *fs = rate;
+    *nch = channels;
+    return 0;
+  } catch (const Mp3Error&) {
+    return 1;
+  } catch (const std::bad_alloc&) {
+    return 3;
+  }
+}
+
+int zen_mp3_decode_file(const char* path, float** out, uint64_t* frames,
+                        int32_t* fs, int32_t* nch) {
+  *out = nullptr;
+  *frames = 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return 10;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (sz <= 0 || sz > (1L << 31)) {
+    fclose(f);
+    return 11;
+  }
+  uint8_t* buf = static_cast<uint8_t*>(malloc(static_cast<size_t>(sz)));
+  if (!buf) {
+    fclose(f);
+    return 12;
+  }
+  size_t got = fread(buf, 1, static_cast<size_t>(sz), f);
+  fclose(f);
+  if (got != static_cast<size_t>(sz)) {
+    free(buf);
+    return 13;
+  }
+  int rc = zen_mp3_decode_mem(buf, got, out, frames, fs, nch);
+  free(buf);
+  return rc;
+}
+
+void zen_mp3_free(float* p) { free(p); }
+
+}  // extern "C"

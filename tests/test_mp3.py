@@ -1,0 +1,176 @@
+"""MP3 decoder validation against real encoder output.
+
+The reference front door accepts .mp3 via libnyquist; the rebuild's
+from-scratch Layer III decoder (native/zenmp3.cpp) must handle real
+encoder output.  Ground truth: at test time we compile the *public*
+minimp3 header the reference vendors (read-only mount, nothing copied
+into this repo) into a standalone oracle binary and require our decode
+of the corpus file to match it to float precision (observed 132.9 dB
+SNR at unity scale — any error in the huffman/requantize/stereo/
+IMDCT/synthesis chain collapses this by orders of magnitude).
+"""
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from zen_tpu.runtime import native
+
+_DIR = "/root/reference/vendor/libnyquist/test_data/ad_hoc"
+_MINIMP3_INC = "/root/reference/vendor/libnyquist/third_party/minimp3"
+_MP3 = os.path.join(_DIR, "acetylene.mp3")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(_MP3), reason="reference test data absent"
+)
+
+
+def _need_native():
+    if not native.mp3_available():
+        pytest.skip("native mp3 decoder not built")
+
+
+def test_corpus_file_decodes():
+    _need_native()
+    fs, x = native.mp3_read(_MP3)
+    assert fs == 44100
+    assert x.shape[1] == 2
+    assert x.shape[0] > 100000
+    assert np.all(np.isfinite(x))
+    rms = float(np.sqrt((x.astype(np.float64) ** 2).mean()))
+    assert 0.01 < rms < 1.0, rms
+
+
+_ORACLE_SRC = r"""
+#define MINIMP3_IMPLEMENTATION
+#define MINIMP3_FLOAT_OUTPUT
+#include "minimp3.h"
+#include <stdio.h>
+#include <stdlib.h>
+int main(int argc, char** argv) {
+  (void)argc;
+  FILE* f = fopen(argv[1], "rb");
+  if (!f) return 2;
+  fseek(f, 0, SEEK_END); long sz = ftell(f); fseek(f, 0, SEEK_SET);
+  unsigned char* buf = malloc(sz);
+  if (fread(buf, 1, sz, f) != (size_t)sz) return 2;
+  fclose(f);
+  static mp3dec_t dec; mp3dec_init(&dec);
+  mp3d_sample_t pcm[MINIMP3_MAX_SAMPLES_PER_FRAME];
+  long off = 0;
+  FILE* o = fopen(argv[2], "wb");
+  int fs = 0, ch = 0;
+  while (off < sz) {
+    mp3dec_frame_info_t info;
+    int n = mp3dec_decode_frame(&dec, buf + off, sz - off, pcm, &info);
+    if (info.frame_bytes <= 0) break;
+    off += info.frame_bytes;
+    if (n > 0) { fs = info.hz; ch = info.channels;
+                 fwrite(pcm, sizeof(float), (size_t)n * ch, o); }
+  }
+  fclose(o);
+  fprintf(stderr, "%d %d\n", fs, ch);
+  return fs ? 0 : 1;
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def oracle_pcm(tmp_path_factory):
+    """Decode the corpus file with a freshly compiled minimp3 oracle."""
+    if not os.path.isdir(_MINIMP3_INC):
+        pytest.skip("vendored minimp3 absent")
+    d = tmp_path_factory.mktemp("mp3_oracle")
+    src = d / "oracle.c"
+    src.write_text(_ORACLE_SRC)
+    exe = d / "oracle"
+    r = subprocess.run(
+        ["gcc", "-O2", f"-I{_MINIMP3_INC}", str(src), "-o", str(exe), "-lm"],
+        capture_output=True,
+        text=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"oracle build failed: {r.stderr[:200]}")
+    raw = d / "out.f32"
+    r = subprocess.run(
+        [str(exe), _MP3, str(raw)], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr
+    fs, ch = (int(v) for v in r.stderr.split())
+    data = np.fromfile(raw, np.float32).reshape(-1, ch)
+    return fs, data
+
+
+def test_matches_reference_decoder_float_exact(oracle_pcm):
+    """Our decode must agree with the reference decode of the same
+    file at float precision and unity scale."""
+    _need_native()
+    fs_o, ref = oracle_pcm
+    fs, x = native.mp3_read(_MP3)
+    assert fs == fs_o
+    # the raw reference emits the Xing/Info tag frame as one leading
+    # frame of silence; we skip that frame by design
+    lead = ref.shape[0] - x.shape[0]
+    assert 0 <= lead <= 2 * 1152, (ref.shape, x.shape)
+    if lead:
+        assert float(np.abs(ref[:lead]).max()) == 0.0
+        ref = ref[lead:]
+    xd = x.astype(np.float64)
+    rd = ref.astype(np.float64)
+    err = xd - rd
+    snr = 10 * np.log10((rd ** 2).sum() / max((err ** 2).sum(), 1e-300))
+    assert snr > 100.0, snr
+
+
+def test_read_audio_mono_routes_mp3():
+    _need_native()
+    from zen_tpu.io.audio import read_audio_mono
+
+    fs, x = read_audio_mono(_MP3)
+    assert fs == 44100
+    assert x.dtype == np.float32
+    assert x.ndim == 1 and len(x) > 100000
+
+
+def test_hostile_inputs_rejected():
+    _need_native()
+    import ctypes
+
+    lib = native._load()
+    lib.zen_mp3_decode_mem.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+
+    def try_decode(buf: bytes) -> int:
+        out = ctypes.POINTER(ctypes.c_float)()
+        frames = ctypes.c_uint64()
+        fs = ctypes.c_int32()
+        ch = ctypes.c_int32()
+        rc = lib.zen_mp3_decode_mem(
+            buf, len(buf), ctypes.byref(out),
+            ctypes.byref(frames), ctypes.byref(fs), ctypes.byref(ch),
+        )
+        if rc == 0:
+            lib.zen_mp3_free(out)
+        return rc
+
+    rng = np.random.default_rng(9)
+    for _ in range(30):
+        n = int(rng.integers(4, 4096))
+        buf = bytearray(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        buf[0] = 0xFF
+        buf[1] = 0xFB
+        try_decode(bytes(buf))  # any rc; must not crash or hang
+    assert try_decode(b"") != 0
+    assert try_decode(b"\x00" * 1000) != 0
+    # truncations of the real file must not crash
+    with open(_MP3, "rb") as f:
+        good = f.read()
+    for cut in (100, 5000, len(good) // 2):
+        try_decode(good[:cut])

@@ -18,13 +18,15 @@ def read_audio_mono(path: str):
     """Load an audio file as float32 mono in [-1, 1] by sniffing the
     container magic — the front door every driver/CLI input goes
     through (the NyquistIO::Load analog, zen/offline.h:88-102).
-    Supports RIFF wav, FLAC, WavPack, and Ogg Vorbis."""
+    Supports RIFF wav, FLAC, WavPack, Ogg Vorbis, and MP3."""
+    had_id3 = False
     with open(path, "rb") as f:
         head = f.read(10)
         magic = head[:4]
         if head[:3] == b"ID3":
-            # FLAC files tagged by common tools carry an ID3v2 tag
-            # before the fLaC magic; sniff past it like the decoders do
+            # FLAC and MP3 files tagged by common tools carry an ID3v2
+            # tag before the payload; sniff past it like the decoders do
+            had_id3 = True
             from .flac import FlacError, skip_id3
 
             try:
@@ -32,6 +34,22 @@ def read_audio_mono(path: str):
                 magic = f.read(4)
             except FlacError:
                 pass
+    if (
+        len(magic) >= 2
+        and magic[0] == 0xFF
+        and (magic[1] & 0xE0) == 0xE0
+        and magic != b"\xff\xfe\x00\x00"  # not a UTF byte-order mark
+    ) or (had_id3 and magic != b"fLaC") or path.lower().endswith(".mp3"):
+        from ..runtime import native
+
+        if not native.mp3_available():
+            raise RuntimeError(
+                "MP3 input needs the native decoder; build it with "
+                "`make -C native` (no pure-Python fallback)"
+            )
+        fs, frames = native.mp3_read(path)
+        x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
+        return fs, np.ascontiguousarray(x, np.float32)
     if magic == b"OggS":
         from ..runtime import native
 

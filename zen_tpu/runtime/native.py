@@ -155,6 +155,20 @@ def _load():
         lib._has_vorbis = True
     except AttributeError:
         lib._has_vorbis = False
+    try:  # own flag: absent from pre-mp3 builds of the .so
+        lib.zen_mp3_decode_file.restype = ctypes.c_int
+        lib.zen_mp3_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.zen_mp3_free.restype = None
+        lib.zen_mp3_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib._has_mp3 = True
+    except AttributeError:
+        lib._has_mp3 = False
     _lib = lib
     return lib
 
@@ -390,6 +404,44 @@ def vorbis_read(path: str):
         )
     finally:
         lib.zen_vorbis_free(out)
+    return int(fs.value), arr.reshape(frames.value, ch.value)
+
+
+def mp3_available() -> bool:
+    lib = _load()
+    return lib is not None and lib._has_mp3
+
+
+def mp3_read(path: str):
+    """Native MP3 (MPEG-1/2/2.5 Layer III) decode (native/zenmp3.cpp).
+    Returns (fs, float32 [frames, channels]).  Like Vorbis, there is
+    no pure-Python fallback; callers surface a clear error when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None or not lib._has_mp3:
+        raise RuntimeError("native mp3 decoder unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_uint64()
+    fs = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    rc = lib.zen_mp3_decode_file(
+        path.encode(),
+        ctypes.byref(out),
+        ctypes.byref(frames),
+        ctypes.byref(fs),
+        ctypes.byref(ch),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_mp3_decode_file failed: {rc}")
+    n = frames.value * ch.value
+    try:
+        arr = (
+            np.ctypeslib.as_array(out, shape=(n,)).copy()
+            if n
+            else np.zeros(0, np.float32)
+        )
+    finally:
+        lib.zen_mp3_free(out)
     return int(fs.value), arr.reshape(frames.value, ch.value)
 
 
