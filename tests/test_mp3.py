@@ -10,9 +10,7 @@ SNR at unity scale — any error in the huffman/requantize/stereo/
 IMDCT/synthesis chain collapses this by orders of magnitude).
 """
 import os
-import struct
 import subprocess
-import sys
 
 import numpy as np
 import pytest

@@ -18,7 +18,8 @@ def read_audio_mono(path: str):
     """Load an audio file as float32 mono in [-1, 1] by sniffing the
     container magic — the front door every driver/CLI input goes
     through (the NyquistIO::Load analog, zen/offline.h:88-102).
-    Supports RIFF wav, FLAC, WavPack, Ogg Vorbis, and MP3."""
+    Supports RIFF wav, FLAC, WavPack, Ogg Vorbis, MP3, and Musepack
+    SV8."""
     had_id3 = False
     with open(path, "rb") as f:
         head = f.read(10)
@@ -48,6 +49,22 @@ def read_audio_mono(path: str):
                 "`make -C native` (no pure-Python fallback)"
             )
         fs, frames = native.mp3_read(path)
+        x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
+        return fs, np.ascontiguousarray(x, np.float32)
+    if magic == b"MPCK" or magic[:3] == b"MP+":
+        from ..runtime import native
+
+        if magic[:3] == b"MP+":
+            raise ValueError(
+                "legacy Musepack SV7 (MP+) is not supported; "
+                "re-encode as SV8 or transcode to wav/flac"
+            )
+        if not native.mpc_available():
+            raise RuntimeError(
+                "Musepack input needs the native decoder; build it "
+                "with `make -C native` (no pure-Python fallback)"
+            )
+        fs, frames = native.mpc_read(path)
         x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
         return fs, np.ascontiguousarray(x, np.float32)
     if magic == b"OggS":

@@ -169,6 +169,20 @@ def _load():
         lib._has_mp3 = True
     except AttributeError:
         lib._has_mp3 = False
+    try:  # own flag: absent from pre-musepack builds of the .so
+        lib.zen_mpc_decode_file.restype = ctypes.c_int
+        lib.zen_mpc_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.zen_mpc_free.restype = None
+        lib.zen_mpc_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib._has_mpc = True
+    except AttributeError:
+        lib._has_mpc = False
     _lib = lib
     return lib
 
@@ -442,6 +456,43 @@ def mp3_read(path: str):
         )
     finally:
         lib.zen_mp3_free(out)
+    return int(fs.value), arr.reshape(frames.value, ch.value)
+
+
+def mpc_available() -> bool:
+    lib = _load()
+    return lib is not None and lib._has_mpc
+
+
+def mpc_read(path: str):
+    """Native Musepack SV8 decode (native/zenmpc.cpp). Returns
+    (fs, float32 [frames, channels]); no pure-Python fallback (same
+    policy as Vorbis/MP3)."""
+    lib = _load()
+    if lib is None or not lib._has_mpc:
+        raise RuntimeError("native musepack decoder unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_uint64()
+    fs = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    rc = lib.zen_mpc_decode_file(
+        path.encode(),
+        ctypes.byref(out),
+        ctypes.byref(frames),
+        ctypes.byref(fs),
+        ctypes.byref(ch),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_mpc_decode_file failed: {rc}")
+    n = frames.value * ch.value
+    try:
+        arr = (
+            np.ctypeslib.as_array(out, shape=(n,)).copy()
+            if n
+            else np.zeros(0, np.float32)
+        )
+    finally:
+        lib.zen_mpc_free(out)
     return int(fs.value), arr.reshape(frames.value, ch.value)
 
 
