@@ -70,6 +70,14 @@ def read_audio_mono(path: str):
     if magic == b"OggS":
         from ..runtime import native
 
+        with open(path, "rb") as f:
+            page = f.read(1024)
+        if b"OpusHead" in page:
+            raise ValueError(
+                "Ogg Opus input is not supported (the one libnyquist "
+                "format without a from-scratch decoder here); "
+                "transcode upstream, e.g. `ffmpeg -i in.opus out.wav`"
+            )
         if not native.vorbis_available():
             raise RuntimeError(
                 "Ogg Vorbis input needs the native decoder; build it "
