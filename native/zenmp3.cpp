@@ -846,6 +846,7 @@ void decode_stream(const uint8_t* d, size_t len, int* fs, int* nch,
     off += fb;
   }
   if (!have_stream || !frames) fail();
+  if (dec.pcm[0].empty()) fail();  // only skipped/damaged frames seen
   pcm_out[0] = std::move(dec.pcm[0]);
   if (*nch == 2) pcm_out[1] = std::move(dec.pcm[1]);
 }

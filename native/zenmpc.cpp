@@ -66,6 +66,7 @@ struct Bits {
     for (int i = 0; i < 10; ++i) {
       uint32_t tmp = get(8);
       size = (size << 7) | (tmp & 0x7F);
+      if (size > (1ull << 40)) fail();  // bound before it can wrap
       if (!(tmp & 0x80)) return size;
     }
     fail();
@@ -528,7 +529,8 @@ void decode_stream(const uint8_t* d, size_t len, DecodedM& out) {
     char k1 = static_cast<char>(hb.get(8));
     uint64_t size = hb.varint();
     size_t hdr_bytes = hb.pos / 8;
-    if (size < hdr_bytes || off + size > len) fail();
+    // subtraction form: `off + size` could wrap for a hostile varint
+    if (size < hdr_bytes || size > len - off) fail();
     size_t payload = static_cast<size_t>(size) - hdr_bytes;
     const uint8_t* body = d + off + hdr_bytes;
     if (k0 == 'S' && k1 == 'H') {

@@ -288,6 +288,9 @@ struct Codebook {
     dim = b.get(16);
     entries = b.get(24);
     if (dim <= 0 || entries < 0 || entries > (1 << 24)) fail();
+    // combined bound: the VQ value table is entries*dim floats and
+    // the unquantize fill walks every cell
+    if (static_cast<long>(entries) * dim > (1L << 24)) fail();
     lengths.assign(entries, 0);
     bool ordered = b.get1();
     if (!ordered) {
@@ -1058,9 +1061,8 @@ void vorbis_decode_stream(const uint8_t* d, size_t len, DecodedV& out) {
   std::vector<float> scratch;
   std::vector<std::vector<float>> tail(dec.channels);  // prev right half
   int prevW = -1;
-  int64_t produced = 0;      // samples emitted
+  int64_t produced = 0;      // samples emitted (the granule clock)
   int64_t lead_trim = -1;    // set at first granule-bearing page
-  int64_t sample_count = 0;  // blockin-style accumulated count
   int64_t final_granule = -1;
   bool saw_eos = false;
 
@@ -1074,11 +1076,9 @@ void vorbis_decode_stream(const uint8_t* d, size_t len, DecodedV& out) {
         int smin = std::min(np, nc) / 2;        // slope length
         int off_tail = hp / 2 - smin / 2;
         int off_cur = hc / 2 - smin / 2;
-        const float* w = dec.slope[np < nc ? prevW : W].data();
-        // slope table: use the table whose blocksize == smin*2
+        // slope table: the one whose blocksize == smin*2
         const float* ws = (dec.bs[0] / 2 == smin) ? dec.slope[0].data()
                                                   : dec.slope[1].data();
-        (void)w;
         long L = hp / 2 + hc / 2;
         for (int c = 0; c < dec.channels; ++c) {
           std::vector<float>& o = out.pcm[c];
@@ -1094,7 +1094,6 @@ void vorbis_decode_stream(const uint8_t* d, size_t len, DecodedV& out) {
             o[base + i] = cur[off_cur + i - off_tail];
         }
         produced += L;
-        sample_count += np / 4 + nc / 4;
       }
       for (int c = 0; c < dec.channels; ++c)
         tail[c].assign(block[c].begin() + hc, block[c].end());
@@ -1102,7 +1101,7 @@ void vorbis_decode_stream(const uint8_t* d, size_t len, DecodedV& out) {
     }
     if (pkt.page_end && pkt.granule >= 0) {
       if (lead_trim < 0) {
-        lead_trim = sample_count - pkt.granule;
+        lead_trim = produced - pkt.granule;
         if (lead_trim < 0) lead_trim = 0;
         if (lead_trim > produced) lead_trim = produced;
       }

@@ -361,12 +361,14 @@ void decorr_channel(Pass& p, int ch, int32_t* buf, size_t n) {
       buf[i] = nv;
       update_weight(w, delta, sam, t);
     }
+    // new history = the last `term` outputs, crossing into the old
+    // history when the block is shorter than the term
+    int32_t nh[kMaxTerm];
     for (int m = 0; m < term; ++m) {
-      size_t idx = n + m;  // x[n - term + m]
-      hist[m] = (idx >= static_cast<size_t>(term) && idx - term < n)
-                    ? buf[idx - term]
-                    : hist[m];
+      int64_t src = static_cast<int64_t>(n) + m - term;
+      nh[m] = (src >= 0) ? buf[src] : hist[src + term];
     }
+    for (int m = 0; m < term; ++m) hist[m] = nh[m];
   }
   p.w[ch] = w;
 }
@@ -461,6 +463,9 @@ bool parse_block(const uint8_t* d, size_t len, size_t off, Block& blk) {
   blk.crc = rd32(h + 28);
   if (cksize < 24 || cksize > len - off - 8) return false;
   if (blk.version < 0x402 || blk.version > 0x410) return false;
+  // real encoders cap block length well below this; unbounded values
+  // would let a tiny zero-run block demand gigabytes
+  if (blk.block_samples > (1u << 18)) return false;
   blk.end = off + 8 + cksize;
   blk.meta.clear();
   size_t mo = off + 32;
@@ -793,6 +798,7 @@ void decode_stream(const uint8_t* d, size_t len, Decoded& out) {
   if (!found) fail();
 
   std::vector<Stream> streams;
+  uint64_t decoded_total = 0;
   size_t stream_idx = 0;
   int nch_total = -1;
   bool have_fmt = false;
@@ -818,6 +824,16 @@ void decode_stream(const uint8_t* d, size_t len, Decoded& out) {
           out.fs = m.data[0] | (m.data[1] << 8) | (m.data[2] << 16);
       is_float = (blk.flags & kFloatData) != 0;
       bits = 8 * static_cast<int>((blk.flags & kBytesStoredMask) + 1);
+    }
+    // cumulative DoS bound: a crafted file of valid-CRC zero-run
+    // blocks could otherwise expand kilobytes into gigabytes
+    if (blk.flags & kInitialBlock) {
+      decoded_total += blk.block_samples;
+      uint64_t cap = (blk.total_samples && blk.total_samples != 0xFFFFFFFFu &&
+                      blk.total_samples < (1u << 28))
+                         ? static_cast<uint64_t>(blk.total_samples) + (1u << 18)
+                         : (1u << 28);
+      if (decoded_total > cap) fail();
     }
     std::vector<int32_t> a, b;
     const Meta *finfo, *iinfo, *wvx;
@@ -876,6 +892,7 @@ void decode_stream(const uint8_t* d, size_t len, Decoded& out) {
     }
   }
   if (nch_total < 0) fail();
+  if (out.fs <= 0) fail();  // reserved sample-rate code, no SR metadata
   out.nch = nch_total;
 }
 

@@ -163,6 +163,9 @@ def test_hostile_inputs_rejected():
             lib.zen_mpc_free(out)
         return rc
 
+    # varint bomb: a chunk size crafted to wrap 64-bit bounds checks
+    # must be rejected immediately, not read out of bounds
+    assert try_decode(b"MPCK" + b"SH" + b"\xff" * 9 + b"\x7f") != 0
     rng = np.random.default_rng(13)
     for _ in range(30):
         n = int(rng.integers(4, 4096))

@@ -172,6 +172,21 @@ def test_native_rejects_corrupt_and_garbage():
         assert rc != 0 or cut >= 32
 
 
+def test_id3_tagged_wavpack_routes_to_wavpack(tmp_path):
+    """An ID3v2 tag on a non-FLAC container must not shunt the file to
+    the MP3 decoder: the post-tag magic dispatches (review regression)."""
+    from zen_tpu.io.audio import read_audio_mono
+
+    with open(_p("TestBeat_Int16.wv"), "rb") as f:
+        wv = f.read()
+    tagged = tmp_path / "tagged.wv"
+    # minimal ID3v2 header with a 16-byte empty tag body
+    tagged.write_bytes(b"ID3\x04\x00\x00\x00\x00\x00\x10" + bytes(16) + wv)
+    fs, x = read_audio_mono(str(tagged))
+    assert fs == 44100
+    assert x.shape == (268191,)
+
+
 def test_corrupt_payload_fails_crc():
     with open(_p("TestBeat_Int16.wv"), "rb") as f:
         data = bytearray(f.read())

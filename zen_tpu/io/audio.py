@@ -35,22 +35,6 @@ def read_audio_mono(path: str):
                 magic = f.read(4)
             except FlacError:
                 pass
-    if (
-        len(magic) >= 2
-        and magic[0] == 0xFF
-        and (magic[1] & 0xE0) == 0xE0
-        and magic != b"\xff\xfe\x00\x00"  # not a UTF byte-order mark
-    ) or (had_id3 and magic != b"fLaC") or path.lower().endswith(".mp3"):
-        from ..runtime import native
-
-        if not native.mp3_available():
-            raise RuntimeError(
-                "MP3 input needs the native decoder; build it with "
-                "`make -C native` (no pure-Python fallback)"
-            )
-        fs, frames = native.mp3_read(path)
-        x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
-        return fs, np.ascontiguousarray(x, np.float32)
     if magic == b"MPCK" or magic[:3] == b"MP+":
         from ..runtime import native
 
@@ -116,6 +100,26 @@ def read_audio_mono(path: str):
         from .flac import read_flac_mono
 
         return read_flac_mono(path)
+    if (
+        (
+            len(magic) >= 2
+            and magic[0] == 0xFF
+            and (magic[1] & 0xE0) == 0xE0
+            and magic != b"\xff\xfe\x00\x00"  # not a UTF byte-order mark
+        )
+        or had_id3  # tagged non-FLAC/WavPack/Ogg/Musepack: mp3 by elimination
+        or (path.lower().endswith(".mp3") and magic != b"RIFF")
+    ):
+        from ..runtime import native
+
+        if not native.mp3_available():
+            raise RuntimeError(
+                "MP3 input needs the native decoder; build it with "
+                "`make -C native` (no pure-Python fallback)"
+            )
+        fs, frames = native.mp3_read(path)
+        x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
+        return fs, np.ascontiguousarray(x, np.float32)
     return read_wav_mono(path)
 
 

@@ -370,7 +370,7 @@ def _decorr_channel(p: _Pass, hist: list, w: int, delta: int, buf: list):
     if term == 17:
         p1, p2 = hist[0], hist[1]
         for i in range(n):
-            sam = 2 * p1 - p2
+            sam = _wrap32(2 * p1 - p2)
             t = buf[i]
             nv = _wrap32(_apply_weight(w, sam) + t)
             buf[i] = nv
@@ -381,7 +381,7 @@ def _decorr_channel(p: _Pass, hist: list, w: int, delta: int, buf: list):
     if term == 18:
         p1, p2 = hist[0], hist[1]
         for i in range(n):
-            sam = p1 + ((p1 - p2) >> 1)
+            sam = _wrap32(p1 + ((p1 - p2) >> 1))
             t = buf[i]
             nv = _wrap32(_apply_weight(w, sam) + t)
             buf[i] = nv
@@ -939,7 +939,9 @@ def read_wavpack(source, *, strict: bool = True, max_blocks: int | None = None):
         raise WavpackError("inconsistent channel count across blocks")
     channels = [np.concatenate([s[c] for s in segments]) for c in range(nch)]
     out = np.stack(channels, axis=1)
-    return int(fs or 0), out
+    if not fs:
+        raise WavpackError("reserved sample-rate code with no SR metadata")
+    return int(fs), out
 
 
 def read_wavpack_mono(source, *, strict: bool = True):

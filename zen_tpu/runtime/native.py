@@ -127,62 +127,30 @@ def _load():
         lib._has_flac_enc = True
     except AttributeError:
         lib._has_flac_enc = False
-    try:  # own flag: absent from pre-wavpack builds of the .so
-        lib.zen_wv_decode_file.restype = ctypes.c_int
-        lib.zen_wv_decode_file.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.zen_wv_free.restype = None
-        lib.zen_wv_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
-        lib._has_wv = True
-    except AttributeError:
-        lib._has_wv = False
-    try:  # own flag: absent from pre-vorbis builds of the .so
-        lib.zen_vorbis_decode_file.restype = ctypes.c_int
-        lib.zen_vorbis_decode_file.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.zen_vorbis_free.restype = None
-        lib.zen_vorbis_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
-        lib._has_vorbis = True
-    except AttributeError:
-        lib._has_vorbis = False
-    try:  # own flag: absent from pre-mp3 builds of the .so
-        lib.zen_mp3_decode_file.restype = ctypes.c_int
-        lib.zen_mp3_decode_file.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.zen_mp3_free.restype = None
-        lib.zen_mp3_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
-        lib._has_mp3 = True
-    except AttributeError:
-        lib._has_mp3 = False
-    try:  # own flag: absent from pre-musepack builds of the .so
-        lib.zen_mpc_decode_file.restype = ctypes.c_int
-        lib.zen_mpc_decode_file.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.zen_mpc_free.restype = None
-        lib.zen_mpc_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
-        lib._has_mpc = True
-    except AttributeError:
-        lib._has_mpc = False
+    # one registration per from-scratch codec decoder; each gets its
+    # own capability flag so a stale pre-codec .so degrades gracefully
+    for prefix, flag in (
+        ("zen_wv", "_has_wv"),
+        ("zen_vorbis", "_has_vorbis"),
+        ("zen_mp3", "_has_mp3"),
+        ("zen_mpc", "_has_mpc"),
+    ):
+        try:
+            dec = getattr(lib, f"{prefix}_decode_file")
+            dec.restype = ctypes.c_int
+            dec.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            fre = getattr(lib, f"{prefix}_free")
+            fre.restype = None
+            fre.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            setattr(lib, flag, True)
+        except AttributeError:
+            setattr(lib, flag, False)
     _lib = lib
     return lib
 
@@ -343,25 +311,18 @@ def flac_read(path: str):
     return int(fs.value), arr.reshape(frames.value, ch.value)
 
 
-def wv_available() -> bool:
+def _decode_frames(prefix: str, human: str, path: str):
+    """Shared ctypes marshalling for the native codec decoders: call
+    ``<prefix>_decode_file``, copy out interleaved float32 frames, and
+    free the native buffer.  Returns (fs, [frames, channels])."""
     lib = _load()
-    return lib is not None and lib._has_wv
-
-
-def wv_read(path: str):
-    """Native WavPack decode (native/zenwv.cpp). Returns
-    (fs, float32 [frames, channels] in [-1, 1]); callers fall back to
-    the pure-Python decoder (zen_tpu/io/wavpack.py) when unavailable.
-    Block CRCs (and the WVX CRC when present) are verified natively —
-    a nonzero return means the file failed to prove itself."""
-    lib = _load()
-    if lib is None or not lib._has_wv:
-        raise RuntimeError("native wavpack decoder unavailable")
+    if lib is None or not getattr(lib, f"_has_{prefix[4:]}", False):
+        raise RuntimeError(f"native {human} decoder unavailable")
     out = ctypes.POINTER(ctypes.c_float)()
     frames = ctypes.c_uint64()
     fs = ctypes.c_int32()
     ch = ctypes.c_int32()
-    rc = lib.zen_wv_decode_file(
+    rc = getattr(lib, f"{prefix}_decode_file")(
         path.encode(),
         ctypes.byref(out),
         ctypes.byref(frames),
@@ -369,7 +330,7 @@ def wv_read(path: str):
         ctypes.byref(ch),
     )
     if rc != 0:
-        raise ValueError(f"zen_wv_decode_file failed: {rc}")
+        raise ValueError(f"{prefix}_decode_file failed: {rc}")
     n = frames.value * ch.value
     try:
         arr = (
@@ -378,8 +339,21 @@ def wv_read(path: str):
             else np.zeros(0, np.float32)
         )
     finally:
-        lib.zen_wv_free(out)
+        getattr(lib, f"{prefix}_free")(out)
     return int(fs.value), arr.reshape(frames.value, ch.value)
+
+
+def wv_available() -> bool:
+    lib = _load()
+    return lib is not None and lib._has_wv
+
+
+def wv_read(path: str):
+    """Native WavPack decode (native/zenwv.cpp); block CRCs (and the
+    WVX CRC when present) are verified natively — a nonzero return
+    means the file failed to prove itself.  Callers fall back to the
+    pure-Python decoder (zen_tpu/io/wavpack.py) when unavailable."""
+    return _decode_frames("zen_wv", "wavpack", path)
 
 
 def vorbis_available() -> bool:
@@ -388,37 +362,11 @@ def vorbis_available() -> bool:
 
 
 def vorbis_read(path: str):
-    """Native Ogg Vorbis decode (native/zenvorbis.cpp). Returns
-    (fs, float32 [frames, channels]).  There is no pure-Python
-    fallback for Vorbis (a lossy perceptual codec is not a reasonable
+    """Native Ogg Vorbis decode (native/zenvorbis.cpp).  No pure-Python
+    fallback (a lossy perceptual codec is not a reasonable
     interpreter-speed target); callers surface a clear error when the
     native library is unavailable."""
-    lib = _load()
-    if lib is None or not lib._has_vorbis:
-        raise RuntimeError("native vorbis decoder unavailable")
-    out = ctypes.POINTER(ctypes.c_float)()
-    frames = ctypes.c_uint64()
-    fs = ctypes.c_int32()
-    ch = ctypes.c_int32()
-    rc = lib.zen_vorbis_decode_file(
-        path.encode(),
-        ctypes.byref(out),
-        ctypes.byref(frames),
-        ctypes.byref(fs),
-        ctypes.byref(ch),
-    )
-    if rc != 0:
-        raise ValueError(f"zen_vorbis_decode_file failed: {rc}")
-    n = frames.value * ch.value
-    try:
-        arr = (
-            np.ctypeslib.as_array(out, shape=(n,)).copy()
-            if n
-            else np.zeros(0, np.float32)
-        )
-    finally:
-        lib.zen_vorbis_free(out)
-    return int(fs.value), arr.reshape(frames.value, ch.value)
+    return _decode_frames("zen_vorbis", "vorbis", path)
 
 
 def mp3_available() -> bool:
@@ -427,36 +375,9 @@ def mp3_available() -> bool:
 
 
 def mp3_read(path: str):
-    """Native MP3 (MPEG-1/2/2.5 Layer III) decode (native/zenmp3.cpp).
-    Returns (fs, float32 [frames, channels]).  Like Vorbis, there is
-    no pure-Python fallback; callers surface a clear error when the
-    native library is unavailable."""
-    lib = _load()
-    if lib is None or not lib._has_mp3:
-        raise RuntimeError("native mp3 decoder unavailable")
-    out = ctypes.POINTER(ctypes.c_float)()
-    frames = ctypes.c_uint64()
-    fs = ctypes.c_int32()
-    ch = ctypes.c_int32()
-    rc = lib.zen_mp3_decode_file(
-        path.encode(),
-        ctypes.byref(out),
-        ctypes.byref(frames),
-        ctypes.byref(fs),
-        ctypes.byref(ch),
-    )
-    if rc != 0:
-        raise ValueError(f"zen_mp3_decode_file failed: {rc}")
-    n = frames.value * ch.value
-    try:
-        arr = (
-            np.ctypeslib.as_array(out, shape=(n,)).copy()
-            if n
-            else np.zeros(0, np.float32)
-        )
-    finally:
-        lib.zen_mp3_free(out)
-    return int(fs.value), arr.reshape(frames.value, ch.value)
+    """Native MP3 (MPEG-1/2/2.5 Layer III) decode (native/zenmp3.cpp);
+    same no-Python-fallback policy as Vorbis."""
+    return _decode_frames("zen_mp3", "mp3", path)
 
 
 def mpc_available() -> bool:
@@ -465,35 +386,9 @@ def mpc_available() -> bool:
 
 
 def mpc_read(path: str):
-    """Native Musepack SV8 decode (native/zenmpc.cpp). Returns
-    (fs, float32 [frames, channels]); no pure-Python fallback (same
-    policy as Vorbis/MP3)."""
-    lib = _load()
-    if lib is None or not lib._has_mpc:
-        raise RuntimeError("native musepack decoder unavailable")
-    out = ctypes.POINTER(ctypes.c_float)()
-    frames = ctypes.c_uint64()
-    fs = ctypes.c_int32()
-    ch = ctypes.c_int32()
-    rc = lib.zen_mpc_decode_file(
-        path.encode(),
-        ctypes.byref(out),
-        ctypes.byref(frames),
-        ctypes.byref(fs),
-        ctypes.byref(ch),
-    )
-    if rc != 0:
-        raise ValueError(f"zen_mpc_decode_file failed: {rc}")
-    n = frames.value * ch.value
-    try:
-        arr = (
-            np.ctypeslib.as_array(out, shape=(n,)).copy()
-            if n
-            else np.zeros(0, np.float32)
-        )
-    finally:
-        lib.zen_mpc_free(out)
-    return int(fs.value), arr.reshape(frames.value, ch.value)
+    """Native Musepack SV8 decode (native/zenmpc.cpp); same
+    no-Python-fallback policy as Vorbis/MP3."""
+    return _decode_frames("zen_mpc", "musepack", path)
 
 
 def wav_write_pcm16(path: str, fs: int, audio: np.ndarray) -> None:
