@@ -1,4 +1,4 @@
-"""Host-IO codec throughput instrument (FLAC + wav).
+"""Host-IO codec throughput instrument (all input codecs + wav).
 
 The corpus driver overlaps host IO with device compute
 (runtime/loader.py), so codec throughput bounds corpus throughput only
@@ -12,6 +12,9 @@ Rungs measured (60 s of 44.1 kHz mono unless overridden):
   * native FLAC encode (native/zenflac_enc.cpp — the stem writer)
   * pure-Python FLAC encode (the full-featured fallback)
   * wav PCM16 write/read (scipy) for scale
+  * decode rungs for the other from-scratch input codecs (WavPack,
+    Ogg Vorbis, MP3, Musepack SV8) measured on the real
+    foreign-encoded corpus files when the reference mount is present
 
 Usage: python benches/io_codec.py [--seconds 60] [--json out.json]
 Host-only (no JAX device touched); numbers are per-core on this host.
@@ -106,6 +109,40 @@ def main() -> int:
     size = os.path.getsize(flac_p)
     rows["flac_ratio_vs_pcm16"] = round(size / (n * 2), 3)
     print(f"flac size ratio vs raw PCM16: {rows['flac_ratio_vs_pcm16']}")
+
+    # foreign-corpus decode rungs (real encoder output; per-file
+    # sample counts differ from the synthetic clip above)
+    corpus = "/root/reference/vendor/libnyquist/test_data/ad_hoc"
+    foreign = [
+        ("wv_decode_native", "TestBeat_Int16.wv", native.wv_available,
+         native.wv_read, "zenwv.cpp"),
+        ("vorbis_decode_native", "TestBeat.ogg", native.vorbis_available,
+         native.vorbis_read, "zenvorbis.cpp"),
+        ("mp3_decode_native", "acetylene.mp3", native.mp3_available,
+         native.mp3_read, "zenmp3.cpp"),
+        ("mpc_decode_native", "44_16_stereo.mpc", native.mpc_available,
+         native.mpc_read, "zenmpc.cpp"),
+    ]
+    for name, fname, avail, reader, note in foreign:
+        path = os.path.join(corpus, fname)
+        if not (os.path.isfile(path) and avail()):
+            continue
+        _, frames = reader(path)
+        nsamp = frames.shape[0] * frames.shape[1]
+        secs = best_of(lambda: reader(path))
+        dur_s = frames.shape[0] / 44100.0
+        rows[name] = {
+            "ms": round(secs * 1e3, 1),
+            "msamples_per_s": round(nsamp / secs / 1e6, 2),
+            "x_realtime": round(dur_s / secs, 0),
+            "note": f"{note} ({fname})",
+        }
+        print(
+            f"{name:26s} {secs * 1e3:8.1f} ms  "
+            f"{nsamp / secs / 1e6:7.2f} Msamples/s  "
+            f"{dur_s / secs:7.0f}x realtime  {note} ({fname})",
+            flush=True,
+        )
 
     if args.json:
         with open(args.json, "w") as f:
