@@ -149,3 +149,41 @@ def test_native_sanitize_suite():
     )
     assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
     assert "all ok" in r.stdout
+
+
+def test_wav_breadth_24bit_and_extensible(tmp_path):
+    """The reference (libnyquist) reads 24-bit and WAVE_FORMAT_EXTENSIBLE
+    wavs; our front door must too (native codec handles 16/f32, scipy
+    covers the rest — pin that the fallback actually engages)."""
+    import struct
+
+    from zen_tpu.io.audio import read_audio_mono
+
+    fs, n = 44100, 1000
+    x = (np.sin(2 * np.pi * 440 * np.arange(n) / fs) * 0.5 * (2**23 - 1)
+         ).astype(np.int64)
+    data = b"".join(struct.pack("<i", int(v))[:3] for v in x)
+    p24 = tmp_path / "t24.wav"
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, fs, fs * 3, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(data))
+    p24.write_bytes(hdr + data)
+    fs2, y = read_audio_mono(str(p24))
+    assert fs2 == fs
+    np.testing.assert_allclose(y, x / 2.0**23, atol=1e-6)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM16
+    xi = (np.sin(2 * np.pi * 220 * np.arange(n) / fs) * 12000).astype("<i2")
+    pext = tmp_path / "ext.wav"
+    # 16-byte PCM subformat GUID per WAVEFORMATEXTENSIBLE
+    sub = (b"\x01\x00\x00\x00\x00\x00\x10\x00"
+           b"\x80\x00\x00\xaa\x00\x38\x9b\x71")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, fs, fs * 2, 2, 16) + struct.pack(
+        "<HH", 22, 16) + b"\x01\x00\x00\x00" + sub
+    hdr = b"RIFF" + struct.pack("<I", 36 + 4 + len(fmt) - 16 + len(xi.tobytes())) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    hdr += b"data" + struct.pack("<I", len(xi.tobytes()))
+    pext.write_bytes(hdr + xi.tobytes())
+    fs3, z = read_audio_mono(str(pext))
+    assert fs3 == fs
+    np.testing.assert_allclose(z, xi / 32768.0, atol=1e-6)
