@@ -860,6 +860,12 @@ def build_parser() -> argparse.ArgumentParser:
     syn.set_defaults(func=cmd_synth)
 
     sub.add_parser("version")
+    # flag forms matching the reference CLI (`zen -v | --version`)
+    from . import __version__
+
+    ap.add_argument(
+        "-v", "--version", action="version", version=f"version {__version__}"
+    )
     return ap
 
 
