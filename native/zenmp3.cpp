@@ -19,7 +19,9 @@
 // reference vendors; the implementation here is original (canonical
 // Huffman tries, direct-form IMDCT/DCT matrices, spec-form V-ring
 // synthesis) and validated against a reference decode of real
-// encoder output.
+// encoder output (float-exact on the MPEG-1 corpus file; the LSF
+// (MPEG-2/2.5) and intensity-stereo paths are implemented from the
+// same studied semantics but no LSF file exists in the corpus).
 
 #include <cmath>
 #include <cstdint>
