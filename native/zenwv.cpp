@@ -15,6 +15,8 @@
 // unpack.c, unpack_floats.c, open_utils.c) — the implementation here
 // is original and fully bounds-checked for hostile input.
 
+#include <cfenv>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -959,5 +961,332 @@ int zen_wv_decode_file(const char* path, float** out, uint64_t* frames,
 }
 
 void zen_wv_free(float* p) { free(p); }
+
+}  // extern "C"
+
+// ---- encoder (mono lossless, the stem-writing path) ------------------------
+//
+// Byte-identical mirror of the Python encoder in zen_tpu/io/wavpack.py
+// (pinned by test): the medians entropy coder run in reverse with the
+// one-symbol-lookahead parity carry, fixed [18, 17] decorrelation from
+// zero state, per-block metadata pinning all adaptive state.  The
+// strict decoder above (and libwavpack) re-verifies every block CRC.
+
+namespace {
+
+struct BitWriter {
+  std::vector<uint8_t> buf;
+  uint32_t acc = 0;
+  int n = 0;
+
+  void putbit(int b) {
+    acc |= (b & 1u) << n;
+    if (++n == 8) {
+      buf.push_back(static_cast<uint8_t>(acc));
+      acc = 0;
+      n = 0;
+    }
+  }
+  void putbits(uint32_t v, int nbits) {
+    acc |= (v & ((1u << nbits) - 1)) << n;
+    n += nbits;
+    while (n >= 8) {
+      buf.push_back(static_cast<uint8_t>(acc & 0xFF));
+      acc >>= 8;
+      n -= 8;
+    }
+  }
+  void done() {
+    if (n) {
+      buf.push_back(static_cast<uint8_t>(acc & 0xFF));
+      acc = 0;
+      n = 0;
+    }
+  }
+};
+
+void enc_write_code(BitWriter& bw, uint32_t value, uint32_t maxcode) {
+  if (maxcode < 2) {
+    if (maxcode) bw.putbit(static_cast<int>(value));
+    return;
+  }
+  int bitcount = 32 - __builtin_clz(maxcode);
+  uint32_t extras = (1u << bitcount) - maxcode - 1;
+  if (value < extras) {
+    bw.putbits(value, bitcount - 1);
+  } else {
+    uint32_t w = value + extras;
+    bw.putbits(w >> 1, bitcount - 1);
+    bw.putbit(static_cast<int>(w & 1));
+  }
+}
+
+void enc_write_elias(BitWriter& bw, uint32_t v) {
+  if (v < 2) {
+    for (uint32_t k = 0; k < v; ++k) bw.putbit(1);
+    bw.putbit(0);
+    return;
+  }
+  int cbits = 32 - __builtin_clz(v);
+  for (int k = 0; k < cbits; ++k) bw.putbit(1);
+  bw.putbit(0);
+  for (int k = 0; k < cbits - 1; ++k) bw.putbit((v >> k) & 1);
+}
+
+void enc_put_words(const std::vector<int32_t>& values, uint32_t med[3],
+                   BitWriter& bw) {
+  size_t n = values.size();
+  auto bucket = [&](uint32_t vi) -> uint32_t {
+    uint32_t m0 = (med[0] >> 4) + 1;
+    if (vi < m0) return 0;
+    uint32_t m1 = (med[1] >> 4) + 1;
+    if (vi < m0 + m1) return 1;
+    uint32_t m2 = (med[2] >> 4) + 1;
+    return 2 + (vi - m0 - m1) / m2;
+  };
+
+  int h1 = 0, h0 = 0;
+  size_t i = 0;
+  while (i < n) {
+    if (h0) {
+      h0 = 0;
+      int32_t v = values[i];
+      uint32_t vi = static_cast<uint32_t>(v < 0 ? ~v : v);
+      uint32_t high = med[0] >> 4;
+      med[0] -= ((med[0] + 126) / 128) * 2;
+      enc_write_code(bw, vi, high);
+      bw.putbit(v < 0 ? 1 : 0);
+      if (++i == n) break;
+    }
+
+    if (med[0] < 2 && !h1) {
+      size_t z = 0;
+      while (i + z < n && values[i + z] == 0) ++z;
+      enc_write_elias(bw, static_cast<uint32_t>(z));
+      if (z) {
+        med[0] = med[1] = med[2] = 0;
+        i += z;
+        if (i >= n) break;
+      }
+    }
+
+    int32_t v = values[i];
+    uint32_t vi = static_cast<uint32_t>(v < 0 ? ~v : v);
+    uint32_t b = bucket(vi);
+    uint32_t low, high;
+    if (b == 0) {
+      low = 0;
+      high = med[0] >> 4;
+      med[0] -= ((med[0] + 126) / 128) * 2;
+    } else {
+      low = (med[0] >> 4) + 1;
+      med[0] += ((med[0] + 128) / 128) * 5;
+      if (b == 1) {
+        high = low + (med[1] >> 4);
+        med[1] -= ((med[1] + 62) / 64) * 2;
+      } else {
+        low += (med[1] >> 4) + 1;
+        med[1] += ((med[1] + 64) / 64) * 5;
+        uint32_t med2 = (med[2] >> 4) + 1;
+        if (b == 2) {
+          high = low + med2 - 1;
+          med[2] -= ((med[2] + 30) / 32) * 2;
+        } else {
+          low += (b - 2) * med2;
+          high = low + med2 - 1;
+          med[2] += ((med[2] + 32) / 32) * 5;
+        }
+      }
+    }
+
+    int p = 0;
+    if (i + 1 < n) {
+      int32_t nv = values[i + 1];
+      uint32_t nvi = static_cast<uint32_t>(nv < 0 ? ~nv : nv);
+      p = nvi > (med[0] >> 4) ? 1 : 0;
+    }
+    uint32_t u = 2 * (b - h1) + static_cast<uint32_t>(p);
+    if (u < static_cast<uint32_t>(kLimitOnes)) {
+      for (uint32_t k = 0; k < u; ++k) bw.putbit(1);
+      bw.putbit(0);
+    } else {
+      for (int k = 0; k < kLimitOnes; ++k) bw.putbit(1);
+      bw.putbit(0);
+      enc_write_elias(bw, u - kLimitOnes);
+    }
+    h1 = p;
+    h0 = 1 - p;
+
+    enc_write_code(bw, vi - low, high - low);
+    bw.putbit(v < 0 ? 1 : 0);
+    ++i;
+  }
+}
+
+constexpr int kEncTerms[2] = {18, 17};  // decode order; inverse runs 17, 18
+constexpr int kEncDelta = 2;
+
+void enc_decorr_pass(int term, std::vector<int32_t>& x) {
+  int32_t w = 0, p1 = 0, p2 = 0;
+  for (size_t i = 0; i < x.size(); ++i) {
+    int32_t xv = x[i];
+    int32_t sam =
+        term == 17 ? wrap32(2 * static_cast<int64_t>(p1) - p2)
+                   : wrap32(p1 + ((static_cast<int64_t>(p1) - p2) >> 1));
+    int32_t r = wrap32(static_cast<int64_t>(xv) - apply_weight(w, sam));
+    x[i] = r;
+    if (sam && r) w += ((sam ^ r) >= 0) ? kEncDelta : -kEncDelta;
+    p2 = p1;
+    p1 = xv;
+  }
+}
+
+int enc_median_seed(uint32_t target) {
+  for (int v = 0; v < 0x8000; ++v)
+    if (static_cast<uint32_t>(exp2s(v)) >= target) return v;
+  return 0x7FFF;
+}
+
+void wr32(std::vector<uint8_t>& o, uint32_t v) {
+  o.push_back(v & 0xFF);
+  o.push_back((v >> 8) & 0xFF);
+  o.push_back((v >> 16) & 0xFF);
+  o.push_back((v >> 24) & 0xFF);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode mono float [-1,1] as lossless WavPack, byte-identical to the
+// Python encoder (zen_tpu/io/wavpack.py write_wavpack) on the same
+// input.  Returns 0 on success.
+int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
+                       uint64_t nsamples, int32_t bits,
+                       int32_t block_samples) {
+  if (bits != 8 && bits != 16 && bits != 24) return 20;
+  if (block_samples <= 0) return 21;
+  try {
+    float full_m1 = static_cast<float>((1u << (bits - 1)) - 1);
+    std::vector<int32_t> q(nsamples);
+    // match the Python encoder bit-for-bit: numpy keeps the product in
+    // float32 (weak promotion) and np.round is half-even == nearbyintf
+    // under FE_TONEAREST; pin the mode against ambient FP state
+    const int prev_round = std::fegetround();
+    std::fesetround(FE_TONEAREST);
+    for (uint64_t i = 0; i < nsamples; ++i) {
+      float v = x[i];
+      if (v > 1.0f) v = 1.0f;
+      if (v < -1.0f) v = -1.0f;
+      q[i] = static_cast<int32_t>(std::nearbyintf(v * full_m1));
+    }
+    std::fesetround(prev_round);
+    int srate_idx = 15;
+    for (int k = 0; k < 15; ++k)
+      if (kSampleRates[k] == fs) {
+        srate_idx = k;
+        break;
+      }
+    int seed = enc_median_seed(bits > 12 ? (1u << (bits - 12)) : 8u);
+
+    std::vector<uint8_t> out;
+    uint64_t n_blocks =
+        nsamples ? (nsamples + block_samples - 1) / block_samples : 1;
+    for (uint64_t bi = 0; bi < n_blocks; ++bi) {
+      uint64_t start = bi * block_samples;
+      uint64_t end = start + block_samples;
+      if (end > nsamples) end = nsamples;
+      std::vector<int32_t> seg(q.begin() + start, q.begin() + end);
+
+      uint32_t crc = 0xFFFFFFFFu;
+      for (int32_t v : seg) crc = crc * 3 + static_cast<uint32_t>(v);
+
+      std::vector<int32_t> res = seg;
+      enc_decorr_pass(kEncTerms[1], res);
+      enc_decorr_pass(kEncTerms[0], res);
+
+      uint32_t med[3];
+      med[0] = med[1] = med[2] = static_cast<uint32_t>(exp2s(seed));
+      BitWriter bw;
+      enc_put_words(res, med, bw);
+      bw.done();
+      if (bw.buf.size() & 1) bw.buf.push_back(0);
+
+      std::vector<uint8_t> meta;
+      auto put_meta = [&meta](uint8_t mid, const uint8_t* payload,
+                              size_t len) {
+        std::vector<uint8_t> p(payload, payload + len);
+        if (p.size() & 1) {
+          p.push_back(0);
+          mid |= kIdOddSize;
+        }
+        size_t words = p.size() / 2;
+        if (words > 255) {
+          meta.push_back(mid | kIdLarge);
+          meta.push_back(words & 0xFF);
+          meta.push_back((words >> 8) & 0xFF);
+          meta.push_back((words >> 16) & 0xFF);
+        } else {
+          meta.push_back(mid);
+          meta.push_back(static_cast<uint8_t>(words));
+        }
+        meta.insert(meta.end(), p.begin(), p.end());
+      };
+
+      uint8_t terms[2];
+      for (int k = 0; k < 2; ++k)
+        terms[k] = static_cast<uint8_t>(((kEncTerms[1 - k] + 5) & 0x1F) |
+                                        (kEncDelta << 5));
+      put_meta(kIdDecorrTerms, terms, 2);
+      put_meta(kIdDecorrWeights, nullptr, 0);
+      put_meta(kIdDecorrSamples, nullptr, 0);
+      uint8_t ev[6];
+      for (int k = 0; k < 3; ++k) {
+        ev[2 * k] = seed & 0xFF;
+        ev[2 * k + 1] = (seed >> 8) & 0xFF;
+      }
+      put_meta(kIdEntropyVars, ev, 6);
+      if (srate_idx == 15) {
+        uint8_t sr[3] = {static_cast<uint8_t>(fs & 0xFF),
+                         static_cast<uint8_t>((fs >> 8) & 0xFF),
+                         static_cast<uint8_t>((fs >> 16) & 0xFF)};
+        put_meta(kIdSampleRate, sr, 3);
+      }
+      put_meta(kIdWvBits, bw.buf.data(), bw.buf.size());
+
+      int mag = 0;
+      for (int32_t v : seg) {
+        uint32_t av = static_cast<uint32_t>(v < 0 ? -static_cast<int64_t>(v) : v);
+        int bl = av ? 32 - __builtin_clz(av) : 0;
+        if (bl > mag) mag = bl;
+      }
+      uint32_t flags = static_cast<uint32_t>(bits / 8 - 1) | kMonoFlag |
+                       kInitialBlock | kFinalBlock |
+                       (static_cast<uint32_t>(mag) << 18) |  // MAG_LSB
+                       (static_cast<uint32_t>(srate_idx) << kSrateLsb);
+
+      out.insert(out.end(), {'w', 'v', 'p', 'k'});
+      wr32(out, 24 + static_cast<uint32_t>(meta.size()));
+      out.push_back(0x07);
+      out.push_back(0x04);  // version 0x407
+      out.push_back(0);
+      out.push_back(0);
+      wr32(out, static_cast<uint32_t>(nsamples));
+      wr32(out, static_cast<uint32_t>(start));
+      wr32(out, static_cast<uint32_t>(end - start));
+      wr32(out, flags);
+      wr32(out, crc);
+      out.insert(out.end(), meta.begin(), meta.end());
+    }
+
+    FILE* f = fopen(path, "wb");
+    if (!f) return 10;
+    size_t wrote = fwrite(out.data(), 1, out.size(), f);
+    if (fclose(f) != 0 || wrote != out.size()) return 11;
+    return 0;
+  } catch (const std::bad_alloc&) {
+    return 3;
+  }
+}
 
 }  // extern "C"

@@ -716,7 +716,7 @@ def build_parser() -> argparse.ArgumentParser:
         "silence, exactly like the upstream GPU binary (hps.cu:200-204)",
     )
     off.add_argument(
-        "--stem-format", choices=("wav", "flac"), default="wav",
+        "--stem-format", choices=("wav", "flac", "wv"), default="wav",
         help="stem container: PCM16 wav (reference behavior) or "
         "lossless 16-bit FLAC (from-scratch encoder, ~half the size)",
     )
@@ -833,7 +833,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="multi-host run: this process's rank (0..nprocs-1)",
     )
     cor.add_argument(
-        "--stem-format", choices=("wav", "flac"), default="wav",
+        "--stem-format", choices=("wav", "flac", "wv"), default="wav",
         help="stem container: PCM16 wav or lossless 16-bit FLAC",
     )
     _add_impl_flags(cor)

@@ -50,7 +50,7 @@ def separate_corpus(
     """Separate every track into 3 stems under out_dir, resumably.
 
     reader(path) -> (fs, audio[np.float32]); writer(path, fs, audio).
-    ``stem_format`` ('wav'|'flac') picks the default writer's stem
+    ``stem_format`` ('wav'|'flac'|'wv') picks the default writer's stem
     container; a custom ``writer`` sees the chosen extension in the
     path it is handed.
     Tracks are processed in dp-sized batches (shorter tracks are
@@ -82,8 +82,10 @@ def separate_corpus(
 
     import jax
 
-    if stem_format not in ("wav", "flac"):
-        raise ValueError(f"stem_format must be wav|flac, got {stem_format!r}")
+    if stem_format not in ("wav", "flac", "wv"):
+        raise ValueError(
+            f"stem_format must be wav|flac|wv, got {stem_format!r}"
+        )
     reader = reader or read_audio_mono
     writer = writer or write_audio_pcm16
     multi_host = jax.process_count() > 1

@@ -171,9 +171,28 @@ def write_wav_pcm16(path: str, fs: int, x: np.ndarray) -> None:
 
 def write_audio_pcm16(path: str, fs: int, x: np.ndarray) -> None:
     """16-bit encode routed by extension: ``.flac`` gets the
-    from-scratch lossless encoder (io/flac.py — stems at roughly half
-    the wav size), anything else PCM16 wav.  The write analog of
+    from-scratch lossless FLAC encoder (io/flac.py — stems at roughly
+    half the wav size), ``.wv`` the from-scratch lossless WavPack
+    encoder (CRC-self-proving, the fastest lossless writer here),
+    anything else PCM16 wav.  The write analog of
     :func:`read_audio_mono`'s magic sniffing."""
+    if path.lower().endswith(".wv"):
+        x = np.asarray(x, np.float32)
+        if x.ndim != 1:
+            raise ValueError("mono audio expected")
+        try:
+            from ..runtime import native
+
+            # byte-identical to the Python encoder (pinned by test),
+            # ~90x faster
+            native.wv_write_mono(path, int(fs), x)
+            return
+        except (RuntimeError, OSError, ValueError):
+            pass  # not built: the Python encoder below is exact too
+        from .wavpack import write_wavpack
+
+        write_wavpack(path, int(fs), x, bits=16)
+        return
     if path.lower().endswith(".flac"):
         x = np.asarray(x, np.float32)
         if x.ndim == 1:

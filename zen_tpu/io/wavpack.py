@@ -949,3 +949,327 @@ def read_wavpack_mono(source, *, strict: bool = True):
     fs, x = read_wavpack(source, strict=strict)
     mono = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
     return fs, np.ascontiguousarray(mono, np.float32)
+
+
+# ---- encoder (mono lossless, the stem-writing path) ------------------------
+#
+# The exact mirror of the decoder above: the medians entropy coder is
+# symmetric (the DEC/INC recurrences run identically on both sides),
+# the dual-state unary carry resolves with one symbol of lookahead
+# (the emitted count's parity announces whether the next symbol's
+# bucket is zero), and per-block metadata pins all adaptive state
+# (terms, zero weights/history, starting medians), so every block is
+# independently decodable.  Output is a chain of INITIAL|FINAL mono
+# blocks, each carrying the stored CRC the strict decoder (and
+# libwavpack) verifies bit-for-bit.
+
+
+class _BitWriter:
+    """LSB-first bit writer (the _Bits mirror)."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def putbit(self, b: int) -> None:
+        self.acc |= (b & 1) << self.n
+        self.n += 1
+        if self.n == 8:
+            self.buf.append(self.acc)
+            self.acc = 0
+            self.n = 0
+
+    def putbits(self, v: int, nbits: int) -> None:
+        self.acc |= (v & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+def _write_code(bw: _BitWriter, value: int, maxcode: int) -> None:
+    """Inverse of _read_code: economical binary code in [0, maxcode]."""
+    if maxcode < 2:
+        if maxcode:
+            bw.putbit(value)
+        return
+    bitcount = maxcode.bit_length()
+    extras = (1 << bitcount) - maxcode - 1
+    if value < extras:
+        bw.putbits(value, bitcount - 1)
+    else:
+        w = value + extras
+        bw.putbits(w >> 1, bitcount - 1)
+        bw.putbit(w & 1)
+
+
+def _write_elias(bw: _BitWriter, v: int) -> None:
+    """The zeros_acc / unary-escape count code: bit_length(v) ones, a
+    zero terminator, then the bits below the implicit top (LSB-first)
+    — mirror of the decoder's count loops."""
+    if v < 2:
+        for _ in range(v):
+            bw.putbit(1)
+        bw.putbit(0)
+        return
+    cbits = v.bit_length()
+    for _ in range(cbits):
+        bw.putbit(1)
+    bw.putbit(0)
+    for k in range(cbits - 1):
+        bw.putbit((v >> k) & 1)
+
+
+def _put_words(values, med, bw: _BitWriter) -> None:
+    """Entropy-encode a mono residual block (mirror of _get_words);
+    `med` evolves in place through the decoder's exact recurrences."""
+    n = len(values)
+
+    def bucket(vi: int) -> int:
+        m0 = (med[0] >> 4) + 1
+        if vi < m0:
+            return 0
+        m1 = (med[1] >> 4) + 1
+        if vi < m0 + m1:
+            return 1
+        m2 = (med[2] >> 4) + 1
+        return 2 + (vi - m0 - m1) // m2
+
+    h1 = 0
+    h0 = 0
+    i = 0
+    while i < n:
+        if h0:
+            # forced ones_count==0 slot announced by the previous
+            # symbol's even count (its value fits median-0 by choice
+            # of that parity)
+            h0 = 0
+            v = values[i]
+            vi = ~v if v < 0 else v
+            high = med[0] >> 4
+            med[0] = (med[0] - ((med[0] + 126) // 128) * 2) & 0xFFFFFFFF
+            _write_code(bw, vi, high)
+            bw.putbit(1 if v < 0 else 0)
+            i += 1
+            if i == n:
+                break
+
+        if med[0] < 2 and not h1:
+            # quiescent: the zero-run code (mono keeps the decoder's
+            # channel-1 medians at zero, so its condition reduces to
+            # ours)
+            z = 0
+            while i + z < n and values[i + z] == 0:
+                z += 1
+            _write_elias(bw, z)
+            if z:
+                med[0] = med[1] = med[2] = 0
+                i += z
+                if i >= n:
+                    break
+            # the symbol at the new i is encoded via the unary path
+            # with no second zero-run check (decoder falls through)
+
+        v = values[i]
+        vi = ~v if v < 0 else v
+        b = bucket(vi)
+
+        if b == 0:
+            low = 0
+            high = med[0] >> 4
+            med[0] = (med[0] - ((med[0] + 126) // 128) * 2) & 0xFFFFFFFF
+        else:
+            low = (med[0] >> 4) + 1
+            med[0] = (med[0] + ((med[0] + 128) // 128) * 5) & 0xFFFFFFFF
+            if b == 1:
+                high = low + (med[1] >> 4)
+                med[1] = (med[1] - ((med[1] + 62) // 64) * 2) & 0xFFFFFFFF
+            else:
+                low += (med[1] >> 4) + 1
+                med[1] = (med[1] + ((med[1] + 64) // 64) * 5) & 0xFFFFFFFF
+                med2 = (med[2] >> 4) + 1
+                if b == 2:
+                    high = low + med2 - 1
+                    med[2] = (med[2] - ((med[2] + 30) // 32) * 2) & 0xFFFFFFFF
+                else:
+                    low += (b - 2) * med2
+                    high = low + med2 - 1
+                    med[2] = (med[2] + ((med[2] + 32) // 32) * 5) & 0xFFFFFFFF
+
+        # the count's parity announces whether the NEXT symbol's
+        # bucket (under the just-updated medians) is zero — that is
+        # exactly the decoder's holding_one/holding_zero contract
+        p = 0
+        if i + 1 < n:
+            nv = values[i + 1]
+            nvi = ~nv if nv < 0 else nv
+            p = 1 if nvi > (med[0] >> 4) else 0
+        u = 2 * (b - h1) + p
+        if u < _LIMIT_ONES:
+            for _ in range(u):
+                bw.putbit(1)
+            bw.putbit(0)
+        else:
+            for _ in range(_LIMIT_ONES):
+                bw.putbit(1)
+            bw.putbit(0)
+            _write_elias(bw, u - _LIMIT_ONES)
+        h1 = p
+        h0 = 1 - p
+
+        _write_code(bw, vi - low, high - low)
+        bw.putbit(1 if v < 0 else 0)
+        i += 1
+
+
+# decode passes are applied [18, 17]; the inverse runs 17 then 18
+_ENC_TERMS = (18, 17)
+_ENC_DELTA = 2
+
+
+def _decorr_encode_pass(term: int, x: list) -> list:
+    """Inverse of one positive-term decode pass, zero initial state:
+    res[i] = x[i] - apply_weight(w, predict(x)) with the decoder's
+    exact weight adaptation (x is this pass's decode OUTPUT, so the
+    history comes from x itself)."""
+    w = 0
+    p1 = p2 = 0
+    out = [0] * len(x)
+    for i, xv in enumerate(x):
+        if term == 17:
+            sam = _wrap32(2 * p1 - p2)
+        else:
+            sam = _wrap32(p1 + ((p1 - p2) >> 1))
+        r = _wrap32(xv - _apply_weight(w, sam))
+        out[i] = r
+        if sam and r:
+            w += _ENC_DELTA if (sam ^ r) >= 0 else -_ENC_DELTA
+        p2, p1 = p1, xv
+    return out
+
+
+def _median_seed(target: int) -> int:
+    """Smallest stored int16 whose exp2s decode is >= target (the
+    encoder must use exactly the representable value)."""
+    for v in range(0, 0x8000):
+        if _exp2s(v) >= target:
+            return v
+    return 0x7FFF
+
+
+def write_wavpack(path: str, fs: int, audio, *, bits: int = 16,
+                  block_samples: int = 22050) -> None:
+    """Encode mono audio as lossless WavPack (the stem-writing path).
+
+    `audio` is float in [-1, 1] (quantized like the PCM16 wav writer:
+    round-half-away via np.round) or an integer array already at the
+    target depth.  Every emitted block carries the stored CRC, so
+    `read_wavpack(path)` (or libwavpack) re-verifies the encode
+    bit-for-bit.  Mono only — stems are mono (zen/offline.h:106-113).
+    """
+    if bits not in (8, 16, 24):
+        raise WavpackError("bits must be 8, 16, or 24")
+    x = np.asarray(audio)
+    if x.ndim != 1:
+        raise WavpackError("mono audio expected")
+    if np.issubdtype(x.dtype, np.floating):
+        full = float(1 << (bits - 1))
+        q = np.round(np.clip(x, -1.0, 1.0) * (full - 1)).astype(np.int64)
+    else:
+        q = x.astype(np.int64)
+        lim = 1 << (bits - 1)
+        if q.size and (q.min() < -lim or q.max() >= lim):
+            raise WavpackError(f"samples exceed {bits}-bit range")
+    total = len(q)
+
+    try:
+        srate_idx = _SAMPLE_RATES.index(int(fs))
+    except ValueError:
+        srate_idx = 15
+
+    # starting medians per block: representable values near a typical
+    # residual scale for the depth (correctness does not depend on the
+    # choice — both sides derive state from the stored bytes)
+    seed = _median_seed(max(8, 1 << max(0, bits - 12)))
+
+    out = bytearray()
+    n_blocks = max(1, (total + block_samples - 1) // block_samples)
+    for bi in range(n_blocks):
+        seg = q[bi * block_samples : (bi + 1) * block_samples]
+        n = len(seg)
+        samples = [int(v) for v in seg]
+
+        crc = 0xFFFFFFFF
+        for v in samples:
+            crc = (crc * 3 + v) & 0xFFFFFFFF
+
+        res = list(samples)
+        for term in reversed(_ENC_TERMS):
+            res = _decorr_encode_pass(term, res)
+
+        med = [_exp2s(seed) & 0xFFFFFFFF] * 3
+        bw = _BitWriter()
+        _put_words(res, med, bw)
+        stream = bw.done()
+        if len(stream) & 1:
+            stream += b"\x00"
+
+        meta = bytearray()
+
+        def put_meta(mid: int, payload: bytes) -> None:
+            odd = len(payload) & 1
+            if odd:
+                payload = payload + b"\x00"
+                mid |= _ID_ODD_SIZE
+            words = len(payload) // 2
+            if words > 255:
+                meta.append(mid | _ID_LARGE)
+                meta.append(words & 0xFF)
+                meta.append((words >> 8) & 0xFF)
+                meta.append((words >> 16) & 0xFF)
+            else:
+                meta.append(mid)
+                meta.append(words)
+            meta.extend(payload)
+
+        # terms are stored in reverse application order
+        term_bytes = bytes(
+            ((t + 5) & 0x1F) | (_ENC_DELTA << 5) for t in reversed(_ENC_TERMS)
+        )
+        put_meta(_ID_DECORR_TERMS, term_bytes)
+        put_meta(_ID_DECORR_WEIGHTS, b"")   # zero weights
+        put_meta(_ID_DECORR_SAMPLES, b"")   # zero history
+        put_meta(_ID_ENTROPY_VARS, struct.pack("<3h", seed, seed, seed))
+        if srate_idx == 15:
+            put_meta(_ID_SAMPLE_RATE, struct.pack("<I", int(fs))[:3])
+        put_meta(_ID_WV_BITSTREAM, stream)
+
+        mag = max((abs(v).bit_length() for v in samples), default=0)
+        flags = (
+            (bits // 8 - 1)
+            | _MONO_FLAG
+            | _INITIAL_BLOCK
+            | _FINAL_BLOCK
+            | (mag << _MAG_LSB)
+            | (srate_idx << _SRATE_LSB)
+        )
+        hdr = _HDR.pack(
+            b"wvpk", 24 + len(meta), 0x407, 0, 0, total,
+            bi * block_samples, n, flags, crc,
+        )
+        out.extend(hdr)
+        out.extend(meta)
+
+    with open(path, "wb") as f:
+        f.write(out)
