@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from zen_tpu.io.audio import read_wav_mono, write_wav_pcm16  # noqa: E402
 from zen_tpu.io.flac import read_flac, write_flac  # noqa: E402
+from zen_tpu.io.wavpack import write_wavpack  # noqa: E402
 from zen_tpu.runtime import native  # noqa: E402
 
 
@@ -103,6 +104,21 @@ def main() -> int:
         best_of(lambda: read_flac(flac_p), repeats=1),
         "io/flac.py fallback",
     )
+    wv_p = os.path.join(tmp, "t.wv")
+    if native.available() and native._load()._has_wv_enc:
+        record(
+            "wv_encode_native",
+            best_of(lambda: native.wv_write_mono(wv_p, fs, x)),
+            "zenwv.cpp encoder (stem writer)",
+        )
+        rows["wv_ratio_vs_pcm16"] = round(
+            os.path.getsize(wv_p) / (n * 2), 3
+        )
+    record(
+        "wv_encode_python",
+        best_of(lambda: write_wavpack(wv_p, fs, x), repeats=1),
+        "io/wavpack.py fallback",
+    )
     record("wav_write_pcm16", best_of(lambda: write_wav_pcm16(wav_p, fs, x)))
     record("wav_read", best_of(lambda: read_wav_mono(wav_p)))
 
@@ -151,7 +167,7 @@ def main() -> int:
                 indent=1,
             )
         print(f"wrote {args.json}")
-    for p in (flac_p, wav_p):
+    for p in (flac_p, wav_p, wv_p):
         if os.path.exists(p):
             os.unlink(p)
     os.rmdir(tmp)
