@@ -5,9 +5,9 @@
 // Built and run by `make -C native sanitize-check` under
 // -fsanitize=address,undefined and plain -O2.
 //
-// There is no WavPack encoder in this repo, so known-good seeds come
-// from real foreign-encoded files when a corpus directory is passed
-// as argv[1] (the reference's read-only libnyquist test data).
+// Known-good decode seeds come from real foreign-encoded files when
+// a corpus directory is passed as argv[1] (the reference's read-only
+// libnyquist test data); the encoder leg round-trips its own output.
 // Coverage:
 //   1. every corpus file must decode cleanly (CRC-gated)
 //   2. truncation of a seed at many lengths — error or clean prefix,
@@ -16,6 +16,7 @@
 //      any return code is fine, crashing is not
 //   4. 20k pseudo-random buffers (deterministic LCG), half prefixed
 //      with "wvpk", sizes 0..4096 — pure hostile input
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -26,6 +27,9 @@
 extern "C" {
 int zen_wv_decode_mem(const uint8_t*, uint64_t, float**, uint64_t*, int32_t*,
                       int32_t*);
+int zen_wv_decode_file(const char*, float**, uint64_t*, int32_t*, int32_t*);
+int zen_wv_encode_mono(const char*, int32_t, const float*, uint64_t, int32_t,
+                       int32_t);
 void zen_wv_free(float*);
 }
 
@@ -113,7 +117,53 @@ int main(int argc, char** argv) {
     }
   }
 
-  // 4. hostile random buffers
+  // 4. encoder round trips under the sanitizers: random signal shapes at
+  // every depth must decode back exactly (CRC-gated by the decoder)
+  {
+    uint64_t elcg = 0xC0FFEE123456789ull;
+    auto ernd = [&]() {
+      elcg = elcg * 6364136223846793005ull + 1442695040888963407ull;
+      return static_cast<uint32_t>(elcg >> 33);
+    };
+    const char* tmp = "/tmp/zenwv_fuzz_enc.wv";
+    for (int it = 0; it < 24; ++it) {
+      size_t n = ernd() % 50000;
+      int bits = (it % 3 == 0) ? 8 : (it % 3 == 1) ? 16 : 24;
+      std::vector<float> x(n);
+      for (size_t i = 0; i < n; ++i) {
+        switch (it % 4) {
+          case 0: x[i] = (static_cast<int32_t>(ernd()) % 20000) / 32768.0f; break;
+          case 1: x[i] = 0.0f; break;
+          case 2: x[i] = (i % 997) ? 0.0f : 0.9f; break;
+          default: x[i] = ((ernd() & 1) ? 1.5f : -1.5f); break;  // clipped
+        }
+      }
+      CHECK(zen_wv_encode_mono(tmp, 44100, x.data(), n, bits, 7000) == 0,
+            "encode must succeed");
+      float* out = nullptr;
+      uint64_t frames = 0;
+      int32_t fs = 0, ch = 0;
+      CHECK(zen_wv_decode_file(tmp, &out, &frames, &fs, &ch) == 0,
+            "own encode must decode (CRC-gated)");
+      CHECK(frames == n && ch == 1 && fs == 44100, "encode shape");
+      double full = static_cast<double>(1u << (bits - 1));
+      for (uint64_t i = 0; i < frames; ++i) {
+        float v = x[i];
+        if (v > 1.0f) v = 1.0f;
+        if (v < -1.0f) v = -1.0f;
+        float q = static_cast<float>(
+            std::nearbyintf(v * static_cast<float>(full - 1)) / full);
+        if (out[i] != q) {
+          CHECK(false, "roundtrip sample mismatch");
+          break;
+        }
+      }
+      zen_wv_free(out);
+    }
+    std::remove(tmp);
+  }
+
+  // 5. hostile random buffers
   uint64_t lcg = 0x2545F4914F6CDD1Dull;
   auto rnd = [&]() {
     lcg = lcg * 6364136223846793005ull + 1442695040888963407ull;
