@@ -1215,7 +1215,8 @@ int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
       std::vector<uint8_t> meta;
       auto put_meta = [&meta](uint8_t mid, const uint8_t* payload,
                               size_t len) {
-        std::vector<uint8_t> p(payload, payload + len);
+        std::vector<uint8_t> p;
+        if (len) p.assign(payload, payload + len);
         if (p.size() & 1) {
           p.push_back(0);
           mid |= kIdOddSize;
