@@ -151,6 +151,7 @@ def test_native_sanitize_suite():
     assert "all ok" in r.stdout
 
 
+@pytest.mark.filterwarnings("ignore::scipy.io.wavfile.WavFileWarning")
 def test_wav_breadth_24bit_and_extensible(tmp_path):
     """The reference (libnyquist) reads 24-bit and WAVE_FORMAT_EXTENSIBLE
     wavs; our front door must too (native codec handles 16/f32, scipy
