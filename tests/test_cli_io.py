@@ -456,3 +456,57 @@ def test_impl_seam_constructor_kwargs():
 
     ms = MultiStreamHPR(4, 8000.0, 64, fft_impl="dft_bf16")
     assert ms.cfg.fft_impl == "dft_bf16"  # resolver must not override
+
+
+@pytest.mark.slow
+def test_cli_offline_tp_mesh(tmp_path):
+    """zen offline --mesh tp=4 (round-3 verdict #6: TP gets a product
+    surface): frequency-sharded 2-pass cascade on the virtual mesh
+    produces stems close to the unsharded run; bad axes are rejected."""
+    import os
+
+    wav = tmp_path / "in.wav"
+    make_wav(wav)
+    env = {
+        "PATH": "/usr/bin:/bin",
+        "ZEN_TPU_PLATFORM": "cpu",
+        "HOME": "/root",
+        "PYTHONPATH": "/root/repo",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    }
+    outs = {}
+    for mesh_args in ((), ("--mesh", "tp=4")):
+        prefix = tmp_path / ("tp" if mesh_args else "ref")
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "zen_tpu.cli", "offline",
+                "-i", str(wav), "--hps", "64", "2.0", "32", "2.0",
+                "-o", str(prefix), *mesh_args,
+            ],
+            capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        )
+        assert res.returncode == 0, res.stderr
+        if mesh_args:
+            assert "mesh: tp=4" in res.stdout
+        stems = {}
+        for stem in ("harm", "perc", "residual"):
+            _, y = read_wav_mono(str(tmp_path / f"{prefix.name}_{stem}.wav"))
+            stems[stem] = y
+        outs[bool(mesh_args)] = stems
+    for stem in ("harm", "perc", "residual"):
+        # stems are peak-normalized PCM16; transform tolerance + the
+        # quantization grid bound the disagreement
+        np.testing.assert_allclose(
+            outs[True][stem], outs[False][stem], atol=3e-3
+        )
+    # rejection: tp must divide both pass nffts (tp=5 divides neither)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "zen_tpu.cli", "offline",
+            "-i", str(wav), "--hps", "64", "2.0", "32", "2.0",
+            "--mesh", "tp=5",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+    )
+    assert res.returncode == 2
+    assert "must divide" in res.stderr

@@ -216,3 +216,26 @@ def test_tp_partial_outputs_and_soft_mask():
             rtol=1e-4,
             atol=1e-2,
         )
+
+
+def test_tp_hpri_offline_matches_unsharded():
+    """The 2-pass TP cascade (zen offline --mesh tp=N surface) matches
+    HPRIOffline.process within transform tolerance: same cascade
+    wiring, partial-DFT transforms instead of the bucketed C2C."""
+    import dataclasses
+
+    from zen_tpu.parallel.sharded import tp_hpri_offline
+
+    mesh = make_mesh({"tp": 4})
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(4000).astype(np.float32) * 0.5
+    sep = HPRIOffline(8000.0, hop_h=64, hop_p=16, beta_h=2.0, beta_p=2.0)
+    want_h, want_p, want_r = sep.process(audio)
+    # pin the exact C2C transform on the unsharded side too, so the
+    # comparison isolates sharding (tp_separate forces fast_rfft off)
+    cfg_h = dataclasses.replace(sep.cfg_h, fast_rfft=False)
+    cfg_p = dataclasses.replace(sep.cfg_p, fast_rfft=False)
+    got_h, got_p, got_r = tp_hpri_offline(audio, cfg_h, cfg_p, mesh)
+    assert_close(got_h, want_h)
+    assert_close(got_p, want_p)
+    assert_close(got_r, want_r)

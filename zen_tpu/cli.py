@@ -132,9 +132,46 @@ def cmd_offline(args) -> int:
         # alone doesn't determine memory); same threshold as corpus
         from .drivers.offline import LONG_TRACK_SAMPLES
 
+        mesh = None
+        if getattr(args, "mesh", ""):
+            # frequency tensor parallelism: every device computes a
+            # partial DFT over its own bin slice, frequency-median
+            # halos ride ppermute rings, stems reassemble via psum
+            # (parallel/sharded.py:_tp_shard_fn). nfft <= 16k fits one
+            # chip, so this exists to prove/compose the axis
+            # (SURVEY.md §2.3 TP row), not as the throughput default.
+            from .parallel.mesh import make_mesh
+            from .parallel.sharded import tp_hpri_offline
+
+            axes, err = _parse_mesh_axes(args.mesh, ("tp",))
+            if err:
+                print(f"zen offline: {err}", file=sys.stderr)
+                return 2
+            if sep.cfg_h.border != "wrap":
+                print(
+                    "zen offline: --mesh tp requires the wrap border "
+                    "(drop --nocopybord): the sharded frequency-median "
+                    "halo ring is circular",
+                    file=sys.stderr,
+                )
+                return 2
+            n_tp = axes["tp"]
+            for cfg in (sep.cfg_h, sep.cfg_p):
+                if cfg.nfft % n_tp:
+                    print(
+                        f"zen offline: tp={n_tp} must divide both pass "
+                        f"nffts (got nfft={cfg.nfft} at hop={cfg.hop})",
+                        file=sys.stderr,
+                    )
+                    return 2
+            mesh = make_mesh(axes)
+            _echo([f"\tmesh: tp={n_tp} (frequency-sharded)"])
+
         long_track = len(audio) > LONG_TRACK_SAMPLES
         t1 = time.perf_counter()
-        if args.blocked or long_track:
+        if mesh is not None:
+            h, p, r = tp_hpri_offline(audio, sep.cfg_h, sep.cfg_p, mesh)
+        elif args.blocked or long_track:
             if long_track and not args.blocked:
                 print(
                     "long track: using constant-memory blocked mode"
@@ -719,6 +756,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--stem-format", choices=("wav", "flac", "wv"), default="wav",
         help="stem container: PCM16 wav (reference behavior) or "
         "lossless 16-bit FLAC (from-scratch encoder, ~half the size)",
+    )
+    off.add_argument(
+        "--mesh",
+        default="",
+        help="shard the frequency axis over a device mesh, e.g. "
+        "'tp=4' (partial-DFT tensor parallelism; tp must divide "
+        "both pass nffts = 4*hop)",
     )
     _add_impl_flags(off)
     off.set_defaults(func=cmd_offline)

@@ -788,3 +788,18 @@ def tp_separate(
     padded = jnp.pad(audio, (0, n_frames * cfg.hop - length))
     out = _build_tp_fn(cfg, mesh, tp_axis, n_frames)(padded)
     return {name: out[i, :length] for i, name in enumerate(_STEMS)}
+
+
+def tp_hpri_offline(
+    audio, cfg_h: HPRConfig, cfg_p: HPRConfig, mesh: Mesh, tp_axis: str = "tp"
+) -> tuple:
+    """Frequency-TP 2-pass HPR-I cascade (the `zen offline --mesh tp=N`
+    product surface): both passes run tp_separate, intermediate =
+    pass-1 percussive + residual, exactly the cascade wiring of
+    drivers.offline._two_pass (reference hps.cu:152-205). Inherits
+    tp_separate's constraints — wrap border, n_tp must divide BOTH
+    pass nffts (4*hop_h and 4*hop_p), exact C2C transform."""
+    pass1 = tp_separate(audio, cfg_h, mesh, tp_axis)
+    inter = pass1["percussive"] + pass1["residual"]
+    pass2 = tp_separate(inter, cfg_p, mesh, tp_axis)
+    return pass1["harmonic"], pass2["percussive"], pass2["residual"]
