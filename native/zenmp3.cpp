@@ -18,10 +18,12 @@
 // were studied from ISO/IEC 11172-3 and the public minimp3 the
 // reference vendors; the implementation here is original (canonical
 // Huffman tries, direct-form IMDCT/DCT matrices, spec-form V-ring
-// synthesis) and validated against a reference decode of real
-// encoder output (float-exact on the MPEG-1 corpus file; the LSF
-// (MPEG-2/2.5) and intensity-stereo paths are implemented from the
-// same studied semantics but no LSF file exists in the corpus).
+// synthesis) and validated against reference decodes: float-exact on
+// the MPEG-1 corpus file, and differentially fuzzed against the
+// minimp3 oracle on synthesized MPEG-2/2.5 (LSF) streams covering
+// mono/stereo/joint-stereo (intensity + mid-side), all six LSF sample
+// rates, mixed blocks, and the bit reservoir
+// (tests/test_mp3.py + tests/mp3_lsf_gen.py, round 4).
 
 #include <cmath>
 #include <cstdint>
@@ -601,51 +603,89 @@ struct ImdctTables {
 const ImdctTables g_imdct;
 
 // one 18-coefficient band -> 36 windowed samples + overlap-add
-void imdct_long(const float* x, float* out18, float* overlap9x2,
+// IMDCT with the overlap carried in FOLDED, UNWINDOWED form: 9 floats
+// per band instead of the previous fully-windowed 18.  The previous
+// granule's tail is windowed at *reconstruction* time by the CURRENT
+// granule's window — the behavior of the reference front door
+// (libnyquist->minimp3).  For every spec-legal window sequence this
+// equals plain ISO overlap-add of windowed tails (the ISO windows are
+// designed so the folding identity holds across legal transitions —
+// a START granule's special falling half, for instance, materializes
+// from the short path's unfold coefficients, so START reconstructs
+// with the NORMAL window here, as in minimp3's L3_imdct_gr).  For
+// illegal sequences (which no encoder emits) the two representations
+// differ; matching the folded form keeps the round-4 LSF differential
+// fuzz (tests/test_mp3.py) byte-compatible with the reference on
+// mixed-block -> stop transitions, where the previous long-sub-band
+// tails are re-windowed by the stop window.  Mappings validated
+// numerically against the real compiled minimp3 L3_imdct36 /
+// L3_imdct_short on unit vectors (round-4; float-exact).
+//
+// Long granule: r = raw 36-pt IMDCT of the band, W = the granule's
+// ISO window (normal for block types 0/1 and mixed long bands, stop
+// for 3):
+//   out[i]    = c[i]*W[17-i] + r[i]*W[i]
+//   out[17-i] = c[i]*W[i]    + r[17-i]*W[17-i]       (i = 0..8)
+//   c_new[i]  = r[18+i]                   (raw tail; symmetric half)
+void imdct_long(const float* x, float* out18, float* carry9,
                 const float* win) {
-  float z[36];
+  float r[36];
   for (int i = 0; i < 36; ++i) {
     float acc = 0.0f;
     for (int k = 0; k < 18; ++k) acc += x[k] * g_imdct.m36[i][k];
-    z[i] = acc * win[i];
+    r[i] = acc;
   }
-  for (int i = 0; i < 18; ++i) {
-    out18[i] = z[i] + overlap9x2[i];
-    overlap9x2[i] = z[18 + i];
+  for (int i = 0; i < 9; ++i) {
+    float c = carry9[i];
+    out18[i] = c * win[17 - i] + r[i] * win[i];
+    out18[17 - i] = c * win[i] + r[17 - i] * win[17 - i];
   }
+  for (int i = 0; i < 9; ++i) carry9[i] = r[18 + i];
 }
 
-void imdct_short_band(const float* x, float* out18, float* overlap) {
-  float z[36] = {0};
+// Short granule: the three 12-pt windows accumulate into z[6..29]
+// exactly as before; the carry holds 6 FINISHED samples (z[18..23],
+// the region where only past windows contribute) plus window 2's raw
+// unwindowed tail, unfolded next granule with the short window's
+// falling coefficients (w12[6+t]).
+void imdct_short_band(const float* x, float* out18, float* carry9) {
+  float z[30] = {0};  // samples 6..35 of the 36-sample grid
+  float raw2_tail[3];
   for (int w = 0; w < 3; ++w) {
     float xw[6];
     for (int k = 0; k < 6; ++k) xw[k] = x[3 * k + w];
     for (int i = 0; i < 12; ++i) {
       float acc = 0.0f;
       for (int k = 0; k < 6; ++k) acc += xw[k] * g_imdct.m12[i][k];
-      z[6 + 6 * w + i] += acc * g_imdct.win_short12[i];
+      z[6 * w + i] += acc * g_imdct.win_short12[i];
+      if (w == 2 && i >= 6 && i < 9) raw2_tail[i - 6] = acc;
     }
   }
-  for (int i = 0; i < 18; ++i) {
-    out18[i] = z[i] + overlap[i];
-    overlap[i] = z[18 + i];
-  }
+  for (int i = 0; i < 6; ++i) out18[i] = carry9[i];
+  const float* w12 = g_imdct.win_short12;
+  for (int t = 0; t < 6; ++t)
+    out18[6 + t] =
+        z[t] + carry9[6 + (t < 3 ? t : 5 - t)] * w12[6 + t];
+  for (int t = 0; t < 6; ++t) out18[12 + t] = z[6 + t];
+  for (int i = 0; i < 6; ++i) carry9[i] = z[12 + i];
+  for (int i = 0; i < 3; ++i) carry9[6 + i] = raw2_tail[i];
 }
 
-void imdct_granule(float* grbuf, float* overlap /*32*18*/, int block_type,
+void imdct_granule(float* grbuf, float* carry /*32*9*/, int block_type,
                    int n_long_bands) {
   for (int b = 0; b < 32; ++b) {
     float* x = grbuf + 18 * b;
     float out[18];
     if (b < n_long_bands || block_type != 2) {
-      const float* win = g_imdct.win_norm;
-      if (b >= n_long_bands) {
-        if (block_type == 1) win = g_imdct.win_start;
-        else if (block_type == 3) win = g_imdct.win_stop;
-      }
-      imdct_long(x, out, overlap + 18 * b, win);
+      // START (1) reconstructs with the normal window: its special
+      // falling half is realized by the NEXT short granule's unfold
+      // (see block comment above; minimp3.h L3_imdct_gr:1146-1155)
+      const float* win =
+          block_type == 3 && b >= n_long_bands ? g_imdct.win_stop
+                                               : g_imdct.win_norm;
+      imdct_long(x, out, carry + 9 * b, win);
     } else {
-      imdct_short_band(x, out, overlap + 18 * b);
+      imdct_short_band(x, out, carry + 9 * b);
     }
     std::memcpy(x, out, sizeof(out));
   }
@@ -694,14 +734,35 @@ constexpr int kMaxReservoir = 511;
 struct Decoder {
   Header hdr;  // stream-defining header (first valid)
   std::vector<uint8_t> reservoir;
-  float grbuf[2][576];
-  float mdct_overlap[2][576] = {{0}, {0}};
+  // One degenerate corner needs slack past the 576-line spectrum: in
+  // MPEG-2.5 8 kHz MIXED blocks the long scalefactor bands cover 48
+  // lines but the filterbank's long region is 4 bands = 72 lines, so
+  // the short-sfb reorder (which starts at line 72 and walks the full
+  // 528-line short partition, reorder_short) reads AND writes up to
+  // line 600.  The reference decoder does exactly this into its own
+  // adjacent scratch (minimp3.h L3_reorder:940 has no bounds check;
+  // channel 0 spills into channel 1's zeroed buffer).  Keeping the
+  // channels contiguous + a zeroed guard reproduces that behavior for
+  // mono/ch0 deterministically and keeps ch1's spill memory-safe
+  // (the reference reads its own scf scratch there — byte parity for
+  // *stereo* 8 kHz mixed blocks is documented as out of scope).
+  // single backing store keeps the spill well-defined C++ (channel 1's
+  // spill lands in the trailing guard floats)
+  float grbuf_store[2 * 576 + 64];
+  float* grbuf(int c) { return grbuf_store + 576 * c; }
+  float mdct_overlap[2][32 * 9] = {{0}, {0}};  // folded carry
   uint8_t ist_pos[2][40] = {{0}, {0}};
   SynthState synth[2];
   std::vector<float> pcm[2];
 
   // decode one frame's worth of main data; h is this frame's header
   void decode_frame(const Header& h, const uint8_t* frame, int frame_len) {
+    // intensity-position scratch is per-frame, like the reference's
+    // (minimp3's mp3dec_scratch_t is a fresh stack object per call);
+    // entries no scalefactor partition writes read as a defined 0 —
+    // the oracle harness pins its uninitialized stack to the same
+    // value (tests/test_mp3.py scrub_stack)
+    std::memset(ist_pos, 0, sizeof(ist_pos));
     int nch = h.channels();
     int hdr_len = 4 + (h.crc ? 2 : 0);
     int side_len = h.side_info_bytes();
@@ -714,6 +775,14 @@ struct Decoder {
     const uint8_t* md = frame + hdr_len + side_len;
     int md_len = frame_len - hdr_len - side_len;
     if (md_len < 0) fail();
+    // reject frames whose declared granule lengths exceed the frame's
+    // main data plus the claimed reservoir span — the reference
+    // treats this as an invalid frame and resets the decoder
+    // (minimp3.h L3_read_side_info:587-590 + mp3dec_decode_frame:1700)
+    int part_23_sum = 0;
+    for (int g = 0; g < h.granules(); ++g)
+      for (int c = 0; c < nch; ++c) part_23_sum += gr[g][c].part_23_length;
+    if (part_23_sum > (md_len + main_data_begin) * 8) fail();
 
     bool have = static_cast<int>(reservoir.size()) >= main_data_begin;
     std::vector<uint8_t> assembled;
@@ -721,6 +790,16 @@ struct Decoder {
       assembled.assign(reservoir.end() - main_data_begin, reservoir.end());
       assembled.insert(assembled.end(), md, md + md_len);
     }
+#ifdef ZEN_MP3_DEBUG
+    {
+      unsigned long acs = 5381;
+      for (uint8_t b : assembled) acs = acs * 33 + b;
+      unsigned long rcs = 5381;
+      for (uint8_t b : reservoir) rcs = rcs * 33 + b;
+      fprintf(stderr, "zen: mdb=%d have=%d rsv=%zu rcs=%lx acs=%lx\n",
+              main_data_begin, (int)have, reservoir.size(), rcs, acs);
+    }
+#endif
     // roll the reservoir forward regardless (decoders joining
     // mid-stream need a few frames of warm-up)
     reservoir.insert(reservoir.end(), md, md + md_len);
@@ -732,16 +811,20 @@ struct Decoder {
     Bits bs;
     bs.init(assembled.data(), assembled.size());
     for (int g = 0; g < h.granules(); ++g) {
+      // fresh spectrum + guard every granule: huffman writes all 576
+      // lines anyway, but the 8 kHz mixed-block reorder spill (see
+      // grbuf declaration) must land on zeros, as in the reference
+      std::memset(grbuf_store, 0, sizeof(grbuf_store));
       for (int c = 0; c < nch; ++c) {
         size_t limit = bs.pos + gr[g][c].part_23_length;
         float scf[40];
         decode_scalefactors(h, ist_pos[c], bs, gr[g][c], scf, c);
-        huffman_decode(grbuf[c], bs, gr[g][c], scf, limit);
+        huffman_decode(grbuf(c), bs, gr[g][c], scf, limit);
       }
       if (h.i_stereo()) {
-        intensity_stereo(grbuf[0], grbuf[1], ist_pos[1], gr[g], h);
+        intensity_stereo(grbuf(0), grbuf(1), ist_pos[1], gr[g], h);
       } else if (h.ms_stereo()) {
-        midside(grbuf[0], grbuf[1], 576);
+        midside(grbuf(0), grbuf(1), 576);
       }
       for (int c = 0; c < nch; ++c) {
         const GrInfo& gi = gr[g][c];
@@ -749,19 +832,19 @@ struct Decoder {
             (gi.mixed_block_flag ? 2 : 0)
             << ((h.mpeg25 && h.fs_index == 2) ? 1 : 0);
         if (gi.n_short_sfb) {
-          reorder_short(grbuf[c] + n_long_bands * 18,
+          reorder_short(grbuf(c) + n_long_bands * 18,
                         gi.sfbtab + gi.n_long_sfb);
-          antialias(grbuf[c], n_long_bands - 1);
+          antialias(grbuf(c), n_long_bands - 1);
         } else {
-          antialias(grbuf[c], 31);
+          antialias(grbuf(c), 31);
         }
-        imdct_granule(grbuf[c], mdct_overlap[c], gi.block_type, n_long_bands);
+        imdct_granule(grbuf(c), mdct_overlap[c], gi.block_type, n_long_bands);
         // synthesize 18 x 32 samples
         float S[32], out[32];
         size_t base = pcm[c].size();
         pcm[c].resize(base + 576);
         for (int t = 0; t < 18; ++t) {
-          for (int b = 0; b < 32; ++b) S[b] = grbuf[c][18 * b + t];
+          for (int b = 0; b < 32; ++b) S[b] = grbuf(c)[18 * b + t];
           synth_step(synth[c], S, out);
           std::memcpy(pcm[c].data() + base + 32 * t, out, sizeof(out));
         }
@@ -841,8 +924,14 @@ void decode_stream(const uint8_t* d, size_t len, int* fs, int* nch,
     try {
       dec.decode_frame(h, d + off, fb);
     } catch (const Mp3Error&) {
-      // damaged frame: drop it, resync on the next one
+      // damaged frame: drop it and reset ALL decode state, exactly
+      // like the reference's mp3dec_init on an invalid frame
+      // (minimp3.h:1700-1703) — the filterbank overlap and synthesis
+      // memory restart from silence, not just the reservoir
       dec.reservoir.clear();
+      std::memset(dec.mdct_overlap, 0, sizeof(dec.mdct_overlap));
+      std::memset(dec.ist_pos, 0, sizeof(dec.ist_pos));
+      for (int c = 0; c < 2; ++c) dec.synth[c] = SynthState{};
     }
     ++frames;
     off += fb;

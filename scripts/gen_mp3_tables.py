@@ -44,6 +44,37 @@ def _parse_int_array(text, name, after=None):
     return [int(m) for m in re.findall(r"-?\d+", body)]
 
 
+def _parse_int_rows(text, name, row_len):
+    """Extract a [N][row_len] array respecting INNER braces: C permits
+    each braced row to list fewer than row_len entries (the rest are
+    zero-initialized).  minimp3's g_scf_mixed rows are ragged (37-40
+    entries), so flattening + re-slicing at row_len shifts every row
+    after the first — the round-4 mixed-block parity bug."""
+    start = text.index(name)
+    open_b = text.index("{", start)
+    depth = 0
+    i = open_b
+    rows = []
+    cur_start = None
+    while True:
+        c = text[i]
+        if c == "{":
+            depth += 1
+            if depth == 2:
+                cur_start = i
+        elif c == "}":
+            if depth == 2:
+                vals = [int(m) for m in
+                        re.findall(r"-?\d+", text[cur_start : i + 1])]
+                assert len(vals) <= row_len, (name, len(vals))
+                rows.append(vals + [0] * (row_len - len(vals)))
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    return rows
+
+
 def extract_huffman(tabs, tabindex, linbits):
     """Interpret minimp3's multi-level flattened lookups into canonical
     per-table codeword lists [(code, length, x, y)]."""
@@ -129,9 +160,9 @@ def main():
     )[16:]
     tabindex = _parse_int_array(mm, "tabindex[2*16]")
     linbits = _parse_int_array(mm, "g_linbits[]")
-    scf_long = _parse_int_array(mm, "g_scf_long[8][23]")
-    scf_short = _parse_int_array(mm, "g_scf_short[8][40]")
-    scf_mixed = _parse_int_array(mm, "g_scf_mixed[8][40]")
+    scf_long = _parse_int_rows(mm, "g_scf_long[8][23]", 23)
+    scf_short = _parse_int_rows(mm, "g_scf_short[8][40]", 40)
+    scf_mixed = _parse_int_rows(mm, "g_scf_mixed[8][40]", 40)
     scf_part = _parse_int_array(mm, "g_scf_partitions[3][28]")
     scfc_decode = _parse_int_array(mm, "g_scfc_decode[16]")
     gmod = _parse_int_array(mm, "g_mod[6*4]")
@@ -195,15 +226,15 @@ def main():
     w("// sr index mapping), zero-terminated\n")
     w("static const uint8_t kScfLong[8][23] = {\n")
     for r in range(8):
-        w("  {" + ",".join(str(v) for v in scf_long[r * 23 : r * 23 + 23]) + "},\n")
+        w("  {" + ",".join(str(v) for v in scf_long[r]) + "},\n")
     w("};\n")
     w("static const uint8_t kScfShort[8][40] = {\n")
     for r in range(8):
-        w("  {" + ",".join(str(v) for v in scf_short[r * 40 : r * 40 + 40]) + "},\n")
+        w("  {" + ",".join(str(v) for v in scf_short[r]) + "},\n")
     w("};\n")
     w("static const uint8_t kScfMixed[8][40] = {\n")
     for r in range(8):
-        w("  {" + ",".join(str(v) for v in scf_mixed[r * 40 : r * 40 + 40]) + "},\n")
+        w("  {" + ",".join(str(v) for v in scf_mixed[r]) + "},\n")
     w("};\n\n")
 
     w("// scalefactor partition sizes (long/mixed/short rows x LSF sets)\n")
