@@ -271,31 +271,136 @@ void utf8_number(Bw& w, uint64_t nval) {
     }
 }
 
+// Auto-selected subframe (constant / fixed 0-4 / verbatim), exactly
+// the Python _encode_subframe's default decisions; int64 samples so
+// the stereo side channel (bps = bits + 1, up to 25) fits.
+void encode_subframe(Bw& w, const int64_t* blk, uint32_t bs,
+                     uint32_t bps) {
+    int64_t ors = 0;
+    bool any = false;
+    for (uint32_t i = 0; i < bs; i++) {
+        ors |= blk[i];
+        if (blk[i]) any = true;
+    }
+    uint32_t wasted = 0;
+    if (any) {
+        while (wasted < bps - 1 && !((ors >> wasted) & 1)) wasted++;
+    }
+    uint32_t eff = bps - wasted;
+
+    auto header = [&](uint32_t type_code) {
+        w.write(0, 1);
+        w.write(type_code, 6);
+        if (wasted) {
+            w.write(1, 1);
+            w.write_unary(wasted - 1);
+        } else {
+            w.write(0, 1);
+        }
+    };
+    auto sample = [&](uint32_t i) -> int64_t { return blk[i] >> wasted; };
+
+    bool constant = true;
+    for (uint32_t i = 1; i < bs; i++)
+        if (blk[i] != blk[0]) {
+            constant = false;
+            break;
+        }
+
+    if (constant) {
+        header(0);
+        w.write_signed(sample(0), eff);
+        return;
+    }
+    // fixed-order search: costs[o] = o*eff + best_rice(z, 15)
+    int best_o = -1;
+    uint64_t best_cost = ~uint64_t(0);
+    std::vector<int64_t> cur(bs), best_resid;
+    std::vector<uint64_t> z;
+    for (uint32_t i = 0; i < bs; i++) cur[i] = sample(i);
+    for (int o = 0; o <= 4; o++) {
+        if (bs <= static_cast<uint32_t>(o)) break;
+        if (o) {  // np.diff
+            for (uint32_t i = 0; i + o < bs; i++)
+                cur[i] = cur[i + 1] - cur[i];
+            cur.resize(bs - o);
+        }
+        z.resize(cur.size());
+        for (size_t i = 0; i < cur.size(); i++) z[i] = zigzag(cur[i]);
+        int p;
+        uint64_t c;
+        best_rice(z, 15, &p, &c);
+        uint64_t cost = uint64_t(o) * eff + c;
+        if (cost < best_cost) {
+            best_cost = cost;
+            best_o = o;
+            best_resid = cur;
+        }
+    }
+    if (best_cost >= uint64_t(bs) * eff) {
+        header(1);  // verbatim
+        for (uint32_t i = 0; i < bs; i++) w.write_signed(sample(i), eff);
+    } else {
+        header(0x08 | best_o);
+        for (int i = 0; i < best_o; i++) w.write_signed(sample(i), eff);
+        // residual coding, partition_order 0 (Python default)
+        z.resize(best_resid.size());
+        for (size_t i = 0; i < best_resid.size(); i++)
+            z[i] = zigzag(best_resid[i]);
+        int p;
+        uint64_t c;
+        best_rice(z, 30, &p, &c);
+        uint32_t method_bits = p > 14 ? 5 : 4;
+        w.write(method_bits == 4 ? 0 : 1, 2);
+        w.write(0, 4);  // partition order
+        w.write(p, method_bits);
+        for (uint64_t u : z) {
+            w.write_unary(static_cast<uint32_t>(u >> p));
+            w.write(u & ((p ? (uint64_t(1) << p) : 1) - 1), p);
+        }
+    }
+}
+
+int sample_size_code(uint32_t bits) {
+    switch (bits) {
+        case 8: return 1;
+        case 12: return 2;
+        case 16: return 4;
+        case 20: return 5;
+        case 24: return 6;
+    }
+    return -1;
+}
+
 }  // namespace
 
 extern "C" {
 
-// Encode float mono [-1, 1] as a 16-bit FLAC file — byte-identical to
-// zen_tpu.io.flac.write_flac(path, fs, audio, bits=16,
-// block_size=block_size) on the same input.
-int zen_flac_encode_mono16(const char* path, uint32_t fs,
-                           const float* audio, uint64_t n,
-                           uint32_t block_size) {
+// Encode float [-1, 1] audio (interleaved when stereo) as a FLAC file
+// — byte-identical to zen_tpu.io.flac.write_flac(path, fs, audio,
+// bits=bits, block_size=block_size) on the same input (default
+// stereo_mode='auto' = mid/side for full blocks, pinned by
+// tests/test_flac.py).  bits in {8, 12, 16, 20, 24}; channels 1 or 2.
+int zen_flac_encode(const char* path, uint32_t fs, const float* audio,
+                    uint64_t n, uint32_t channels, uint32_t bits,
+                    uint32_t block_size) {
     if (!audio || n == 0) return ZEN_FLACE_EBAD;
     if (fs == 0 || fs >= (1u << 20)) return ZEN_FLACE_EBAD;
     if (block_size < 16 || block_size > 65535) return ZEN_FLACE_EBAD;
     if (n >= (uint64_t(1) << 36)) return ZEN_FLACE_EUNSUP;
-    const uint32_t bits = 16;
+    if (channels != 1 && channels != 2) return ZEN_FLACE_EUNSUP;
+    if (sample_size_code(bits) < 0) return ZEN_FLACE_EUNSUP;
 
     // quantize like the Python _quantize: clip to [-1,1], scale by
-    // 2^15, round-half-even (np.round == nearbyint under
-    // FE_TONEAREST), clip to int16 range; NaN encodes as silence
-    // (both encoders — casting NaN to int is UB here and
-    // platform-defined in numpy)
-    std::vector<int32_t> s(n);
+    // 2^(bits-1), round-half-even (np.round == nearbyint under
+    // FE_TONEAREST), clip to range; NaN encodes as silence (both
+    // encoders — casting NaN to int is UB here and platform-defined
+    // in numpy)
+    const double scale = static_cast<double>(uint64_t(1) << (bits - 1));
+    std::vector<int64_t> s(n * channels);
     const int prev_round = std::fegetround();
     std::fesetround(FE_TONEAREST);
-    for (uint64_t i = 0; i < n; i++) {
+    for (uint64_t i = 0; i < n * channels; i++) {
         double v = audio[i];
         if (v != v) {
             s[i] = 0;
@@ -303,19 +408,23 @@ int zen_flac_encode_mono16(const char* path, uint32_t fs,
         }
         if (v > 1.0) v = 1.0;
         if (v < -1.0) v = -1.0;
-        double r = std::nearbyint(v * 32768.0);
-        if (r > 32767.0) r = 32767.0;
-        if (r < -32768.0) r = -32768.0;
-        s[i] = static_cast<int32_t>(r);
+        double r = std::nearbyint(v * scale);
+        if (r > scale - 1) r = scale - 1;
+        if (r < -scale) r = -scale;
+        s[i] = static_cast<int64_t>(r);
     }
     std::fesetround(prev_round);
 
     Md5 md5;
     {
-        std::vector<uint8_t> raw(n * 2);
-        for (uint64_t i = 0; i < n; i++) {
-            raw[2 * i] = static_cast<uint8_t>(s[i] & 0xFF);
-            raw[2 * i + 1] = static_cast<uint8_t>((s[i] >> 8) & 0xFF);
+        const uint32_t bytes_per = (bits + 7) / 8;
+        std::vector<uint8_t> raw(n * channels * bytes_per);
+        for (uint64_t i = 0; i < n * channels; i++) {
+            uint64_t u = static_cast<uint64_t>(s[i]) &
+                         ((uint64_t(1) << (8 * bytes_per)) - 1);
+            for (uint32_t b = 0; b < bytes_per; b++)
+                raw[bytes_per * i + b] =
+                    static_cast<uint8_t>((u >> (8 * b)) & 0xFF);
         }
         md5.update(raw.data(), raw.size());
     }
@@ -330,7 +439,7 @@ int zen_flac_encode_mono16(const char* path, uint32_t fs,
     si.write(0, 24);
     si.write(0, 24);
     si.write(fs, 20);
-    si.write(0, 3);          // channels - 1
+    si.write(channels - 1, 3);
     si.write(bits - 1, 5);
     si.write(n, 36);
     out.push_back(0x80);     // last metadata block, STREAMINFO
@@ -341,13 +450,15 @@ int zen_flac_encode_mono16(const char* path, uint32_t fs,
     out.insert(out.end(), si.buf.begin(), si.buf.end());
     out.insert(out.end(), digest, digest + 16);
 
-    std::vector<int64_t> resid, best_resid;
-    std::vector<uint64_t> z;
+    std::vector<int64_t> sub0, sub1;
     uint64_t frame_idx = 0;
     for (uint64_t start = 0; start < n; start += block_size) {
         uint32_t bs = static_cast<uint32_t>(
             std::min<uint64_t>(block_size, n - start));
-        const int32_t* blk = s.data() + start;
+        const int64_t* blk = s.data() + start * channels;
+        // Python stereo_mode='auto': mid/side unless the (final) block
+        // is a single sample
+        bool mid_side = channels == 2 && bs > 1;
 
         Bw w;
         w.write(0x3FFE, 14);
@@ -356,8 +467,8 @@ int zen_flac_encode_mono16(const char* path, uint32_t fs,
         int bsc = blocksize_code(bs);
         w.write(bsc, 4);
         w.write(0, 4);  // sample rate from STREAMINFO
-        w.write(0, 4);  // mono
-        w.write(4, 3);  // 16-bit
+        w.write(mid_side ? 0b1010 : (channels - 1), 4);
+        w.write(sample_size_code(bits), 3);
         w.write(0, 1);
         utf8_number(w, frame_idx);
         if (bsc == 6) w.write(bs - 1, 8);
@@ -369,94 +480,24 @@ int zen_flac_encode_mono16(const char* path, uint32_t fs,
             w.write(c8, 8);
         }
 
-        // ---- subframe (auto selection, exact Python semantics) ----
-        // wasted bits
-        int64_t ors = 0;
-        bool any = false;
-        for (uint32_t i = 0; i < bs; i++) {
-            ors |= blk[i];
-            if (blk[i]) any = true;
-        }
-        uint32_t wasted = 0;
-        if (any) {
-            while (wasted < bits - 1 && !((ors >> wasted) & 1)) wasted++;
-        }
-        uint32_t eff = bits - wasted;
-
-        auto header = [&](uint32_t type_code) {
-            w.write(0, 1);
-            w.write(type_code, 6);
-            if (wasted) {
-                w.write(1, 1);
-                w.write_unary(wasted - 1);
-            } else {
-                w.write(0, 1);
+        if (channels == 1) {
+            encode_subframe(w, blk, bs, bits);
+        } else if (mid_side) {
+            sub0.resize(bs);
+            sub1.resize(bs);
+            for (uint32_t i = 0; i < bs; i++) {
+                int64_t l = blk[2 * i], r = blk[2 * i + 1];
+                sub0[i] = (l + r) >> 1;
+                sub1[i] = l - r;
             }
-        };
-        auto sample = [&](uint32_t i) -> int64_t {
-            return static_cast<int64_t>(blk[i]) >> wasted;
-        };
-
-        bool constant = true;
-        for (uint32_t i = 1; i < bs; i++)
-            if (blk[i] != blk[0]) {
-                constant = false;
-                break;
-            }
-
-        if (constant) {
-            header(0);
-            w.write_signed(sample(0), eff);
-        } else {
-            // fixed-order search: costs[o] = o*eff + best_rice(z, 15)
-            int best_o = -1;
-            uint64_t best_cost = ~uint64_t(0);
-            resid.resize(bs);
-            for (uint32_t i = 0; i < bs; i++) resid[i] = sample(i);
-            std::vector<int64_t> cur = resid;  // order 0 residual
-            for (int o = 0; o <= 4; o++) {
-                if (bs <= static_cast<uint32_t>(o)) break;
-                if (o) {  // np.diff
-                    for (uint32_t i = 0; i + o < bs; i++)
-                        cur[i] = cur[i + 1] - cur[i];
-                    cur.resize(bs - o);
-                }
-                z.resize(cur.size());
-                for (size_t i = 0; i < cur.size(); i++)
-                    z[i] = zigzag(cur[i]);
-                int p;
-                uint64_t c;
-                best_rice(z, 15, &p, &c);
-                uint64_t cost = uint64_t(o) * eff + c;
-                if (cost < best_cost) {
-                    best_cost = cost;
-                    best_o = o;
-                    best_resid = cur;
-                }
-            }
-            if (best_cost >= uint64_t(bs) * eff) {
-                header(1);  // verbatim
+            encode_subframe(w, sub0.data(), bs, bits);
+            encode_subframe(w, sub1.data(), bs, bits + 1);
+        } else {  // independent (1-sample final stereo block)
+            sub0.resize(bs);
+            for (uint32_t c = 0; c < channels; c++) {
                 for (uint32_t i = 0; i < bs; i++)
-                    w.write_signed(sample(i), eff);
-            } else {
-                header(0x08 | best_o);
-                for (int i = 0; i < best_o; i++)
-                    w.write_signed(sample(i), eff);
-                // residual coding, partition_order 0 (Python default)
-                z.resize(best_resid.size());
-                for (size_t i = 0; i < best_resid.size(); i++)
-                    z[i] = zigzag(best_resid[i]);
-                int p;
-                uint64_t c;
-                best_rice(z, 30, &p, &c);
-                uint32_t method_bits = p > 14 ? 5 : 4;
-                w.write(method_bits == 4 ? 0 : 1, 2);
-                w.write(0, 4);  // partition order
-                w.write(p, method_bits);
-                for (uint64_t u : z) {
-                    w.write_unary(static_cast<uint32_t>(u >> p));
-                    w.write(u & ((p ? (uint64_t(1) << p) : 1) - 1), p);
-                }
+                    sub0[i] = blk[2 * i + c];
+                encode_subframe(w, sub0.data(), bs, bits);
             }
         }
         w.align();
@@ -475,6 +516,15 @@ int zen_flac_encode_mono16(const char* path, uint32_t fs,
     size_t wrote = fwrite(out.data(), 1, out.size(), f);
     if (fclose(f) != 0 || wrote != out.size()) return ZEN_FLACE_EIO;
     return ZEN_FLACE_OK;
+}
+
+// Historical mono-16 entry point (the original product-path shape);
+// byte-identity with the Python encoder is pinned by
+// tests/test_flac.py::test_native_encoder_byte_identical.
+int zen_flac_encode_mono16(const char* path, uint32_t fs,
+                           const float* audio, uint64_t n,
+                           uint32_t block_size) {
+    return zen_flac_encode(path, fs, audio, n, 1, 16, block_size);
 }
 
 }  // extern "C"

@@ -201,7 +201,7 @@ def write_audio_pcm16(path: str, fs: int, x: np.ndarray) -> None:
 
                 # byte-identical to the Python encoder (pinned by
                 # test), ~3.4x faster — mono 16-bit is the stem shape
-                native.flac_write_mono16(path, int(fs), x)
+                native.flac_write(path, int(fs), x, bits=16)
                 return
             except (RuntimeError, OSError, ValueError):
                 # not built / unsupported shape / native IO error:

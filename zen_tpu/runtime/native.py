@@ -127,6 +127,20 @@ def _load():
         lib._has_flac_enc = True
     except AttributeError:
         lib._has_flac_enc = False
+    try:  # round-4 widened encoder (8-24 bit, mono/stereo)
+        lib.zen_flac_encode.restype = ctypes.c_int
+        lib.zen_flac_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+        ]
+        lib._has_flac_enc_wide = True
+    except AttributeError:
+        lib._has_flac_enc_wide = False
     try:  # own flag: absent from pre-wv-encoder builds of the .so
         lib.zen_wv_encode_mono.restype = ctypes.c_int
         lib.zen_wv_encode_mono.argtypes = [
@@ -288,6 +302,43 @@ def flac_write_mono16(
     )
     if rc != 0:
         raise ValueError(f"zen_flac_encode_mono16 failed: {rc}")
+
+
+def flac_write(
+    path: str,
+    fs: int,
+    audio: np.ndarray,
+    bits: int = 16,
+    block_size: int = 4096,
+) -> None:
+    """Native FLAC encode of float mono [n] or stereo [n, 2] at
+    8/12/16/20/24 bits — byte-identical to
+    zen_tpu.io.flac.write_flac(bits=bits) on the same input (pinned by
+    tests/test_flac.py::test_native_encoder_wide_byte_identical).
+    Raises on unavailability; callers fall back to the Python
+    encoder."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_flac_enc_wide", False):
+        raise RuntimeError("native flac encoder unavailable")
+    x = np.ascontiguousarray(audio, np.float32)
+    if x.ndim == 1:
+        channels = 1
+    elif x.ndim == 2 and x.shape[1] in (1, 2):
+        channels = x.shape[1]
+    else:
+        raise ValueError("audio must be [n] mono or [n, 2] stereo")
+    n = x.shape[0]
+    rc = lib.zen_flac_encode(
+        path.encode(),
+        int(fs),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        channels,
+        int(bits),
+        int(block_size),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_flac_encode failed: {rc}")
 
 
 def flac_read(path: str):
