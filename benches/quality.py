@@ -62,7 +62,7 @@ def _valid_pair(fs: float, hop_h: int, hop_p: int) -> bool:
         return False
 
 
-def run(fs: float, seconds: float, json_path: str | None, check: bool):
+def run_fs(fs: float, seconds: float, rows: list):
     from zen_tpu.drivers.offline import HPRIOffline
 
     easy = make_quality_mixture(fs, seconds)
@@ -74,7 +74,7 @@ def run(fs: float, seconds: float, json_path: str | None, check: bool):
             "mix": hard[3],
         },
     }
-    rows = []
+    print(f"fs={fs:.0f}")
     print(f"{'mixture':<6} {'cascade':<10} {'variant':<14} "
           f"{'harm dB':>8} {'perc dB':>8} {'cym->r dB':>10}")
     for hop_h, hop_p in HOP_PAIRS:
@@ -82,6 +82,7 @@ def run(fs: float, seconds: float, json_path: str | None, check: bool):
             print(f"       {hop_h}/{hop_p}: invalid at fs={fs:.0f} "
                   "(l_harm floor) — skipped")
             rows.append({
+                "fs": fs,
                 "cascade": f"{hop_h}/{hop_p}", "status": "invalid_at_fs",
             })
             continue
@@ -93,6 +94,10 @@ def run(fs: float, seconds: float, json_path: str | None, check: bool):
                 ("soft", 2.0, {"soft_mask": True}),
                 ("sse", 2.0, {"use_sse": True}),
             ]
+        if (hop_h, hop_p) == (4096, 256) and fs >= 44000:
+            # the literal BASELINE configs[0] command is beta 2.5
+            # (`zen offline --hps 4096 2.5 256 2.5`)
+            variants += [("hard", 2.5, {})]
         for mname, sig in mixtures.items():
             n = len(sig["mix"])
             for vname, beta, kw in variants:
@@ -101,6 +106,7 @@ def run(fs: float, seconds: float, json_path: str | None, check: bool):
                     np.asarray(x)[:n] for x in sep.process(sig["mix"])
                 )
                 row = {
+                    "fs": fs,
                     "mixture": mname,
                     "cascade": f"{hop_h}/{hop_p}",
                     "variant": vname,
@@ -118,12 +124,37 @@ def run(fs: float, seconds: float, json_path: str | None, check: bool):
                 print(f"{mname:<6} {hop_h}/{hop_p:<5} {tag:<14} "
                       f"{row['harm_db']:8.2f} {row['perc_db']:8.2f} {cd}",
                       flush=True)
+    return rows
+
+
+def run(fs_list, seconds: float, json_path: str | None, check: bool):
+    rows: list = []
+    for fs in fs_list:
+        run_fs(fs, seconds, rows)
     artifact = {
         "metric": "quality_si_snr_db",
-        "fs": fs,
+        "fs": fs_list if len(fs_list) > 1 else fs_list[0],
         "seconds": seconds,
         "rows": rows,
     }
+    # BASELINE-config gate (round-3 verdict #4): the per-round artifact
+    # must carry a *measured* row for the reference CLI's default
+    # cascade at its native rate — never an `invalid_at_fs` skip.
+    # Fires whenever the sweep includes a >=44 kHz leg (the per-round
+    # artifact runs do); quick trend-only runs at low fs are exempt.
+    if json_path and any(f >= 44000 for f in fs_list):
+        baseline = [
+            r for r in rows
+            if r.get("fs", 0) >= 44000 and r.get("cascade") == "4096/256"
+            and r.get("status") != "invalid_at_fs"
+            and r.get("harm_db") is not None
+        ]
+        if not baseline:
+            raise SystemExit(
+                "BASELINE gate: no measured 4096/256 rows at 44.1 kHz in "
+                "the artifact (BASELINE.json configs[0] is "
+                "`--hps 4096 2.5 256 2.5` at 44.1 kHz)"
+            )
     if json_path:
         with open(json_path, "w") as fh:
             json.dump(artifact, fh, indent=1)
@@ -137,7 +168,7 @@ def run(fs: float, seconds: float, json_path: str | None, check: bool):
         if not gate_rows:
             raise SystemExit(
                 f"quality floors not evaluable: the 1024/256 gate cascade "
-                f"is invalid at fs={fs:.0f} (l_harm floor) — rerun with a "
+                f"is invalid at fs={fs_list} (l_harm floor) — rerun with a "
                 "sample rate the gates are calibrated for (>= ~11 kHz)"
             )
         flag = gate_rows[0]
@@ -155,9 +186,14 @@ def run(fs: float, seconds: float, json_path: str | None, check: bool):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fs", type=float, default=22050.0)
+    ap.add_argument(
+        "--fs", default="22050",
+        help="comma-separated sample rates, e.g. '22050,44100' (the "
+        "per-round artifact run must include 44100: BASELINE gate)",
+    )
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--json", default=None)
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
-    run(args.fs, args.seconds, args.json, args.check)
+    fs_list = [float(s) for s in str(args.fs).split(",") if s]
+    run(fs_list, args.seconds, args.json, args.check)
