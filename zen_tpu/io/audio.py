@@ -18,8 +18,8 @@ def read_audio_mono(path: str):
     """Load an audio file as float32 mono in [-1, 1] by sniffing the
     container magic — the front door every driver/CLI input goes
     through (the NyquistIO::Load analog, zen/offline.h:88-102).
-    Supports RIFF wav, FLAC, WavPack, Ogg Vorbis, MP3, and Musepack
-    SV8."""
+    Supports RIFF wav, FLAC, WavPack, Ogg Vorbis, Ogg Opus, MP3, and
+    Musepack SV8 — the full libnyquist decode surface."""
     had_id3 = False
     with open(path, "rb") as f:
         head = f.read(10)
@@ -57,11 +57,17 @@ def read_audio_mono(path: str):
         with open(path, "rb") as f:
             page = f.read(1024)
         if b"OpusHead" in page:
-            raise ValueError(
-                "Ogg Opus input is not supported (the one libnyquist "
-                "format without a from-scratch decoder here); "
-                "transcode upstream, e.g. `ffmpeg -i in.opus out.wav`"
-            )
+            # Ogg Opus: from-scratch RFC 6716 decoder (SILK + CELT +
+            # hybrid + PLC/CNG), always 48 kHz out — the same contract
+            # as the reference's opusfile route (src/OpusDecoder.cpp:75)
+            if not native.opus_available():
+                raise RuntimeError(
+                    "Opus input needs the native decoder; build it "
+                    "with `make -C native` (no pure-Python fallback)"
+                )
+            fs, frames = native.opus_read(path)
+            x = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
+            return fs, np.ascontiguousarray(x, np.float32)
         if not native.vorbis_available():
             raise RuntimeError(
                 "Ogg Vorbis input needs the native decoder; build it "

@@ -161,6 +161,7 @@ def _load():
         ("zen_vorbis", "_has_vorbis"),
         ("zen_mp3", "_has_mp3"),
         ("zen_mpc", "_has_mpc"),
+        ("zen_opus", "_has_opus"),
     ):
         try:
             dec = getattr(lib, f"{prefix}_decode_file")
@@ -418,6 +419,20 @@ def wv_read(path: str):
     means the file failed to prove itself.  Callers fall back to the
     pure-Python decoder (zen_tpu/io/wavpack.py) when unavailable."""
     return _decode_frames("zen_wv", "wavpack", path)
+
+
+def opus_available() -> bool:
+    lib = _load()
+    return lib is not None and lib._has_opus
+
+
+def opus_read(path: str):
+    """Native Ogg Opus decode (native/zenopus.cpp: from-scratch RFC
+    6716 SILK+CELT + RFC 7845 container).  Output is always 48 kHz
+    (Opus decodes at 48 kHz by design — the reference's OpusDecoder
+    does the same, vendor/libnyquist/src/OpusDecoder.cpp:75).  No
+    pure-Python fallback."""
+    return _decode_frames("zen_opus", "opus", path)
 
 
 def vorbis_available() -> bool:
