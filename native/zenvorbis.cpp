@@ -4,11 +4,12 @@
 // through libvorbis (vendor/libnyquist/src/VorbisDecoder.cpp); this
 // gives the rebuild the same capability without vendoring anything.
 // Implements the full Vorbis I decode spec: Ogg page/packet layer
-// with CRC-checked pages, codebook huffman + VQ lookup, floor type 1,
+// with CRC-checked pages, codebook huffman + VQ lookup, floor types 0
+// (legacy LSP, validated differentially against libvorbis on
+// synthesized streams — no mainstream encoder emits it) and 1,
 // residue types 0/1/2, channel coupling, window-switched IMDCT
 // (radix-2 FFT factorization), lapped overlap-add, and granule-based
-// edge trimming.  Floor type 0 (legacy LSP floors, absent from any
-// mainstream encoder output) is rejected with a clear error.
+// edge trimming.
 //
 // Format semantics were studied from the Vorbis I specification and
 // the libvorbis sources the reference vendors (sharedbook.c make_words
@@ -446,6 +447,57 @@ struct Floor1 {
   }
 };
 
+// ---- floor 0 (legacy LSP floors) -------------------------------------------
+// Semantics: libvorbis floor0.c (unpack/inverse1/inverse2) + the
+// plain-float vorbis_lsp_to_curve in lsp.c (both LOOKUP variants are
+// #undef'd upstream, so the double-precision cos/sqrt form below is
+// what the reference decodes with) + the Bark map of
+// floor0_map_lazy_init and toBARK (scales.h:79).
+struct Floor0 {
+  int order = 0;
+  long rate = 0;
+  int barkmap = 0;
+  int ampbits = 0;
+  int ampdB = 0;
+  std::vector<int> book_ids;
+  std::vector<int> map[2];  // linear bin -> bark bin, per blocksize; -1 sentinel
+
+  static double to_bark(double n) {
+    return 13.1f * std::atan(.00074f * n) + 2.24f * std::atan(n * n * 1.85e-8f) +
+           1e-4f * n;
+  }
+
+  void parse(Bits& b, const std::vector<Codebook>& books, const int bsizes[2]) {
+    order = b.get(8);
+    rate = b.get(16);
+    barkmap = b.get(16);
+    ampbits = b.get(6);
+    ampdB = b.get(8);
+    int numbooks = b.get(4) + 1;
+    if (order < 1 || rate < 1 || barkmap < 1) fail();
+    book_ids.resize(numbooks);
+    for (int j = 0; j < numbooks; ++j) {
+      book_ids[j] = b.get(8);
+      if (book_ids[j] >= static_cast<int>(books.size())) fail();
+      const Codebook& cb = books[book_ids[j]];
+      if (!cb.has_values || cb.dim < 1) fail();
+    }
+    for (int w = 0; w < 2; ++w) {
+      int n = bsizes[w] / 2;
+      float scale = static_cast<float>(barkmap) /
+                    static_cast<float>(to_bark(rate / 2.f));
+      map[w].resize(n + 1);
+      for (int j = 0; j < n; ++j) {
+        int val = static_cast<int>(
+            std::floor(to_bark((rate / 2.f) / n * j) * scale));
+        if (val >= barkmap) val = barkmap - 1;
+        map[w][j] = val;
+      }
+      map[w][n] = -1;
+    }
+  }
+};
+
 // inverse-dB amplitude table: fromdb[i] = 10^((i-255)*7/256) (the
 // spec's floor1_inverse_dB_table, generated rather than embedded)
 struct FromDbInit {
@@ -547,7 +599,12 @@ struct Decoder {
   long rate = 0;
   int bs[2] = {0, 0};  // blocksizes
   std::vector<Codebook> books;
-  std::vector<Floor1> floors;
+  struct FloorDef {
+    int type = 1;
+    Floor1 f1;
+    Floor0 f0;
+  };
+  std::vector<FloorDef> floors;
   std::vector<Residue> residues;
   std::vector<Mapping> mappings;
   std::vector<Mode> modes;
@@ -610,10 +667,15 @@ struct Decoder {
     floors.resize(nfloors);
     for (int i = 0; i < nfloors; ++i) {
       int ft = b.get(16);
-      if (ft == 0)
-        fail();  // floor0 (legacy LSP): unsupported, documented
-      if (ft != 1) fail();
-      floors[i].parse(b, nbooks);
+      if (ft == 0) {
+        floors[i].type = 0;
+        floors[i].f0.parse(b, books, bs);
+      } else if (ft == 1) {
+        floors[i].type = 1;
+        floors[i].f1.parse(b, nbooks);
+      } else {
+        fail();
+      }
     }
     int nres = b.get(6) + 1;
     residues.resize(nres);
@@ -757,6 +819,72 @@ struct Decoder {
     for (int j = 0; j < n4; ++j) y[j] = X[n4 + j];
     for (int j = 0; j < n2; ++j) y[n4 + j] = -X[n2 - 1 - j];
     for (int j = 0; j < n4; ++j) y[n4 + n2 + j] = -X[j];
+  }
+
+  // ---- floor0 decode (floor0.c floor0_inverse1 semantics) ----
+  bool floor0_decode(const Floor0& f, Bits& b, std::vector<float>& lsp,
+                     float* amp_out) const {
+    int ampraw = static_cast<int>(b.get(f.ampbits));
+    if (ampraw <= 0) return false;
+    long maxval = (1L << f.ampbits) - 1;
+    float amp = static_cast<float>(ampraw) / maxval * f.ampdB;
+    int nb = static_cast<int>(f.book_ids.size());
+    int booknum = static_cast<int>(b.get(ilog(static_cast<uint32_t>(nb))));
+    if (booknum >= nb) return false;  // reference: paranoid -> unused
+    const Codebook& cb = books[f.book_ids[booknum]];
+    lsp.assign(f.order, 0.0f);
+    for (int j = 0; j < f.order;) {
+      int e = cb.decode(b);  // EopError propagates -> channel unused
+      for (int k = 0; j < f.order && k < cb.dim; ++k, ++j)
+        lsp[j] = cb.values[static_cast<size_t>(e) * cb.dim + k];
+    }
+    float last = 0.f;
+    for (int j = 0; j < f.order;) {
+      for (int k = 0; j < f.order && k < cb.dim; ++k, ++j) lsp[j] += last;
+      last = lsp[j - 1];
+    }
+    *amp_out = amp;
+    return true;
+  }
+
+  // lsp.c vorbis_lsp_to_curve, plain-float variant (both LOOKUP paths
+  // are #undef'd in the reference build); multiplies the residue
+  // spectrum in place like floor1_apply.
+  void floor0_apply(const Floor0& f, std::vector<float>& lsp, float amp,
+                    float* out, int n, int W) const {
+    const std::vector<int>& map = f.map[W];
+    int m = f.order;
+    float wdel = static_cast<float>(M_PI / f.barkmap);
+    // NB: C promotes these float args to double (cos/sqrt/exp), so the
+    // double forms are the reference-exact ones — std::cos(float) would
+    // take the float overload and drift by an ulp
+    for (int i = 0; i < m; ++i)
+      lsp[i] = static_cast<float>(2.f * std::cos(static_cast<double>(lsp[i])));
+    int i = 0;
+    while (i < n) {
+      int j, k = map[i];
+      float p = .5f;
+      float q = .5f;
+      float w = static_cast<float>(2.f * std::cos(static_cast<double>(wdel * k)));
+      for (j = 1; j < m; j += 2) {
+        q *= w - lsp[j - 1];
+        p *= w - lsp[j];
+      }
+      if (j == m) {
+        q *= w - lsp[j - 1];
+        p *= p * (4.f - w * w);
+        q *= q;
+      } else {
+        p *= p * (2.f - w);
+        q *= q * (2.f + w);
+      }
+      float qv = static_cast<float>(
+          std::exp((amp / std::sqrt(static_cast<double>(p + q)) - f.ampdB) *
+                   .11512925f));
+      out[i] *= qv;
+      while (i + 1 < n && map[i + 1] == k) out[++i] *= qv;
+      ++i;
+    }
   }
 
   // ---- floor1 decode ----
@@ -955,11 +1083,17 @@ struct Decoder {
     int n = bs[W], n2 = n / 2;
 
     std::vector<std::vector<int>> fits(channels);
+    std::vector<std::vector<float>> lsps(channels);
+    std::vector<float> amps(channels, 0.0f);
     std::vector<uint8_t> floor_used(channels, 0);
     for (int c = 0; c < channels; ++c) {
-      const Floor1& f = floors[map.submap_floor[map.mux[c]]];
+      const FloorDef& fd = floors[map.submap_floor[map.mux[c]]];
       try {
-        floor_used[c] = floor1_decode(f, b, fits[c]) ? 1 : 0;
+        if (fd.type == 0) {
+          floor_used[c] = floor0_decode(fd.f0, b, lsps[c], &amps[c]) ? 1 : 0;
+        } else {
+          floor_used[c] = floor1_decode(fd.f1, b, fits[c]) ? 1 : 0;
+        }
       } catch (const EopError&) {
         floor_used[c] = 0;
       }
@@ -1021,8 +1155,12 @@ struct Decoder {
     std::vector<float> y(n);
     for (int c = 0; c < channels; ++c) {
       if (floor_used[c]) {
-        const Floor1& f = floors[map.submap_floor[map.mux[c]]];
-        floor1_apply(f, fits[c], pcm[c].data(), n2);
+        const FloorDef& fd = floors[map.submap_floor[map.mux[c]]];
+        if (fd.type == 0) {
+          floor0_apply(fd.f0, lsps[c], amps[c], pcm[c].data(), n2, W);
+        } else {
+          floor1_apply(fd.f1, fits[c], pcm[c].data(), n2);
+        }
       } else {
         std::memset(pcm[c].data(), 0, sizeof(float) * n2);
       }

@@ -251,6 +251,73 @@ def vorbis_oracle(tmp_path_factory):
     return run
 
 
+def _decode_mem_native(buf: bytes):
+    import ctypes
+
+    lib = native._load()
+    out = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_uint64()
+    fs = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    rc = lib.zen_vorbis_decode_mem(buf, len(buf), ctypes.byref(out),
+                                   ctypes.byref(frames), ctypes.byref(fs),
+                                   ctypes.byref(ch))
+    assert rc == 0, f"native decode failed rc={rc}"
+    n = frames.value * ch.value
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(n,)).copy() if n else np.zeros(0, np.float32)
+    finally:
+        lib.zen_vorbis_free(out)
+    return int(fs.value), arr.reshape(frames.value, ch.value)
+
+
+@pytest.mark.parametrize("seed,silent_every", [(0, 0), (1, 0), (2, 5), (3, 3)])
+def test_floor0_differential_vs_libvorbis(vorbis_oracle, tmp_path, seed, silent_every):
+    """Floor type 0 (legacy LSP): no encoder emits it, so streams are
+    synthesized bit-by-bit (tests/vorbis_floor0_gen.py) and the decode
+    must match the libvorbis oracle float-for-float — LSP curve
+    synthesis, Bark mapping, amplitude handling, and the unused-floor
+    (amplitude 0) channel-silence path."""
+    _need_native()
+    from vorbis_floor0_gen import make_stream
+
+    data = make_stream(n_packets=25, seed=seed, silent_every=silent_every)
+    path = tmp_path / f"floor0_{seed}.ogg"
+    path.write_bytes(data)
+    fs_ref, ref = vorbis_oracle(str(path))
+    fs_got, got = _decode_mem_native(data)
+    assert fs_got == fs_ref == 8000
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    # same float-exact standard as the corpus gate below: one-ulp-scale
+    # agreement (the residual is this decoder's radix-2 IMDCT vs
+    # libvorbis's smallft, present for every stream, not floor0)
+    g = got.astype(np.float64)
+    r = ref.astype(np.float64)
+    err = ((g - r) ** 2).mean()
+    sig = (r ** 2).mean()
+    assert sig > 0, "stream should be audible"
+    snr = 10 * np.log10(sig / err) if err > 0 else np.inf
+    assert snr > 120, f"floor0 decode SNR {snr:.1f} dB"
+    peak = np.abs(r).max()
+    assert np.abs(g - r).max() <= 4e-6 * peak, "non-ulp-scale divergence"
+
+
+def test_floor0_regression_stream_pinned():
+    """The seed-0 floor0 stream is pinned as a repo asset so the
+    decode matrix's floor0 row stays covered without the oracle."""
+    _need_native()
+    import pathlib
+
+    from vorbis_floor0_gen import make_stream
+
+    pinned = pathlib.Path(__file__).parent / "data" / "floor0_regression.ogg"
+    data = make_stream(n_packets=25, seed=0)
+    assert pinned.read_bytes() == data, "regenerate tests/data/floor0_regression.ogg"
+    fs, x = _decode_mem_native(data)
+    assert fs == 8000 and x.shape[0] > 2000
+    assert np.all(np.isfinite(x))
+
+
 def test_matches_reference_decoder_float_exact(vorbis_oracle):
     """Every corpus file must match the reference libvorbis decode at
     float precision (observed 130.3 dB / one-ulp max error on

@@ -587,6 +587,61 @@ def _time_kernel(
         out_ref[0] = _median_network(taps, (k - 1) // 2)
 
 
+# Wide-serving fleets (≥ this many batch rows) leave the manual-DMA
+# grid and take the auto-double-buffered BlockSpec kernel below: with
+# one grid program per stream, the per-program copy-then-wait pattern
+# serializes ~c DMA latencies, which is what made the 512-stream chip
+# curve super-linear (serving_bound_r04 + scripts/median_cliff_ab*.py;
+# measured 808→505 us/step at S=512 on the v5e, parity-identical).
+# Below the threshold the carried state is chip-resident and the
+# manual-DMA path is faster (18.6 vs 41 us at S=64), so it stays.
+_TIME_PIPED_MIN_BATCH = 256
+
+
+def _time_kernel_piped(x_ref, out_ref, *, offsets, first_tap: int, half: int, tb: int):
+    """Whole-extent blocks, one stream per program: Pallas pre-fetches
+    program i+1's block while i computes (no explicit DMA)."""
+    shifted = tuple(first_tap + o for o in offsets)
+    out_ref[0] = _median_network_cse(x_ref[0], shifted, half, 0, tb)
+
+
+def _time_impl_piped(
+    xc: jnp.ndarray, offsets: tuple, fill: float, start: int
+) -> jnp.ndarray:
+    """n_t==1/n_f==1 specialization of _time_impl for large stream
+    counts; bit-identical output (tested against the general path)."""
+    c, t, f = xc.shape
+    t_out = t - start
+    back = max(0, -min(offsets))
+    fwd = max(0, max(offsets))
+    top_pad = max(0, back - start)
+    base = start - back + top_pad
+    f_pad = _align(f, 128)
+    tb = t_out
+    need = base + back + fwd + tb
+    t_pad = _align(max(top_pad + t, need), 8)
+    xp = jnp.pad(
+        xc,
+        ((0, 0), (top_pad, t_pad - top_pad - t), (0, f_pad - f)),
+        constant_values=fill,
+    )
+    k = len(offsets)
+    out = pl.pallas_call(
+        functools.partial(
+            _time_kernel_piped,
+            offsets=tuple(offsets),
+            first_tap=base + back,
+            half=(k - 1) // 2,
+            tb=tb,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, tb, f_pad), jnp.float32),
+        grid=(c,),
+        in_specs=[pl.BlockSpec((1, t_pad, f_pad), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, tb, f_pad), lambda i: (i, 0, 0)),
+    )(xp)
+    return out[:, :, :f]
+
+
 def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: bool):
     """Tap median of rows start..T-1 only (out[..., i, :] = median over
     x[..., start + i + o, :]); streaming callers filter just the new
@@ -614,6 +669,14 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
     tb = _pick_tb(n_pad, fb, t_out)
     n_t = -(-t_out // tb)
     t_pad_out = n_t * tb
+    if (
+        cse
+        and c >= _TIME_PIPED_MIN_BATCH
+        and n_t == 1
+        and n_f == 1
+        and t * f_pad * 4 <= (2 << 20)  # whole-extent block stays tiny in VMEM
+    ):
+        return _time_impl_piped(xc, offsets, fill, start).reshape(lead + (t_out, f))
     rows = _align(tb + back + fwd, 8)  # aligned slab rows
     need_rows = base + (n_t - 1) * tb + rows
     bottom_pad = max(0, need_rows - (top_pad + t))
