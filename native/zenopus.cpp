@@ -32,70 +32,116 @@ int read_frame_len(const uint8_t*& p, const uint8_t* end) {
 
 int opus_packet_frames(const uint8_t* data, size_t len, Toc* toc,
                        std::vector<std::pair<const uint8_t*, int>>& frames) {
+  int32_t off;
+  return opus_packet_parse(data, static_cast<int32_t>(len), false, toc, frames, &off);
+}
+
+// opus_packet_parse_impl semantics (libopus/src/opus.c:88-240),
+// including Appendix-B self-delimited framing for multistream packets.
+int opus_packet_parse(const uint8_t* data, int32_t len, bool self_delimited, Toc* toc,
+                      std::vector<std::pair<const uint8_t*, int>>& frames,
+                      int32_t* packet_offset) {
   frames.clear();
   if (len < 1) fail();
+  const uint8_t* data0 = data;
   *toc = parse_toc(data[0]);
-  const uint8_t* p = data + 1;
-  const uint8_t* end = data + len;
+  int framesize = toc->frame_samples48;
   int count;
-  bool cbr = true;
-  int pad = 0;
+  bool cbr = false;
+  int32_t pad = 0;
+  int sizes[48];
+  data++;
+  len--;
+  int32_t last_size = len;
   switch (toc->code) {
     case 0:
       count = 1;
       break;
     case 1:
       count = 2;
-      if ((end - p) & 1) fail();
+      cbr = true;
+      if (!self_delimited) {
+        if (len & 1) fail();
+        last_size = len / 2;
+        sizes[0] = static_cast<int>(last_size);
+      }
       break;
     case 2: {
       count = 2;
-      cbr = false;
+      const uint8_t* p = data;
+      const uint8_t* end = data + len;
+      sizes[0] = read_frame_len(p, end);
+      int bytes = static_cast<int>(p - data);
+      len -= bytes;
+      if (sizes[0] > len) fail();
+      data = p;
+      last_size = len - sizes[0];
       break;
     }
     default: {  // code 3
-      if (p >= end) fail();
-      int fc = *p++;
-      count = fc & 0x3F;
-      if (count < 1 || count * toc->frame_samples48 > 5760) fail();
-      cbr = (fc & 0x80) == 0;
-      if (fc & 0x40) {  // padding
-        int b;
+      if (len < 1) fail();
+      int ch = *data++;
+      count = ch & 0x3F;
+      if (count <= 0 || framesize * count > 5760) fail();
+      len--;
+      if (ch & 0x40) {  // padding
+        int p;
         do {
-          if (p >= end) fail();
-          b = *p++;
-          pad += b == 255 ? 254 : b;
-        } while (b == 255);
+          if (len <= 0) fail();
+          p = *data++;
+          len--;
+          int tmp = p == 255 ? 254 : p;
+          len -= tmp;
+          pad += tmp;
+        } while (p == 255);
+      }
+      if (len < 0) fail();
+      cbr = !(ch & 0x80);
+      if (!cbr) {
+        last_size = len;
+        for (int i = 0; i < count - 1; i++) {
+          const uint8_t* p = data;
+          const uint8_t* end = data + len;
+          sizes[i] = read_frame_len(p, end);
+          int bytes = static_cast<int>(p - data);
+          len -= bytes;
+          if (sizes[i] > len) fail();
+          data = p;
+          last_size -= bytes + sizes[i];
+        }
+        if (last_size < 0) fail();
+      } else if (!self_delimited) {
+        last_size = len / count;
+        if (last_size * count != len) fail();
+        for (int i = 0; i < count - 1; i++) sizes[i] = static_cast<int>(last_size);
       }
       break;
     }
   }
-  if (end - p < pad) fail();
-  end -= pad;
-  if (toc->code == 2 || (toc->code == 3 && !cbr)) {
-    // VBR: explicit lengths for all but the last frame
-    int explicit_n = toc->code == 2 ? 1 : count - 1;
-    std::vector<int> lens(explicit_n);
-    for (int i = 0; i < explicit_n; i++) lens[i] = read_frame_len(p, end);
-    for (int i = 0; i < explicit_n; i++) {
-      if (end - p < lens[i]) fail();
-      frames.emplace_back(p, lens[i]);
-      p += lens[i];
+  if (self_delimited) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    sizes[count - 1] = read_frame_len(p, end);
+    int bytes = static_cast<int>(p - data);
+    len -= bytes;
+    if (sizes[count - 1] > len) fail();
+    data = p;
+    if (cbr) {
+      if (sizes[count - 1] * count > len) fail();
+      for (int i = 0; i < count - 1; i++) sizes[i] = sizes[count - 1];
+    } else if (bytes + sizes[count - 1] > last_size) {
+      fail();
     }
-    frames.emplace_back(p, static_cast<int>(end - p));
   } else {
-    long total = end - p;
-    if (total % count) fail();
-    int flen = static_cast<int>(total / count);
-    if (flen > 1275) fail();
-    for (int i = 0; i < count; i++) {
-      frames.emplace_back(p, flen);
-      p += flen;
-    }
+    if (last_size > 1275) fail();
+    sizes[count - 1] = static_cast<int>(last_size);
   }
-  for (auto& f : frames) {
-    if (f.second < 0 || f.second > 1275) fail();
+  for (int i = 0; i < count; i++) {
+    if (sizes[i] < 0) fail();
+    frames.emplace_back(data, sizes[i]);
+    data += sizes[i];
   }
+  if (packet_offset) *packet_offset = pad + static_cast<int32_t>(data - data0);
   return count;
 }
 
@@ -121,6 +167,10 @@ struct OpusDec {
   int decode_frame(const uint8_t* data, int len, const Toc& toc, float* pcm);
   // PLC/DTX: conceal audiosize samples using the previous mode.
   int conceal_frame(int audiosize, float* pcm);
+  // Decode a pre-parsed frame list (multistream path parses packets
+  // with self-delimited framing first).
+  int decode_frames(const Toc& toc, const std::vector<std::pair<const uint8_t*, int>>& frames,
+                    float* pcm);
   // Decode a whole packet; pcm must hold 5760*channels floats.
   int decode_packet(const uint8_t* data, size_t len, float* pcm);
 };
@@ -348,11 +398,10 @@ int OpusDec::decode_frame(const uint8_t* data, int len, const Toc& toc, float* p
   return audiosize;
 }
 
-int OpusDec::decode_packet(const uint8_t* data, size_t len, float* pcm) {
-  Toc toc;
-  std::vector<std::pair<const uint8_t*, int>> frames;
-  int count = opus_packet_frames(data, len, &toc, frames);
-  if (count * toc.frame_samples48 > 5760) fail();
+int OpusDec::decode_frames(const Toc& toc,
+                           const std::vector<std::pair<const uint8_t*, int>>& frames,
+                           float* pcm) {
+  if (static_cast<int>(frames.size()) * toc.frame_samples48 > 5760) fail();
   stream_channels = toc.stereo ? 2 : 1;
   frame_size = toc.frame_samples48;
   int total = 0;
@@ -360,6 +409,13 @@ int OpusDec::decode_packet(const uint8_t* data, size_t len, float* pcm) {
     total += decode_frame(f.first, f.second, toc, pcm + static_cast<size_t>(total) * channels);
   }
   return total;
+}
+
+int OpusDec::decode_packet(const uint8_t* data, size_t len, float* pcm) {
+  Toc toc;
+  std::vector<std::pair<const uint8_t*, int>> frames;
+  opus_packet_frames(data, len, &toc, frames);
+  return decode_frames(toc, frames, pcm);
 }
 
 // ---- Ogg Opus container (RFC 7845) ----------------------------------------
@@ -501,24 +557,87 @@ void decode_ogg_opus(const uint8_t* data, size_t len, std::vector<float>& out, u
   int16_t gain_q8 = static_cast<int16_t>(rd_u16(&head[16]));
   int family = head[18];
   if (channels < 1) fail();
-  if (family != 0) {
-    // families 1/255 (multistream surround) need the self-delimited
-    // multistream layer; detected and rejected with a clear error
-    throw OpError{};
+  // channel layout (RFC 7845 §5.1.1): family 0 is one mono/stereo
+  // stream; families 1/255 carry stream_count self-delimited Opus
+  // packets per Ogg packet, mapped to output channels
+  int stream_count = 1, coupled_count = 0;
+  std::vector<uint8_t> mapping;
+  if (family == 0) {
+    if (channels > 2) fail();
+    stream_count = 1;
+    coupled_count = channels == 2 ? 1 : 0;
+    for (int c = 0; c < channels; c++) mapping.push_back(static_cast<uint8_t>(c));
+  } else {
+    if (head.size() < static_cast<size_t>(21 + channels)) fail();
+    stream_count = head[19];
+    coupled_count = head[20];
+    if (stream_count < 1 || coupled_count > stream_count ||
+        stream_count + coupled_count > 255) {
+      fail();
+    }
+    for (int c = 0; c < channels; c++) {
+      uint8_t m = head[21 + c];
+      if (m != 255 && m >= coupled_count + stream_count) fail();
+      mapping.push_back(m);
+    }
   }
-  if (channels > 2) fail();
   // pkts[1] must be OpusTags (skipped); audio starts at pkts[2]
   if (pkts[1].data.size() < 8 || std::memcmp(pkts[1].data.data(), "OpusTags", 8) != 0) fail();
 
-  OpusDec dec(channels);
+  std::vector<OpusDec> decs;
+  decs.reserve(static_cast<size_t>(stream_count));
+  for (int s = 0; s < stream_count; s++) decs.emplace_back(s < coupled_count ? 2 : 1);
   out.clear();
   int64_t last_granule = -1;
-  std::vector<float> frame_pcm(static_cast<size_t>(5760) * channels);
+  std::vector<std::vector<float>> stream_pcm(static_cast<size_t>(stream_count),
+                                             std::vector<float>(5760 * 2));
   for (size_t i = 2; i < pkts.size(); i++) {
     if (pkts[i].data.empty()) continue;
-    int got = dec.decode_packet(pkts[i].data.data(), pkts[i].data.size(), frame_pcm.data());
-    out.insert(out.end(), frame_pcm.begin(),
-               frame_pcm.begin() + static_cast<size_t>(got) * channels);
+    // decode every elementary stream of this Ogg packet
+    const uint8_t* p = pkts[i].data.data();
+    int32_t remaining = static_cast<int32_t>(pkts[i].data.size());
+    int got = -1;
+    for (int s = 0; s < stream_count; s++) {
+      bool self_delim = s < stream_count - 1;
+      Toc toc;
+      std::vector<std::pair<const uint8_t*, int>> frames;
+      int32_t consumed = remaining;
+      opus_packet_parse(p, remaining, self_delim, &toc, frames, &consumed);
+      // re-assemble the elementary packet span for decode_packet:
+      // frames are contiguous, so decode from the packet start with
+      // a per-stream decoder via the frame list directly
+      int32_t elem_len = self_delim ? consumed : remaining;
+      int g = decs[static_cast<size_t>(s)].decode_frames(toc, frames,
+                                                         stream_pcm[static_cast<size_t>(s)].data());
+      if (got < 0) got = g;
+      if (g != got) fail();  // streams must stay in lockstep
+      p += elem_len;
+      remaining -= elem_len;
+    }
+    // map stream channels to output channels
+    size_t base = out.size();
+    out.resize(base + static_cast<size_t>(got) * channels);
+    for (int c = 0; c < channels; c++) {
+      uint8_t m = mapping[static_cast<size_t>(c)];
+      if (m == 255) {
+        for (int j = 0; j < got; j++) out[base + static_cast<size_t>(j) * channels + c] = 0;
+        continue;
+      }
+      int s, sub, sch;
+      if (m < 2 * coupled_count) {
+        s = m / 2;
+        sub = m & 1;
+        sch = 2;
+      } else {
+        s = coupled_count + (m - 2 * coupled_count);
+        sub = 0;
+        sch = 1;
+      }
+      const float* src = stream_pcm[static_cast<size_t>(s)].data();
+      for (int j = 0; j < got; j++) {
+        out[base + static_cast<size_t>(j) * channels + c] = src[j * sch + sub];
+      }
+    }
     if (pkts[i].granule >= 0) last_granule = pkts[i].granule;
   }
   // RFC 7845 §4.4/§4.5: drop pre-skip, then trim to granule length

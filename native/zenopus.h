@@ -288,6 +288,11 @@ inline Toc parse_toc(uint8_t b) {
 // VBR lengths).  Returns frame count; fills spans with (ptr,len).
 int opus_packet_frames(const uint8_t* data, size_t len, Toc* toc,
                        std::vector<std::pair<const uint8_t*, int>>& frames);
+// Full parse incl. Appendix-B self-delimited framing (multistream);
+// packet_offset receives the total bytes consumed (incl. padding).
+int opus_packet_parse(const uint8_t* data, int32_t len, bool self_delimited, Toc* toc,
+                      std::vector<std::pair<const uint8_t*, int>>& frames,
+                      int32_t* packet_offset);
 
 // ---- SILK decoder ---------------------------------------------------------
 struct SilkResampler {

@@ -15,9 +15,9 @@ from the read-only mount at test time (nothing copied into the repo):
    by packet — SILK is specified in fixed point, so the rebuild is
    bit-exact, not merely close.
 
-DTX packets (1-byte frames) engage the reference's PLC/CNG
-extrapolation; until that subsystem lands, streams containing them are
-excluded from the exactness sweep (see test_dtx_divergence_bounded).
+Coverage: whole-file (incl. multistream surround, channel mapping
+family 1), SILK bit-exactness sweeps (incl. DTX via the fixed-point
+PLC/CNG), CELT/hybrid float-exact SNR, and mode transitions.
 """
 import os
 import shutil
@@ -33,7 +33,7 @@ _DIR = "/root/reference/vendor/libnyquist/test_data/ad_hoc"
 _OPUS = "/root/reference/vendor/libnyquist/third_party/opus"
 _OGG = "/root/reference/vendor/libnyquist/third_party/libogg"
 # bump the suffix when the embedded oracle sources change (cache key)
-_CACHE = "/tmp/zenopus_oracle_build_v2"
+_CACHE = "/tmp/zenopus_oracle_build_v3"
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(_DIR), reason="reference test data absent"
@@ -71,12 +71,14 @@ int main(int argc, char** argv) {
 
 _ORACLE_PKT = r"""
 /* encode <out.bin> <ch> <bitrate> <frame_ms_x10> <cbr> <force> <maxbw> <fec> <sec_x10> [app]
+   msencode <out.bin> <ch> <streams> <coupled> <map0,map1,...> <bitrate> <sec_x10>
    decode <in.bin> <out.f32> <ch>  — [u32 len][bytes] packet files */
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 #include <math.h>
 #include <opus.h>
+#include <opus_multistream.h>
 #define OPUS_SET_FORCE_MODE_REQUEST 11002
 #define OPUS_SET_FORCE_MODE(x) OPUS_SET_FORCE_MODE_REQUEST, __opus_check_int(x)
 int main(int argc, char** argv) {
@@ -99,6 +101,42 @@ int main(int argc, char** argv) {
       off += len;
       if (r < 0) return 1;
       fwrite(pcm, sizeof(float), (size_t)r * ch, out);
+    }
+    fclose(out);
+    return 0;
+  }
+  if (!strcmp(argv[1], "msencode")) {
+    int ch = atoi(argv[3]);
+    int streams = atoi(argv[4]), coupled = atoi(argv[5]);
+    unsigned char mapping[8];
+    { char* tok = strtok(argv[6], ",");
+      for (int i = 0; i < ch && tok; i++) { mapping[i] = (unsigned char)atoi(tok); tok = strtok(NULL, ","); } }
+    int bitrate = atoi(argv[7]), sec10 = atoi(argv[8]);
+    long total = 48000L * sec10 / 10;
+    float* sig = malloc(sizeof(float) * total * ch);
+    unsigned s = 777u;
+    for (long i = 0; i < total; i++) {
+      double t = (double)i / 48000.0;
+      for (int c = 0; c < ch; c++) {
+        double v = 0.3 * sin(2 * M_PI * (150 + 70 * c) * t + 0.3 * c);
+        s = s * 1664525u + 1013904223u;
+        v += 0.02 * ((double)(s >> 8) / 8388608.0 - 1.0);
+        sig[i * ch + c] = (float)(v * (0.3 + 0.7 * fabs(sin(2 * M_PI * 0.5 * t))));
+      }
+    }
+    int err;
+    OpusMSEncoder* enc = opus_multistream_encoder_create(48000, ch, streams, coupled,
+                                                         mapping, 2049, &err);
+    if (!enc) return 1;
+    opus_multistream_encoder_ctl(enc, OPUS_SET_BITRATE(bitrate));
+    FILE* out = fopen(argv[2], "wb");
+    unsigned char pkt[8000];
+    for (long pos = 0; pos + 960 <= total; pos += 960) {
+      int r = opus_multistream_encode_float(enc, sig + pos * ch, 960, pkt, sizeof pkt);
+      if (r < 0) return 1;
+      unsigned len = r;
+      fwrite(&len, 4, 1, out);
+      fwrite(pkt, 1, len, out);
     }
     fclose(out);
     return 0;
@@ -439,6 +477,99 @@ def test_mode_transitions_silk_celt(oracle):
     assert snr > 110, f"transition stream SNR {snr:.1f} dB"
     big = np.abs(got - ref) > 1e-4
     assert not big.any(), f"{big.sum()} samples diverge beyond float-cascade level"
+
+
+def _ogg_page(packets, serial, seqno, granule, bos=False, eos=False):
+    crc_table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (r << 1) & 0xFFFFFFFF
+        crc_table.append(r)
+    lacing = bytearray()
+    body = bytearray()
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        lacing.append(n)
+        body.extend(p)
+    htype = (2 if bos else 0) | (4 if eos else 0)
+    hdr = bytearray(b"OggS") + bytes([0, htype]) + struct.pack("<q", granule)
+    hdr += struct.pack("<II", serial, seqno) + b"\x00" * 4 + bytes([len(lacing)]) + lacing
+    page = bytes(hdr) + bytes(body)
+    crc = 0
+    for b in page:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ crc_table[((crc >> 24) ^ b) & 0xFF]
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def _build_ogg_opus_ms(pkts_path, channels, streams, coupled, mapping):
+    """Wrap a multistream packet sequence in an Ogg Opus container
+    (RFC 7845 channel mapping family 1)."""
+    head = bytearray(b"OpusHead") + bytes([1, channels]) + struct.pack("<H", 312)
+    head += struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([1])
+    head += bytes([streams, coupled]) + bytes(mapping)
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"zen!" + struct.pack("<I", 0)
+    data = open(pkts_path, "rb").read()
+    pkts = []
+    off = 0
+    while off + 4 <= len(data):
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        pkts.append(data[off:off + ln])
+        off += ln
+    pages = [_ogg_page([bytes(head)], 7, 0, 0, bos=True), _ogg_page([tags], 7, 1, 0)]
+    total = 960 * len(pkts)
+    # split audio packets over pages of <=20 packets
+    seq = 2
+    for i in range(0, len(pkts), 20):
+        chunk = pkts[i:i + 20]
+        last = i + len(chunk) >= len(pkts)
+        granule = 312 + 960 * (i + len(chunk)) if not last else 312 + total
+        pages.append(_ogg_page(chunk, 7, seq, granule, eos=last))
+        seq += 1
+    return b"".join(pages)
+
+
+@pytest.mark.parametrize("name,ch,streams,coupled,mapping", [
+    ("quad", 4, 2, 2, [0, 1, 2, 3]),
+    ("5dot1", 6, 4, 2, [0, 4, 1, 2, 3, 5]),
+    ("3dot0_with_silent", 4, 2, 1, [0, 1, 2, 255]),
+])
+def test_multistream_surround_vs_opusfile(oracle, name, ch, streams, coupled, mapping):
+    """Channel mapping family 1 (multistream surround): self-delimited
+    elementary packets, per-stream decoders, channel mapping incl. the
+    255 silent-channel code — the full-file decode must match opusfile
+    at the float-exact envelope."""
+    _need_native()
+    work = oracle["work"]
+    pkts = work / f"ms_{name}.bin"
+    r = subprocess.run([oracle["pkt"], "msencode", str(pkts), str(ch), str(streams),
+                        str(coupled), ",".join(str(m) for m in mapping), "96000", "20"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ogg = work / f"ms_{name}.opus"
+    ogg.write_bytes(_build_ogg_opus_ms(str(pkts), ch, streams, coupled, mapping))
+    ref_raw = work / f"ms_{name}_ref.f32"
+    rr = subprocess.run([oracle["file"], str(ogg), str(ref_raw)], capture_output=True,
+                       text=True)
+    assert rr.returncode == 0, rr.stderr
+    nch = int(rr.stdout.strip())
+    assert nch == ch
+    ref = np.fromfile(ref_raw, np.float32).reshape(-1, ch).astype(np.float64)
+    fs, got = native.opus_read(str(ogg))
+    assert fs == 48000
+    got = got.astype(np.float64)
+    assert got.shape == ref.shape
+    err = ((got - ref) ** 2).mean()
+    sig = (ref ** 2).mean()
+    snr = 10 * np.log10(sig / err) if err > 0 else np.inf
+    assert snr > 120, f"{name}: multistream SNR {snr:.1f} dB"
+    for c in range(ch):
+        if mapping[c] == 255:
+            assert np.all(got[:, c] == 0), "mapped-silent channel must be zero"
 
 
 def test_read_audio_mono_routes_opus():
