@@ -138,15 +138,17 @@ def main() -> int:
          native.mp3_read, "zenmp3.cpp"),
         ("mpc_decode_native", "44_16_stereo.mpc", native.mpc_available,
          native.mpc_read, "zenmpc.cpp"),
+        ("opus_decode_native", "detodos.opus", native.opus_available,
+         native.opus_read, "zenopus.cpp (SILK-WB; 48 kHz out)"),
     ]
     for name, fname, avail, reader, note in foreign:
         path = os.path.join(corpus, fname)
         if not (os.path.isfile(path) and avail()):
             continue
-        _, frames = reader(path)
+        fs_dec, frames = reader(path)
         nsamp = frames.shape[0] * frames.shape[1]
         secs = best_of(lambda: reader(path))
-        dur_s = frames.shape[0] / 44100.0
+        dur_s = frames.shape[0] / float(fs_dec)
         rows[name] = {
             "ms": round(secs * 1e3, 1),
             "msamples_per_s": round(nsamp / secs / 1e6, 2),

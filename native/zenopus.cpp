@@ -212,9 +212,9 @@ int OpusDec::conceal_frame(int audiosize, float* pcm) {
     }
   }
   for (int i = 0; i < audiosize * channels; i++) pcm[i] = 0;
+  std::vector<int16_t> pcm_silk;
   if (mode != Mode::kCelt) {
-    std::vector<int16_t> pcm_silk(static_cast<size_t>(audiosize < kF10 ? kF10 : audiosize) *
-                                  channels);
+    pcm_silk.assign(static_cast<size_t>(audiosize < kF10 ? kF10 : audiosize) * channels, 0);
     int duration_ms = audiosize / 48 < 10 ? 10 : audiosize / 48;
     int done = 0;
     while (done < audiosize) {
@@ -223,12 +223,16 @@ int OpusDec::conceal_frame(int audiosize, float* pcm) {
                                  channels);
       done += got;
     }
+  }
+  if (mode != Mode::kSilk) {
+    // CELT PLC runs for both CELT and hybrid concealment
+    celt.stream_channels = stream_channels;
+    celt.decode(nullptr, nullptr, 0, pcm, audiosize);
+  }
+  if (mode != Mode::kCelt) {
     for (int i = 0; i < audiosize * channels; i++) {
       pcm[i] += (1.0f / 32768.0f) * pcm_silk[i];
     }
-  } else {
-    celt.stream_channels = stream_channels;
-    celt.decode(nullptr, nullptr, 0, pcm, audiosize);  // CELT PLC
   }
   prev_redundancy = false;
   return audiosize;
