@@ -146,22 +146,31 @@ def test_time_kernel_start_offset(start):
     np.testing.assert_allclose(tail, full[start:])
 
 
-def test_time_kernel_piped_wide_batch_parity():
+@pytest.mark.parametrize(
+    "c,t,f,k,start",
+    [
+        (256, 24, 130, 9, 8),    # the serving shape family
+        (256, 40, 513, 17, 8),   # hop-256 bins, production tap count
+        (320, 12, 64, 5, 0),     # no history offset, tiny tiles
+        (256, 33, 257, 7, 21),   # odd everything
+    ],
+)
+def test_time_kernel_piped_wide_batch_parity(c, t, f, k, start):
     """The wide-serving pipelined specialization (c >= 256, single
     t/f tile — see _TIME_PIPED_MIN_BATCH) is bit-identical to the
     manual-DMA grid path it replaces on those shapes."""
     from zen_tpu.ops import median_pallas as mp
 
     rng = np.random.default_rng(11)
-    offsets = tuple(range(-8, 1))
-    x = rng.standard_normal((256, 24, 130)).astype(np.float32)
-    piped = np.asarray(mp.tap_median_time_pallas(jnp.asarray(x), offsets, 0.0, 8))
+    offsets = tuple(range(-(k - 1), 1))
+    x = rng.standard_normal((c, t, f)).astype(np.float32)
+    piped = np.asarray(mp.tap_median_time_pallas(jnp.asarray(x), offsets, 0.0, start))
     # force the general path by lowering the threshold out of reach
     import unittest.mock as mock
 
     with mock.patch.object(mp, "_TIME_PIPED_MIN_BATCH", 10**9):
         general = np.asarray(
-            mp.tap_median_time_pallas(jnp.asarray(x), offsets, 0.0, 8)
+            mp.tap_median_time_pallas(jnp.asarray(x), offsets, 0.0, start)
         )
     np.testing.assert_array_equal(piped, general)
 
