@@ -115,14 +115,17 @@ int main(int argc, char** argv) {
     }
     const auto& seed = seeds[smallest];
 
-    // 2. truncation sweep
-    for (size_t cut = 0; cut < seed.size(); cut += 37) {
+    // 2. truncation sweep (step scales with seed size so the ASAN run
+    // stays bounded for large multistream seeds)
+    size_t tstep = seed.size() / 128 + 1;
+    for (size_t cut = 0; cut < seed.size(); cut += tstep) {
       std::vector<uint8_t> t(seed.begin(), seed.begin() + static_cast<long>(cut));
       try_decode(t);
     }
     // 3. single-byte corruption sweep
     std::vector<uint8_t> mut = seed;
-    for (size_t i = 0; i < mut.size(); i += 11) {
+    size_t cstep = seed.size() / 256 + 1;
+    for (size_t i = 0; i < mut.size(); i += cstep) {
       uint8_t keep = mut[i];
       mut[i] ^= static_cast<uint8_t>(1 + (prng() & 0xFE));
       try_decode(mut);

@@ -572,6 +572,22 @@ def test_multistream_surround_vs_opusfile(oracle, name, ch, streams, coupled, ma
             assert np.all(got[:, c] == 0), "mapped-silent channel must be zero"
 
 
+def test_multistream_regression_pinned():
+    """A quad (family 1, 2 coupled streams) file is pinned as a repo
+    asset so the multistream path stays covered without the oracle,
+    and serves as an ASAN fuzz seed (native/Makefile sanitize-check)."""
+    _need_native()
+    import pathlib
+
+    pinned = pathlib.Path(__file__).parent / "data" / "ms_quad_regression.opus"
+    fs, x = native.opus_read(str(pinned))
+    assert fs == 48000
+    assert x.shape == (95688, 4)
+    assert np.all(np.isfinite(x))
+    rms = float(np.sqrt((x.astype(np.float64) ** 2).mean()))
+    assert 0.005 < rms < 1.0
+
+
 def test_read_audio_mono_routes_opus():
     _need_native()
     from zen_tpu.io.audio import read_audio_mono
