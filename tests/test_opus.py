@@ -572,6 +572,42 @@ def test_multistream_surround_vs_opusfile(oracle, name, ch, streams, coupled, ma
             assert np.all(got[:, c] == 0), "mapped-silent channel must be zero"
 
 
+@pytest.mark.parametrize("case", ["bandwidth", "channels"])
+def test_silk_stream_reconfiguration_bit_exact(oracle, case):
+    """Mid-stream reconfiguration switches inside SILK: internal rate
+    changes (NB→WB→MB→NB: decoder_set_fs reset + resampler re-init) and
+    mono↔stereo (side-channel init/collapse, dec_API.c:116-135).  All
+    fixed-point, so the whole stream must stay bit-exact."""
+    _need_native()
+    work = oracle["work"]
+    if case == "bandwidth":
+        segs = [("1101", "12000", "1"), ("1103", "24000", "1"), ("1102", "16000", "1"),
+                ("1101", "12000", "1")]
+        ch = 1
+    else:
+        segs = [("1103", "16000", "1"), ("1103", "32000", "2"), ("1103", "16000", "1")]
+        ch = 2
+    mix = work / f"sw_{case}.bin"
+    with open(mix, "wb") as out:
+        for i, (bw, br, ech) in enumerate(segs):
+            seg = work / f"sw_{case}_{i}.bin"
+            r = subprocess.run([oracle["pkt"], "encode", str(seg), ech, br, "200", "0",
+                                "1000", bw, "0", "10"], capture_output=True, text=True)
+            assert r.returncode == 0, r.stderr
+            out.write(open(seg, "rb").read())
+    ref_raw = work / f"sw_{case}_ref.f32"
+    r = subprocess.run([oracle["pkt"], "decode", str(mix), str(ref_raw), str(ch)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ref = np.fromfile(ref_raw, np.float32)
+    got, rc = _decode_pkts_zen(str(mix), ch)
+    assert rc == 0
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref), (
+        f"{np.count_nonzero(got != ref)} of {got.size} samples differ"
+    )
+
+
 def test_multistream_regression_pinned():
     """A quad (family 1, 2 coupled streams) file is pinned as a repo
     asset so the multistream path stays covered without the oracle,
