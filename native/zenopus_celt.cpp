@@ -39,11 +39,16 @@ constexpr int kBitRes = 3;
 constexpr int kCombMinPeriod = 15;
 constexpr float kPi = 3.141592653f;
 
-// float build elementary functions (celt/mathops.h:84-137, FLOAT_APPROX off)
-inline float celt_sqrt(float x) { return static_cast<float>(std::sqrt(x)); }
+// float build elementary functions (celt/mathops.h:84-137, FLOAT_APPROX
+// off).  NB: C promotes the float args to double for sqrt/cos/exp; the
+// C++ float overloads (sqrtf/cosf) differ by an ulp, so promote
+// explicitly to stay bit-identical with the reference build.
+inline float celt_sqrt(float x) { return static_cast<float>(std::sqrt(static_cast<double>(x))); }
 inline float celt_rsqrt(float x) { return 1.f / celt_sqrt(x); }
 inline float celt_exp2(float x) { return static_cast<float>(std::exp(0.6931471805599453094 * x)); }
-inline float celt_cos_norm(float x) { return static_cast<float>(std::cos((.5f * kPi) * x)); }
+inline float celt_cos_norm(float x) {
+  return static_cast<float>(std::cos(static_cast<double>((.5f * kPi) * x)));
+}
 
 inline uint32_t celt_lcg(uint32_t seed) { return 1664525u * seed + 1013904223u; }
 inline int imin(int a, int b) { return a < b ? a : b; }
@@ -651,12 +656,27 @@ int compute_qn(int N, int b, int offset, int pulse_cap, int stereo) {
   return (qn + 1) >> 1 << 1;
 }
 
+// x86/pitch_sse.h dual_inner_prod: 4-lane partial sums with the SSE
+// horizontal-add order ((s0+s2)+(s1+s3)) plus a sequential tail
+void dual_inner_prod(const float* x, const float* y01, const float* y02, int N, float* xy1,
+                     float* xy2) {
+  float s1[4] = {0, 0, 0, 0}, s2[4] = {0, 0, 0, 0};
+  int i = 0;
+  for (; i < N - 3; i += 4) {
+    for (int k = 0; k < 4; k++) s1[k] += x[i + k] * y01[i + k];
+    for (int k = 0; k < 4; k++) s2[k] += x[i + k] * y02[i + k];
+  }
+  *xy1 = (s1[0] + s1[2]) + (s1[1] + s1[3]);
+  *xy2 = (s2[0] + s2[2]) + (s2[1] + s2[3]);
+  for (; i < N; i++) {
+    *xy1 += x[i] * y01[i];
+    *xy2 += x[i] * y02[i];
+  }
+}
+
 void stereo_merge(float* X, float* Y, float mid, int N) {
   float xp = 0, side = 0;
-  for (int j = 0; j < N; j++) {
-    xp += X[j] * Y[j];
-    side += Y[j] * Y[j];
-  }
+  dual_inner_prod(Y, X, Y, N, &xp, &side);
   xp = mid * xp;
   float mid2 = mid;  // SHR32 is a no-op in the float build
   float El = mid2 * mid2 + side - 2 * xp;
@@ -1154,13 +1174,190 @@ void denormalise_bands(const float* X, float* freq, const float* band_log_e, int
 }
 
 // ---- inverse MDCT (mdct.c clt_mdct_backward structure) ----------------------
+// The inner complex IFFT mirrors kiss_fft's inverse butterflies
+// (celt/kiss_fft.c ki_bfly{2,3,4,5}) bit-for-bit in float, using the
+// static mode's shared twiddle/bitrev tables, so the whole CELT signal
+// path reproduces the reference float build exactly.
+
+struct Cpx {
+  float r, i;
+};
+
+inline Cpx cmulc(Cpx a, Cpx b) {  // C_MULC: a * conj(b)
+  return {a.r * b.r + a.i * b.i, a.i * b.r - a.r * b.i};
+}
+
+inline Cpx tw(int idx) { return {kCeltFftTwiddles[2 * idx], kCeltFftTwiddles[2 * idx + 1]}; }
+
+void ki_bfly2(Cpx* fout, size_t fstride, int m, int n, int mm) {
+  for (int i = 0; i < n; i++) {
+    Cpx* f = fout + static_cast<size_t>(i) * mm;
+    Cpx* f2 = f + m;
+    int t1 = 0;
+    for (int j = 0; j < m; j++) {
+      Cpx t = cmulc(*f2, tw(t1));
+      t1 += static_cast<int>(fstride);
+      *f2 = {f->r - t.r, f->i - t.i};
+      f->r += t.r;
+      f->i += t.i;
+      ++f2;
+      ++f;
+    }
+  }
+}
+
+void ki_bfly4(Cpx* fout, size_t fstride, int m, int n, int mm) {
+  const int m2 = 2 * m, m3 = 3 * m;
+  for (int i = 0; i < n; i++) {
+    Cpx* f = fout + static_cast<size_t>(i) * mm;
+    int t1 = 0, t2 = 0, t3 = 0;
+    for (int j = 0; j < m; j++) {
+      Cpx s0 = cmulc(f[m], tw(t1));
+      Cpx s1 = cmulc(f[m2], tw(t2));
+      Cpx s2 = cmulc(f[m3], tw(t3));
+      Cpx s5 = {f->r - s1.r, f->i - s1.i};
+      f->r += s1.r;
+      f->i += s1.i;
+      Cpx s3 = {s0.r + s2.r, s0.i + s2.i};
+      Cpx s4 = {s0.r - s2.r, s0.i - s2.i};
+      f[m2] = {f->r - s3.r, f->i - s3.i};
+      t1 += static_cast<int>(fstride);
+      t2 += static_cast<int>(fstride) * 2;
+      t3 += static_cast<int>(fstride) * 3;
+      f->r += s3.r;
+      f->i += s3.i;
+      f[m].r = s5.r - s4.i;
+      f[m].i = s5.i + s4.r;
+      f[m3].r = s5.r + s4.i;
+      f[m3].i = s5.i - s4.r;
+      ++f;
+    }
+  }
+}
+
+void ki_bfly3(Cpx* fout, size_t fstride, int m, int n, int mm) {
+  const size_t m2 = 2 * static_cast<size_t>(m);
+  Cpx epi3 = tw(static_cast<int>(fstride) * m);
+  for (int i = 0; i < n; i++) {
+    Cpx* f = fout + static_cast<size_t>(i) * mm;
+    int t1 = 0, t2 = 0;
+    int k = m;
+    do {
+      Cpx s1 = cmulc(f[m], tw(t1));
+      Cpx s2 = cmulc(f[m2], tw(t2));
+      Cpx s3 = {s1.r + s2.r, s1.i + s2.i};
+      Cpx s0 = {s1.r - s2.r, s1.i - s2.i};
+      t1 += static_cast<int>(fstride);
+      t2 += static_cast<int>(fstride) * 2;
+      f[m].r = f->r - .5f * s3.r;
+      f[m].i = f->i - .5f * s3.i;
+      s0.r *= -epi3.i;
+      s0.i *= -epi3.i;
+      f->r += s3.r;
+      f->i += s3.i;
+      f[m2].r = f[m].r + s0.i;
+      f[m2].i = f[m].i - s0.r;
+      f[m].r -= s0.i;
+      f[m].i += s0.r;
+      ++f;
+    } while (--k);
+  }
+}
+
+void ki_bfly5(Cpx* fout, size_t fstride, int m, int n, int mm) {
+  Cpx ya = tw(static_cast<int>(fstride) * m);
+  Cpx yb = tw(static_cast<int>(fstride) * 2 * m);
+  for (int i = 0; i < n; i++) {
+    Cpx* f = fout + static_cast<size_t>(i) * mm;
+    Cpx* f0 = f;
+    Cpx* f1 = f0 + m;
+    Cpx* f2 = f0 + 2 * m;
+    Cpx* f3 = f0 + 3 * m;
+    Cpx* f4 = f0 + 4 * m;
+    for (int u = 0; u < m; ++u) {
+      Cpx s0 = *f0;
+      Cpx s1 = cmulc(*f1, tw(u * static_cast<int>(fstride)));
+      Cpx s2 = cmulc(*f2, tw(2 * u * static_cast<int>(fstride)));
+      Cpx s3 = cmulc(*f3, tw(3 * u * static_cast<int>(fstride)));
+      Cpx s4 = cmulc(*f4, tw(4 * u * static_cast<int>(fstride)));
+      Cpx s7 = {s1.r + s4.r, s1.i + s4.i};
+      Cpx s10 = {s1.r - s4.r, s1.i - s4.i};
+      Cpx s8 = {s2.r + s3.r, s2.i + s3.i};
+      Cpx s9 = {s2.r - s3.r, s2.i - s3.i};
+      f0->r += s7.r + s8.r;
+      f0->i += s7.i + s8.i;
+      Cpx s5 = {s0.r + s7.r * ya.r + s8.r * yb.r, s0.i + s7.i * ya.r + s8.i * yb.r};
+      Cpx s6 = {-(s10.i * ya.i) - s9.i * yb.i, s10.r * ya.i + s9.r * yb.i};
+      *f1 = {s5.r - s6.r, s5.i - s6.i};
+      *f4 = {s5.r + s6.r, s5.i + s6.i};
+      Cpx s11 = {s0.r + s7.r * yb.r + s8.r * ya.r, s0.i + s7.i * yb.r + s8.i * ya.r};
+      Cpx s12 = {s10.i * yb.i - s9.i * ya.i, -(s10.r * yb.i) + s9.r * ya.i};
+      *f2 = {s11.r + s12.r, s11.i + s12.i};
+      *f3 = {s11.r - s12.r, s11.i - s12.i};
+      ++f0;
+      ++f1;
+      ++f2;
+      ++f3;
+      ++f4;
+    }
+  }
+}
+
+// opus_ifft (kiss_fft.c:533-583): bit-reverse then staged butterflies.
+// The 48 kHz mode's factor plans (static_modes_float.h:427-470).
+void opus_ifft(int shift_idx, const Cpx* fin, Cpx* fout) {
+  static const int16_t kFactors[4][10] = {
+      {4, 120, 4, 30, 2, 15, 3, 5, 5, 1},
+      {4, 60, 4, 15, 3, 5, 5, 1, 0, 0},
+      {4, 30, 2, 15, 3, 5, 5, 1, 0, 0},
+      {4, 15, 3, 5, 5, 1, 0, 0, 0, 0},
+  };
+  static const int16_t* const kBitrev[4] = {kCeltFftBitrev480, kCeltFftBitrev240,
+                                            kCeltFftBitrev120, kCeltFftBitrev60};
+  // state .shift fields are {-1, 1, 2, 3}; negative clamps to 0
+  static const int kShift[4] = {0, 1, 2, 3};
+  int nfft = 480 >> shift_idx;
+  const int16_t* factors = kFactors[shift_idx];
+  int shift = kShift[shift_idx];
+  for (int i = 0; i < nfft; i++) fout[kBitrev[shift_idx][i]] = fin[i];
+  int fstride[8];
+  fstride[0] = 1;
+  int L = 0;
+  int m;
+  do {
+    int p = factors[2 * L];
+    m = factors[2 * L + 1];
+    fstride[L + 1] = fstride[L] * p;
+    L++;
+  } while (m != 1);
+  m = factors[2 * L - 1];
+  for (int i = L - 1; i >= 0; i--) {
+    int m2 = i != 0 ? factors[2 * i - 1] : 1;
+    size_t stride = static_cast<size_t>(fstride[i]) << shift;
+    switch (factors[2 * i]) {
+      case 2:
+        ki_bfly2(fout, stride, m, fstride[i], m2);
+        break;
+      case 4:
+        ki_bfly4(fout, stride, m, fstride[i], m2);
+        break;
+      case 3:
+        ki_bfly3(fout, stride, m, fstride[i], m2);
+        break;
+      case 5:
+        ki_bfly5(fout, stride, m, fstride[i], m2);
+        break;
+    }
+    m = m2;
+  }
+}
 
 void imdct_backward(const float* in, float* out, int shift, int stride) {
   int N = 1920 >> shift;
   int N2 = N >> 1;
   int N4 = N >> 2;
   float sine = static_cast<float>(2 * kPi * .125f / N);
-  std::vector<double> fr(static_cast<size_t>(N4)), fi(static_cast<size_t>(N4));
+  std::vector<Cpx> f2(static_cast<size_t>(N4));
   // pre-rotate
   {
     const float* xp1 = in;
@@ -1169,32 +1366,13 @@ void imdct_backward(const float* in, float* out, int shift, int stride) {
     for (int i = 0; i < N4; i++) {
       float yr = -(*xp2) * t[i << shift] + (*xp1) * t[(N4 - i) << shift];
       float yi = -(*xp2) * t[(N4 - i) << shift] - (*xp1) * t[i << shift];
-      fr[static_cast<size_t>(i)] = yr - yi * sine;
-      fi[static_cast<size_t>(i)] = yi + yr * sine;
+      f2[static_cast<size_t>(i)] = {yr - yi * sine, yi + yr * sine};
       xp1 += 2 * stride;
       xp2 -= 2 * stride;
     }
   }
-  // N4-point inverse complex DFT (unscaled), double precision
-  std::vector<float> buf(static_cast<size_t>(N2));
-  {
-    std::vector<double> cosv(static_cast<size_t>(N4)), sinv(static_cast<size_t>(N4));
-    for (int k = 0; k < N4; k++) {
-      cosv[static_cast<size_t>(k)] = std::cos(2.0 * M_PI * k / N4);
-      sinv[static_cast<size_t>(k)] = std::sin(2.0 * M_PI * k / N4);
-    }
-    for (int n = 0; n < N4; n++) {
-      double accr = 0, acci = 0;
-      for (int k = 0; k < N4; k++) {
-        size_t idx = static_cast<size_t>(static_cast<int64_t>(n) * k % N4);
-        double c = cosv[idx], s = sinv[idx];
-        accr += fr[static_cast<size_t>(k)] * c - fi[static_cast<size_t>(k)] * s;
-        acci += fr[static_cast<size_t>(k)] * s + fi[static_cast<size_t>(k)] * c;
-      }
-      buf[static_cast<size_t>(2 * n)] = static_cast<float>(accr);
-      buf[static_cast<size_t>(2 * n + 1)] = static_cast<float>(acci);
-    }
-  }
+  std::vector<Cpx> buf(static_cast<size_t>(N4));
+  opus_ifft(shift, f2.data(), buf.data());
   std::memcpy(out + (kOverlap >> 1), buf.data(), static_cast<size_t>(N2) * sizeof(float));
   // post-rotate, in place from both ends
   {
@@ -1242,18 +1420,19 @@ const float kCombGains[3][3] = {{0.3066406250f, 0.2170410156f, 0.1296386719f},
                                 {0.4638671875f, 0.2680664062f, 0.f},
                                 {0.7998046875f, 0.1000976562f, 0.f}};
 
+// x86/pitch_sse.h comb_filter_const: the as-built reference pairs the
+// g11/g12 terms into a partial sum before adding (different float
+// grouping than the plain-C celt.c form); mirrored for bit-exactness.
+// The SSE loop covers floor(N/4)*4 outputs; every caller's span is a
+// multiple of 4, and the defensive tail uses the same grouping.
 void comb_filter_const(float* y, const float* x, int T, int N, float g10, float g11, float g12) {
-  float x4 = x[-T - 2];
-  float x3 = x[-T - 1];
-  float x2 = x[-T];
-  float x1 = x[-T + 1];
   for (int i = 0; i < N; i++) {
+    float x2 = x[i - T];
+    float x1 = x[i - T + 1];
+    float x3 = x[i - T - 1];
     float x0 = x[i - T + 2];
-    y[i] = x[i] + g10 * x2 + g11 * (x1 + x3) + g12 * (x0 + x4);
-    x4 = x3;
-    x3 = x2;
-    x2 = x1;
-    x1 = x0;
+    float x4 = x[i - T - 2];
+    y[i] = (x[i] + g10 * x2) + (g11 * (x3 + x1) + g12 * (x4 + x0));
   }
 }
 
@@ -1575,9 +1754,44 @@ constexpr int kPlcPitchLagMin = 100;
 constexpr int kMaxPeriod = 1024;
 constexpr int kCeltLpcOrder = 24;
 
-// pitch.h xcorr in float: per-lag sequential accumulation
+// x86/pitch_sse.h xcorr_kernel: four lags at once with TWO interleaved
+// accumulators (even j in one, odd j in the other), summed at the end —
+// the as-built reference's float grouping, mirrored lane-for-lane.
+void xcorr_kernel(const float* x, const float* y, float sum[4], int len) {
+  float s1[4] = {sum[0], sum[1], sum[2], sum[3]};
+  float s2[4] = {0, 0, 0, 0};
+  int j = 0;
+  for (; j < len - 3; j += 4) {
+    for (int k = 0; k < 4; k++) s1[k] += x[j] * y[j + k];
+    for (int k = 0; k < 4; k++) s2[k] += x[j + 1] * y[j + 1 + k];
+    for (int k = 0; k < 4; k++) s1[k] += x[j + 2] * y[j + 2 + k];
+    for (int k = 0; k < 4; k++) s2[k] += x[j + 3] * y[j + 3 + k];
+  }
+  if (j < len) {
+    for (int k = 0; k < 4; k++) s1[k] += x[j] * y[j + k];
+    if (++j < len) {
+      for (int k = 0; k < 4; k++) s2[k] += x[j] * y[j + k];
+      if (++j < len) {
+        for (int k = 0; k < 4; k++) s1[k] += x[j] * y[j + k];
+      }
+    }
+  }
+  for (int k = 0; k < 4; k++) sum[k] = s1[k] + s2[k];
+}
+
+// pitch.c celt_pitch_xcorr_c (unrolled variant): 4-lag kernel blocks,
+// plain sequential sums for the remainder lags
 void pitch_xcorr(const float* x, const float* y, float* xcorr, int len, int max_pitch) {
-  for (int i = 0; i < max_pitch; i++) {
+  int i = 0;
+  for (; i < max_pitch - 3; i += 4) {
+    float sum[4] = {0, 0, 0, 0};
+    xcorr_kernel(x, y + i, sum, len);
+    xcorr[i] = sum[0];
+    xcorr[i + 1] = sum[1];
+    xcorr[i + 2] = sum[2];
+    xcorr[i + 3] = sum[3];
+  }
+  for (; i < max_pitch; i++) {
     float sum = 0;
     for (int j = 0; j < len; j++) sum += x[j] * y[i + j];
     xcorr[i] = sum;
@@ -1628,8 +1842,8 @@ void celt_lpc(float* lpc, const float* ac, int p) {
   }
 }
 
-// celt_lpc.c celt_fir (float; the 4-way unroll accumulates per output
-// in plain j order, so the naive loop is float-identical)
+// celt_lpc.c celt_fir over the SSE xcorr_kernel (4 outputs per block,
+// sequential remainder) — as-built reference float grouping
 void celt_fir(const float* x_in, const float* num, float* y, int N, int ord, float* mem) {
   std::vector<float> rnum(static_cast<size_t>(ord));
   std::vector<float> x(static_cast<size_t>(N + ord));
@@ -1637,7 +1851,13 @@ void celt_fir(const float* x_in, const float* num, float* y, int N, int ord, flo
   for (int i = 0; i < ord; i++) x[static_cast<size_t>(i)] = mem[ord - i - 1];
   for (int i = 0; i < N; i++) x[static_cast<size_t>(i + ord)] = x_in[i];
   for (int i = 0; i < ord; i++) mem[i] = x_in[N - i - 1];
-  for (int i = 0; i < N; i++) {
+  int i = 0;
+  for (; i < N - 3; i += 4) {
+    float sum[4] = {0, 0, 0, 0};
+    xcorr_kernel(rnum.data(), &x[static_cast<size_t>(i)], sum, ord);
+    for (int k = 0; k < 4; k++) y[i + k] = x_in[i + k] + sum[k];
+  }
+  for (; i < N; i++) {
     float sum = 0;
     for (int j = 0; j < ord; j++) sum += rnum[static_cast<size_t>(j)] * x[static_cast<size_t>(i + j)];
     y[i] = x_in[i] + sum;
@@ -1655,25 +1875,22 @@ void celt_iir(const float* x_in, const float* den, float* y_out, int N, int ord,
   for (int i = 0; i < ord; i++) y[static_cast<size_t>(i)] = -mem[ord - i - 1];
   int i = 0;
   for (; i < N - 3; i += 4) {
-    float sum0 = x_in[i], sum1 = x_in[i + 1], sum2 = x_in[i + 2], sum3 = x_in[i + 3];
-    for (int j = 0; j < ord; j++) sum0 += rden[static_cast<size_t>(j)] * y[static_cast<size_t>(i + j)];
-    for (int j = 0; j < ord; j++) sum1 += rden[static_cast<size_t>(j)] * y[static_cast<size_t>(i + 1 + j)];
-    for (int j = 0; j < ord; j++) sum2 += rden[static_cast<size_t>(j)] * y[static_cast<size_t>(i + 2 + j)];
-    for (int j = 0; j < ord; j++) sum3 += rden[static_cast<size_t>(j)] * y[static_cast<size_t>(i + 3 + j)];
-    y[static_cast<size_t>(i + ord)] = -sum0;
-    y_out[i] = sum0;
-    sum1 += y[static_cast<size_t>(i + ord)] * den[0];
-    y[static_cast<size_t>(i + ord + 1)] = -sum1;
-    y_out[i + 1] = sum1;
-    sum2 += y[static_cast<size_t>(i + ord + 1)] * den[0];
-    sum2 += y[static_cast<size_t>(i + ord)] * den[1];
-    y[static_cast<size_t>(i + ord + 2)] = -sum2;
-    y_out[i + 2] = sum2;
-    sum3 += y[static_cast<size_t>(i + ord + 2)] * den[0];
-    sum3 += y[static_cast<size_t>(i + ord + 1)] * den[1];
-    sum3 += y[static_cast<size_t>(i + ord)] * den[2];
-    y[static_cast<size_t>(i + ord + 3)] = -sum3;
-    y_out[i + 3] = sum3;
+    float sum[4] = {x_in[i], x_in[i + 1], x_in[i + 2], x_in[i + 3]};
+    xcorr_kernel(rden.data(), &y[static_cast<size_t>(i)], sum, ord);
+    y[static_cast<size_t>(i + ord)] = -sum[0];
+    y_out[i] = sum[0];
+    sum[1] += y[static_cast<size_t>(i + ord)] * den[0];
+    y[static_cast<size_t>(i + ord + 1)] = -sum[1];
+    y_out[i + 1] = sum[1];
+    sum[2] += y[static_cast<size_t>(i + ord + 1)] * den[0];
+    sum[2] += y[static_cast<size_t>(i + ord)] * den[1];
+    y[static_cast<size_t>(i + ord + 2)] = -sum[2];
+    y_out[i + 2] = sum[2];
+    sum[3] += y[static_cast<size_t>(i + ord + 2)] * den[0];
+    sum[3] += y[static_cast<size_t>(i + ord + 1)] * den[1];
+    sum[3] += y[static_cast<size_t>(i + ord)] * den[2];
+    y[static_cast<size_t>(i + ord + 3)] = -sum[3];
+    y_out[i + 3] = sum[3];
   }
   for (; i < N; i++) {  // tail (unreachable for multiple-of-4 lengths)
     float sum = x_in[i];

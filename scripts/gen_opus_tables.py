@@ -191,6 +191,14 @@ def main() -> None:
     emit("int16_t", "kCeltLogN400", [21], extract(t, "logN400", 21))
     emit("float", "kCeltMdctTwiddles960", [481], extract(t, "mdct_twiddles960", 481, float_vals=True),
          per_line=4, float_vals=True)
+    # kiss FFT mode data: the shared N=480 twiddle factors (complex,
+    # interleaved) and the per-size bit-reversal tables
+    emit("float", "kCeltFftTwiddles", [960], extract(t, "fft_twiddles48000_960", 960, float_vals=True),
+         per_line=4, float_vals=True)
+    emit("int16_t", "kCeltFftBitrev480", [480], extract(t, "fft_bitrev480", 480))
+    emit("int16_t", "kCeltFftBitrev240", [240], extract(t, "fft_bitrev240", 240))
+    emit("int16_t", "kCeltFftBitrev120", [120], extract(t, "fft_bitrev120", 120))
+    emit("int16_t", "kCeltFftBitrev60", [60], extract(t, "fft_bitrev60", 60))
     emit("int16_t", "kCeltCacheIndex", [105], extract(t, "cache_index50", 105))
     emit("uint8_t", "kCeltCacheBits", [392], extract(t, "cache_bits50", 392))
     emit("uint8_t", "kCeltCacheCaps", [168], extract(t, "cache_caps50", 168))
