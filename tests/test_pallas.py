@@ -175,6 +175,53 @@ def test_time_kernel_piped_wide_batch_parity(c, t, f, k, start):
     np.testing.assert_array_equal(piped, general)
 
 
+def test_time_kernel_piped_bf16_parity():
+    """stream_state='bf16': the piped kernel runs natively on bf16
+    histories; median is selection, so results must equal the XLA
+    sort path on the same bf16 input exactly."""
+    from zen_tpu.ops import median_pallas as mp
+    from zen_tpu.ops.median import sliding_median
+
+    rng = np.random.default_rng(13)
+    offsets = tuple(range(-8, 1))
+    x = rng.standard_normal((256, 24, 130)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    piped = np.asarray(
+        mp.tap_median_time_pallas(xb, offsets, 0.0, 8).astype(jnp.float32)
+    )
+    ref = np.asarray(
+        sliding_median(xb, offsets, -2, "zero", fill=0.0)[:, 8:, :].astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(piped, ref)
+
+
+def test_stream_state_bf16_blocks_close_to_f32():
+    """The bf16 serving-state knob quantizes features but must keep
+    the stems within the bf16 noise class and the state machinery
+    exact (block-size invariance still holds)."""
+    from zen_tpu import HPRConfig, OUTPUT_ALL
+    from zen_tpu.drivers.realtime import block_step, init_state
+
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal((6, 256)) * 0.3).astype(np.float32)
+    outs = {}
+    for ss in ("f32", "bf16"):
+        cfg = HPRConfig(fs=44100.0, hop=256, causal=True, outputs=OUTPUT_ALL,
+                        stream_state=ss, median_impl="xla")
+        st = init_state(cfg)
+        ys = []
+        for i in range(6):
+            st, y = block_step(cfg, st, jnp.asarray(audio[i:i + 1]))
+            ys.append(np.asarray(y))
+        outs[ss] = np.concatenate(ys, axis=-1)
+    a, b = outs["f32"], outs["bf16"]
+    assert np.isfinite(b).all()
+    err = ((a - b) ** 2).mean()
+    sig = (a ** 2).mean()
+    snr = 10 * np.log10(sig / err) if err > 0 else np.inf
+    assert snr > 25, f"bf16 state too lossy: {snr:.1f} dB"
+
+
 @pytest.mark.parametrize(
     "hop,border,causal,soft,sse",
     [

@@ -457,22 +457,28 @@ def test_serving_bound_instrument_runs(tmp_path):
     out = str(tmp_path / "sb.json")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    r = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(repo, "benches", "serving_bound.py"),
-            "--streams", "2", "--hop", "32", "--block-hops", "4",
-            "--fs", "8000", "--n1", "4", "--n2", "8", "--out", out,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        env=env,
-    )
-    assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
-    data = json_mod.loads(open(out).read())
-    legs = data["legs_us_per_step"]["2"]
-    assert set(legs) == {"full", "transform", "median", "rest"}
+    # the tiny n1=4/n2=8 slope can go negative on a loaded CI box
+    # (pure wall-clock noise, not an instrument bug) — retry a couple
+    # of times before calling it a failure
+    for attempt in range(3):
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "benches", "serving_bound.py"),
+                "--streams", "2", "--hop", "32", "--block-hops", "4",
+                "--fs", "8000", "--n1", "4", "--n2", "8", "--out", out,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+        )
+        assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
+        data = json_mod.loads(open(out).read())
+        legs = data["legs_us_per_step"]["2"]
+        assert set(legs) == {"full", "transform", "median", "rest"}
+        if legs["full"] > 0:
+            break
     assert legs["full"] > 0
     # legs are rounded to 2 decimals in the artifact, so the sum can
     # drift from the rounded full by up to 4 half-ulps of the quantum

@@ -59,12 +59,22 @@ def _add_impl_flags(p):
         default="auto",
         help="median kernel seam ('auto' = Pallas kernels on TPU)",
     )
+    p.add_argument(
+        "--stream-state",
+        choices=("f32", "bf16"),
+        default="f32",
+        help="dtype of the streaming feature history: 'bf16' halves "
+        "the HBM-bound carry traffic at wide serving fleets (the "
+        "512-stream bound, docs/PERFORMANCE.md) for bf16-quantized "
+        "median features; offline paths ignore it",
+    )
 
 
 def _impl_kw(args):
     return dict(
         fft_impl=getattr(args, "fft_impl", "auto"),
         median_impl=getattr(args, "median_impl", "auto"),
+        stream_state=getattr(args, "stream_state", "f32"),
     )
 
 

@@ -45,6 +45,7 @@ def separate_corpus(
     prefetch: int = 2,
     fft_impl: str = "auto",
     median_impl: str = "auto",
+    stream_state: str = "f32",
     stem_format: str = "wav",
 ):
     """Separate every track into 3 stems under out_dir, resumably.
@@ -125,7 +126,11 @@ def separate_corpus(
     # the op-seam knobs flow into every config this driver builds
     # (batched, blocked, pp) so a corpus run can pick the serving
     # precision ladder / median kernel exactly like the other drivers
-    impl_kw = dict(fft_impl=fft_impl, median_impl=median_impl)
+    impl_kw = dict(
+        fft_impl=fft_impl,
+        median_impl=median_impl,
+        stream_state=stream_state,
+    )
 
     # unique output stem names: tracks in different directories may
     # share a basename — disambiguate colliding ones with a short

@@ -447,6 +447,7 @@ class HPRIOffline:
         strict_ref: bool = False,
         fft_impl: str = "auto",
         median_impl: str = "auto",
+        stream_state: str = "f32",
     ):
         """strict_ref=True reproduces the reference GPU binary's
         residual quirk bit-for-bit: its pass-2 engine is constructed
@@ -467,6 +468,10 @@ class HPRIOffline:
             soft_mask=soft_mask,
             fft_impl=fft_impl,
             median_impl=median_impl,
+            # accepted for driver-kwarg uniformity; the anticausal
+            # offline engine carries no streaming history, so the knob
+            # is inert here (config.py stream_state docstring)
+            stream_state=stream_state,
         )
         self.strict_ref = bool(strict_ref)
         self.cfg_h = HPRConfig(

@@ -55,10 +55,11 @@ def init_state(cfg: HPRConfig) -> StreamState:
     (+inf for SSE, see spectral.prefill_value)."""
     from ..engine.spectral import prefill_value
 
+    hist_dtype = jnp.bfloat16 if cfg.stream_state == "bf16" else jnp.float32
     return StreamState(
         ring=jnp.zeros((cfg.nwin,), jnp.float32),
         feat_hist=jnp.full(
-            (cfg.time_history, num_bins(cfg)), prefill_value(cfg), jnp.float32
+            (cfg.time_history, num_bins(cfg)), prefill_value(cfg), hist_dtype
         ),
         ola_tail=jnp.zeros((3, cfg.hop), jnp.float32),
     )
@@ -82,14 +83,20 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     s = analyze(frames, cfg)  # [B, bins]
     mag = jnp.abs(s)
     feat = feature_transform(mag, cfg)
-    feats = jnp.concatenate([state.feat_hist, feat], axis=0)  # [H+B, bins]
+    # stream_state='bf16' carries the tap history (the HBM-bound term
+    # at wide fleets) in half precision; the fresh frames are quantized
+    # to match so every tap sees one consistent precision
+    featq = feat.astype(state.feat_hist.dtype)
+    feats = jnp.concatenate([state.feat_hist, featq], axis=0)  # [H+B, bins]
 
     h_len = cfg.time_history
     # time filter: only the B newest rows; their taps reach at most
     # h_len frames back, all inside `feats` (earlier stream = prefill
     # feature values, already baked into the initial feat_hist)
     h_rows = time_filtered_tail(feats, cfg, h_len)
-    p_rows = freq_filtered(feat, cfg)
+    # the freq features see the same quantization as the time taps so
+    # the h-vs-p mask comparison stays consistent (f32 compute)
+    p_rows = freq_filtered(featq.astype(jnp.float32), cfg)
     h_rows, p_rows = finalize_features(h_rows, p_rows, cfg)
     pm, hm, rm = compute_masks(h_rows, p_rows, cfg)
 
@@ -177,6 +184,7 @@ class HPRRealtime:
         soft_mask: bool = False,
         fft_impl: str = "auto",
         median_impl: str = "auto",
+        stream_state: str = "f32",
     ):
         from ..engine.config import OUTPUT_ALL
 
@@ -191,6 +199,7 @@ class HPRRealtime:
             soft_mask=soft_mask,
             fft_impl=fft_impl,
             median_impl=median_impl,
+            stream_state=stream_state,
         )
         self.state = init_state(self.cfg)
         self._last = np.zeros((3, hop), np.float32)

@@ -74,6 +74,15 @@ class HPRConfig:
     # 'dft' = 3-pass bf16 (rel err ~3e-5), 'dft_bf16' = max throughput
     # (~4e-3), 'dft_f32' = HIGHEST. 'auto' = 'dft' on TPU when
     # nfft <= 4096 and fast_rfft, else 'xla' (the np.fft-exact path).
+    stream_state: str = "f32"  # 'f32' | 'bf16': dtype of the streaming
+    # drivers' carried feature history. Wide serving fleets are
+    # HBM-bound on re-reading that history every block (the 512-stream
+    # bound, docs/PERFORMANCE.md round 4); 'bf16' halves the carry
+    # traffic at the cost of quantizing the median/mask features to
+    # bf16 (a quality knob in the dft_bf16 tradition — outputs shift
+    # by feature-quantization noise, masks stay well-behaved). Only
+    # the time-median tap history is affected; all mask/synthesis math
+    # stays f32.
 
     def __post_init__(self):
         if self.hop <= 0 or (self.hop & (self.hop - 1)) != 0:
@@ -90,6 +99,8 @@ class HPRConfig:
             raise ZenError(f"unknown median_impl: {self.median_impl}")
         if self.fft_impl not in ("auto", "xla", "dft", "dft_bf16", "dft_f32"):
             raise ZenError(f"unknown fft_impl: {self.fft_impl}")
+        if self.stream_state not in ("f32", "bf16"):
+            raise ZenError(f"unknown stream_state: {self.stream_state}")
         if self.use_sse and self.border == VALID:
             # reference BoxFilterGPU always pads borders (box.h:154-180)
             object.__setattr__(self, "border", WRAP)

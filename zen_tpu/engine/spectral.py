@@ -186,17 +186,23 @@ def time_filtered_tail(
     Pallas path skips computing them entirely (up to ~(H+1)x less
     median work at B=1)."""
     if not cfg.lag_row_written:
-        return jnp.zeros_like(feats[..., start:, :])
+        return jnp.zeros_like(feats[..., start:, :], dtype=jnp.float32)
     fill = prefill_value(cfg)
     if cfg.use_sse:
-        return sliding_mean(feats, cfg.time_offsets, -2, "zero", fill)[
+        # SSE sums: bf16 accumulation would change numerics, so mean
+        # always runs on f32 taps
+        return sliding_mean(
+            feats.astype(jnp.float32), cfg.time_offsets, -2, "zero", fill
+        )[..., start:, :]
+    if _use_pallas(cfg):
+        out = _pallas_time_median(feats, cfg, start=start)
+    else:
+        out = sliding_median(feats, cfg.time_offsets, -2, "zero", fill=fill)[
             ..., start:, :
         ]
-    if _use_pallas(cfg):
-        return _pallas_time_median(feats, cfg, start=start)
-    return sliding_median(feats, cfg.time_offsets, -2, "zero", fill=fill)[
-        ..., start:, :
-    ]
+    # median is pure selection, so a bf16 history (stream_state='bf16')
+    # yields bf16-exact values; masks and synthesis stay in f32
+    return out.astype(jnp.float32)
 
 
 def freq_filtered(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:

@@ -609,8 +609,12 @@ def _time_impl_piped(
     xc: jnp.ndarray, offsets: tuple, fill: float, start: int
 ) -> jnp.ndarray:
     """n_t==1/n_f==1 specialization of _time_impl for large stream
-    counts; bit-identical output (tested against the general path)."""
+    counts; bit-identical output (tested against the general path).
+    bf16 inputs run natively (half the HBM traffic — the whole point
+    of cfg.stream_state='bf16'); the compare network is pure min/max
+    selection, so bf16 results equal f32-upcast results exactly."""
     c, t, f = xc.shape
+    row_align = 16 if xc.dtype == jnp.bfloat16 else 8
     t_out = t - start
     back = max(0, -min(offsets))
     fwd = max(0, max(offsets))
@@ -619,7 +623,7 @@ def _time_impl_piped(
     f_pad = _align(f, 128)
     tb = t_out
     need = base + back + fwd + tb
-    t_pad = _align(max(top_pad + t, need), 8)
+    t_pad = _align(max(top_pad + t, need), row_align)
     xp = jnp.pad(
         xc,
         ((0, 0), (top_pad, t_pad - top_pad - t), (0, f_pad - f)),
@@ -634,7 +638,7 @@ def _time_impl_piped(
             half=(k - 1) // 2,
             tb=tb,
         ),
-        out_shape=jax.ShapeDtypeStruct((c, tb, f_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, tb, f_pad), xc.dtype),
         grid=(c,),
         in_specs=[pl.BlockSpec((1, t_pad, f_pad), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, tb, f_pad), lambda i: (i, 0, 0)),
@@ -677,6 +681,11 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
         and t * f_pad * 4 <= (2 << 20)  # whole-extent block stays tiny in VMEM
     ):
         return _time_impl_piped(xc, offsets, fill, start).reshape(lead + (t_out, f))
+    if xc.dtype != jnp.float32:
+        # bf16 histories only pay off where HBM traffic dominates — the
+        # wide-batch piped path above; smaller fleets are chip-resident,
+        # so decode to f32 and take the standard kernel
+        xc = xc.astype(jnp.float32)
     rows = _align(tb + back + fwd, 8)  # aligned slab rows
     need_rows = base + (n_t - 1) * tb + rows
     bottom_pad = max(0, need_rows - (top_pad + t))
