@@ -195,6 +195,54 @@ def test_time_kernel_piped_bf16_parity():
     np.testing.assert_array_equal(piped, ref)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_time_kernel_pipelined_chunks_parity(dtype):
+    """t_out > tb routes through the double-buffered grid kernel
+    (_time_kernel_pipelined); must match the XLA sort path exactly —
+    in both dtypes (the transposed freq route feeds this kernel
+    hundreds of row chunks at serving shapes)."""
+    from zen_tpu.ops import median_pallas as mp
+    from zen_tpu.ops.median import sliding_median
+
+    rng = np.random.default_rng(17)
+    offsets = tuple(range(-5, 6))
+    x = jnp.asarray(
+        rng.standard_normal((600, 200)).astype(np.float32)
+    ).astype(dtype)
+    got = np.asarray(
+        mp.tap_median_time_pallas(x, offsets).astype(jnp.float32)
+    )
+    ref = np.asarray(
+        sliding_median(x, offsets, -2, "zero", fill=0.0).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("layout", ["lane", "sublane"])
+def test_freq_median_bf16_native_parity(layout):
+    """bf16 inputs run the freq kernels natively in BOTH layouts and
+    must select exactly the same elements as the f32 kernel on the
+    upcast input (median is selection; only storage precision
+    changes). Output dtype follows the input."""
+    from zen_tpu.ops.median_pallas import sliding_median_last_axis_pallas
+
+    rng = np.random.default_rng(19)
+    k, fm = 13, 6
+    x = rng.standard_normal((256, 513)).astype(np.float32)
+    xb = jnp.pad(
+        jnp.asarray(x).astype(jnp.bfloat16), ((0, 0), (fm, fm)),
+        mode="reflect",
+    )
+    got = sliding_median_last_axis_pallas(xb, k, layout=layout)
+    assert got.dtype == jnp.bfloat16
+    want = sliding_median_last_axis_pallas(
+        xb.astype(jnp.float32), k, layout=layout
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)), np.asarray(want)
+    )
+
+
 def test_stream_state_bf16_blocks_close_to_f32():
     """The bf16 serving-state knob quantizes features but must keep
     the stems within the bf16 noise class and the state machinery

@@ -95,8 +95,12 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     # feature values, already baked into the initial feat_hist)
     h_rows = time_filtered_tail(feats, cfg, h_len)
     # the freq features see the same quantization as the time taps so
-    # the h-vs-p mask comparison stays consistent (f32 compute)
-    p_rows = freq_filtered(featq.astype(jnp.float32), cfg)
+    # the h-vs-p mask comparison stays consistent; the median itself
+    # runs natively on the quantized dtype (selection — bf16-exact,
+    # half the kernel's HBM traffic) and only the SSE *mean* needs f32
+    # accumulation. Mask compute is f32 either way.
+    fq = featq.astype(jnp.float32) if cfg.use_sse else featq
+    p_rows = freq_filtered(fq, cfg).astype(jnp.float32)
     h_rows, p_rows = finalize_features(h_rows, p_rows, cfg)
     pm, hm, rm = compute_masks(h_rows, p_rows, cfg)
 

@@ -254,9 +254,12 @@ def _pow2_at_least(n: int) -> int:
 _NET_BUDGET_BYTES = 4 << 20
 
 
-def _pick_tb(n_pad: int, fb: int, t: int) -> int:
-    tb = _NET_BUDGET_BYTES // (4 * fb * n_pad)
-    return max(8, min(256, _align(t, 8), tb // 8 * 8))
+def _pick_tb(n_pad: int, fb: int, t: int, esize: int = 4, sub: int = 8) -> int:
+    """Tile height under the VMEM wire budget; ``sub`` is the dtype's
+    native sublane multiple (8 for f32, 16 for bf16 — tiles and DMA row
+    offsets must stay aligned to it)."""
+    tb = _NET_BUDGET_BYTES // (esize * fb * n_pad)
+    return max(sub, min(256, _align(t, sub), tb // sub * sub))
 
 
 def _fold_batch(x):
@@ -385,13 +388,18 @@ def _freq_impl(x_padded: jnp.ndarray, k: int, cse: bool, fold: bool = True):
     else:
         xc, lead = _fold_batch(x_padded)
         lead = lead + (xc.shape[1],)
+    if xc.dtype not in (jnp.float32, jnp.bfloat16):
+        xc = xc.astype(jnp.float32)
+    dt = xc.dtype
+    esize = jnp.dtype(dt).itemsize
+    sub = 16 if dt == jnp.bfloat16 else 8
     c, t, fp = xc.shape
     f = fp - (k - 1)
     # lane-tile: single tile when f rounds up to <= 768 lanes (e.g. the
     # ubiquitous 513-bin case — two 512-lane tiles would compute ~2x
     # the useful lanes), else 512-lane tiles
     fb = _align(f, 128) if _align(f, 128) <= 768 else 512
-    tb = _pick_tb(_pow2_at_least(k), fb, t)
+    tb = _pick_tb(_pow2_at_least(k), fb, t, esize, sub)
     sw = _align(fb + k - 1, 128)  # aligned slab width
     n_f = -(-f // fb)
     n_t = -(-t // tb)
@@ -406,13 +414,13 @@ def _freq_impl(x_padded: jnp.ndarray, k: int, cse: bool, fold: bool = True):
                 _freq_kernel_pipelined,
                 k=k, fb=fb, tb=tb, sw=sw, n_t=n_t, cse=cse,
             ),
-            out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), dt),
             grid=(c, n_f),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, tb, sw), jnp.float32),
-                pltpu.VMEM((2, tb, fb), jnp.float32),
+                pltpu.VMEM((2, tb, sw), dt),
+                pltpu.VMEM((2, tb, fb), dt),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -420,7 +428,7 @@ def _freq_impl(x_padded: jnp.ndarray, k: int, cse: bool, fold: bool = True):
     else:
         out = pl.pallas_call(
             functools.partial(_freq_kernel, k=k, fb=fb, tb=tb, sw=sw, cse=cse),
-            out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((c, t_pad, f_pad), dt),
             grid=(c, n_t, n_f),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
@@ -429,7 +437,7 @@ def _freq_impl(x_padded: jnp.ndarray, k: int, cse: bool, fold: bool = True):
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((tb, sw), jnp.float32),
+                pltpu.VMEM((tb, sw), dt),
                 pltpu.SemaphoreType.DMA,
             ],
         )(xc)
@@ -532,8 +540,9 @@ def sliding_median_last_axis_pallas(
 ):
     """Valid-mode sliding median along the last axis.
 
-    x_padded: [..., T, F + k - 1] float32 (caller applied the boundary
-    pad). Returns [..., T, F]:
+    x_padded: [..., T, F + k - 1] float32 or bfloat16 (caller applied
+    the boundary pad; bf16 runs natively — selection is bf16-exact —
+    and returns bf16). Returns [..., T, F]:
     out[..., t, j] = median(x_padded[..., t, j : j + k]).
 
     ``cse`` selects the shift-normalized network (default; see
@@ -646,11 +655,92 @@ def _time_impl_piped(
     return out[:, :, :f]
 
 
+def _time_kernel_pipelined(
+    x_hbm, out_hbm, slabs, outbufs, in_sems, out_sems,
+    *, offsets, back, tb: int, rows: int, base: int, fb: int,
+    n_t: int, cse: bool,
+):
+    """Double-buffered variant of _time_kernel for multi-chunk row
+    spans: one (batch c, lane-tile j) program walks ALL n_t row chunks
+    with chunk i+1's slab loading and chunk i-1's tile storing while
+    chunk i sorts. The one-chunk-per-program grid pays a serialized
+    DMA latency per program — the transposed freq-median route
+    presents hundreds of row chunks at wide serving shapes (the folded
+    512-stream block transposes to 16384 lanes x tb=8 rows = 66x2
+    programs), which made the freq leg the dominant term of the
+    512-stream step (serving_bound_r04.json legs)."""
+    c = pl.program_id(0)
+    j = pl.program_id(1)
+    k = len(offsets)
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            x_hbm.at[c, pl.ds(base + i * tb, rows), pl.ds(j * fb, fb)],
+            slabs.at[slot],
+            in_sems.at[slot],
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            outbufs.at[slot],
+            out_hbm.at[c, pl.ds(i * tb, tb), pl.ds(j * fb, fb)],
+            out_sems.at[slot],
+        )
+
+    in_dma(0, 0).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_t)
+        def _():
+            in_dma(nxt, i + 1).start()
+
+        in_dma(slot, i).wait()
+
+        # the outbuf slot was dispatched at chunk i-2; wait before reuse
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        if cse:
+            shifted = tuple(o + back for o in offsets)
+            outbufs[slot] = _median_network_cse(
+                slabs[slot], shifted, (k - 1) // 2, 0, tb
+            )
+        else:
+            taps = [slabs[slot, o + back : o + back + tb, :] for o in offsets]
+            outbufs[slot] = _median_network(taps, (k - 1) // 2)
+        out_dma(slot, i).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_t, body, (), unroll=False)
+
+    # drain the last (up to) two outstanding output stores
+    @pl.when(n_t >= 2)
+    def _():
+        out_dma(jax.lax.rem(n_t - 2, 2), n_t - 2).wait()
+
+    out_dma(jax.lax.rem(n_t - 1, 2), n_t - 1).wait()
+
+
 def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: bool):
     """Tap median of rows start..T-1 only (out[..., i, :] = median over
     x[..., start + i + o, :]); streaming callers filter just the new
-    block's rows instead of the whole history concat."""
+    block's rows instead of the whole history concat.
+
+    f32 and bf16 run natively (out dtype = input dtype; the compare
+    network is pure min/max selection, so bf16 results equal
+    f32-upcast results exactly — stream_state='bf16' and the bf16
+    freq-median route ride this for half the HBM traffic); any other
+    dtype upcasts to f32."""
     xc, lead = _fold_batch(x)
+    if xc.dtype not in (jnp.float32, jnp.bfloat16):
+        xc = xc.astype(jnp.float32)
+    dt = xc.dtype
+    esize = jnp.dtype(dt).itemsize
+    sub = 16 if dt == jnp.bfloat16 else 8  # native sublane multiple
     c, t, f = xc.shape
     t_out = t - start
     back = max(0, -min(offsets))
@@ -660,17 +750,17 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
     f_pad = _align(f, 128)
     n_pad = _pow2_at_least(len(offsets))
     # lane tiling keeps the network's live wires inside the VMEM
-    # budget for ANY caller: the minimum tile height is 8 rows, so
-    # n_pad wires of [8, fb] must fit (wide-f big-k calls — e.g.
-    # nfft=16384 feature matrices or the transposed freq route —
-    # would otherwise OOM the 16 MB VMEM; caught by the r02 sweep)
+    # budget for ANY caller: the minimum tile height is one sublane
+    # group, so n_pad wires of [sub, fb] must fit (wide-f big-k calls
+    # — e.g. nfft=16384 feature matrices or the transposed freq route
+    # — would otherwise OOM the 16 MB VMEM; caught by the r02 sweep)
     fb = min(
         f_pad,
-        max(128, (_NET_BUDGET_BYTES // (4 * 8 * n_pad)) // 128 * 128),
+        max(128, (_NET_BUDGET_BYTES // (esize * sub * n_pad)) // 128 * 128),
     )
     n_f = -(-f_pad // fb)
     f_pad = n_f * fb
-    tb = _pick_tb(n_pad, fb, t_out)
+    tb = _pick_tb(n_pad, fb, t_out, esize, sub)
     n_t = -(-t_out // tb)
     t_pad_out = n_t * tb
     if (
@@ -678,15 +768,10 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
         and c >= _TIME_PIPED_MIN_BATCH
         and n_t == 1
         and n_f == 1
-        and t * f_pad * 4 <= (2 << 20)  # whole-extent block stays tiny in VMEM
+        and t * f_pad * esize <= (2 << 20)  # whole-extent block stays tiny
     ):
         return _time_impl_piped(xc, offsets, fill, start).reshape(lead + (t_out, f))
-    if xc.dtype != jnp.float32:
-        # bf16 histories only pay off where HBM traffic dominates — the
-        # wide-batch piped path above; smaller fleets are chip-resident,
-        # so decode to f32 and take the standard kernel
-        xc = xc.astype(jnp.float32)
-    rows = _align(tb + back + fwd, 8)  # aligned slab rows
+    rows = _align(tb + back + fwd, sub)  # aligned slab rows
     need_rows = base + (n_t - 1) * tb + rows
     bottom_pad = max(0, need_rows - (top_pad + t))
     xp = jnp.pad(
@@ -694,28 +779,53 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
         ((0, 0), (top_pad, bottom_pad), (0, f_pad - f)),
         constant_values=fill,
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _time_kernel,
-            offsets=tuple(offsets),
-            back=back,
-            tb=tb,
-            rows=rows,
-            base=base,
-            fb=fb,
-            cse=cse,
-        ),
-        out_shape=jax.ShapeDtypeStruct((c, t_pad_out, f_pad), jnp.float32),
-        grid=(c, n_t, n_f),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, tb, fb), lambda c, i, j: (c, i, j), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((rows, fb), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(xp)
+    if n_t > 1:
+        out = pl.pallas_call(
+            functools.partial(
+                _time_kernel_pipelined,
+                offsets=tuple(offsets),
+                back=back,
+                tb=tb,
+                rows=rows,
+                base=base,
+                fb=fb,
+                n_t=n_t,
+                cse=cse,
+            ),
+            out_shape=jax.ShapeDtypeStruct((c, t_pad_out, f_pad), dt),
+            grid=(c, n_f),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, fb), dt),
+                pltpu.VMEM((2, tb, fb), dt),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )(xp)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _time_kernel,
+                offsets=tuple(offsets),
+                back=back,
+                tb=tb,
+                rows=rows,
+                base=base,
+                fb=fb,
+                cse=cse,
+            ),
+            out_shape=jax.ShapeDtypeStruct((c, t_pad_out, f_pad), dt),
+            grid=(c, n_t, n_f),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, tb, fb), lambda c, i, j: (c, i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows, fb), dt),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(xp)
     return out[:, :t_out, :f].reshape(lead + (t_out, f))
 
 
@@ -745,7 +855,8 @@ def tap_median_time_pallas(
     prefill frame). ``start`` restricts output to the trailing
     T-start rows without computing the leading ones.
 
-    x: [..., T, F] float32; offsets: static tuple of frame offsets
+    x: [..., T, F] float32 or bfloat16 (bf16 runs natively, returns
+    bf16); offsets: static tuple of frame offsets
     (duplicates allowed — the replicate-border causal mode repeats the
     current frame).
     """
