@@ -129,7 +129,8 @@ def sp_leg(n_dev: int, n_frames: int, hop: int, fs: float):
     return length / per_step
 
 
-def chip_stream_curve(stream_counts, hop: int, block_hops: int, fs: float):
+def chip_stream_curve(stream_counts, hop: int, block_hops: int, fs: float,
+                      stream_state: str = "f32"):
     """Single-chip dp weak-scaling curve (round-2 verdict #8): Msamples/s
     at 1 -> N streams on ONE device — the per-chip scaling evidence this
     environment CAN measure (the virtual-mesh efficiencies validate the
@@ -144,7 +145,8 @@ def chip_stream_curve(stream_counts, hop: int, block_hops: int, fs: float):
     from zen_tpu.engine.config import HPRConfig, OUTPUT_PERCUSSIVE
 
     cfg = HPRConfig(
-        fs=fs, hop=hop, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
+        fs=fs, hop=hop, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE,
+        stream_state=stream_state,
     )
     curve = {}
     for s in stream_counts:
@@ -175,6 +177,11 @@ def main():
         "--chip-streams", default=None,
         help="also sweep single-chip stream counts, e.g. '1,8,64,512' "
         "(the per-chip dp weak-scaling curve; default on TPU)",
+    )
+    ap.add_argument(
+        "--stream-state", default="f32", choices=("f32", "bf16"),
+        help="serving-state precision for the chip curve (the bf16 "
+        "knob that lifts wide-fleet retention, docs/PERFORMANCE.md)",
     )
     ap.add_argument(
         "--mesh-legs", dest="mesh_legs", action="store_true", default=None,
@@ -226,8 +233,10 @@ def main():
     chip = args.chip_streams or ("1,8,64,512" if platform == "tpu" else None)
     if chip:
         streams = [int(x) for x in chip.split(",")]
-        curve = chip_stream_curve(streams, args.hop, args.block_hops, args.fs)
+        curve = chip_stream_curve(streams, args.hop, args.block_hops,
+                                  args.fs, args.stream_state)
         result["chip_stream_curve_samples_per_s"] = curve
+        result["chip_stream_state"] = args.stream_state
         # the chip is the scaling unit: stream count just fills it, so
         # the honest summary is throughput retention vs the chip's own
         # peak (flat curve == stream count costs nothing), not "weak

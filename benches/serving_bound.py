@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--round", type=int, default=3)
     ap.add_argument(
+        "--stream-state", default="f32", choices=("f32", "bf16"),
+        help="serving-state precision knob (HPRConfig.stream_state); "
+        "bf16 halves the carried-history and median HBM traffic",
+    )
+    ap.add_argument(
         "--n1", type=int, default=None,
         help="override the short chain length (smoke runs)",
     )
@@ -93,7 +98,8 @@ def main():
     B = args.block_hops
     hop = args.hop
     base_cfg = HPRConfig(
-        fs=args.fs, hop=hop, beta=2.0, causal=True, outputs=OUTPUT_PERCUSSIVE
+        fs=args.fs, hop=hop, beta=2.0, causal=True,
+        outputs=OUTPUT_PERCUSSIVE, stream_state=args.stream_state,
     )
     counts = [int(s) for s in args.streams.split(",")]
 
@@ -106,6 +112,7 @@ def main():
             "block_hops": B,
             "fs": args.fs,
             "outputs": "percussive",
+            "stream_state": args.stream_state,
         },
         "legs_us_per_step": {},
         "per_sample_ns": {},
@@ -171,18 +178,23 @@ def main():
         legs["transform"] = scan_slope_ms(transform_leg, x0, n1, n2) * 1e3
 
         # -- median: both Pallas directions on production shapes ------
+        # feature histories live in the serving-state dtype (the
+        # production block step quantizes fresh rows to match)
+        hist_dt = jnp.bfloat16 if args.stream_state == "bf16" else jnp.float32
         f0 = jnp.asarray(
             np.abs(rng.standard_normal((S, H + B, bins))).astype(np.float32)
-        )
+        ).astype(hist_dt)
         newrows0 = f0[:, H:, :]
 
         def median_leg(feats):
             def one(fs_):
                 h = time_filtered_tail(fs_, rcfg, H)
-                p = freq_filtered(fs_[H:, :], rcfg)
+                p = freq_filtered(fs_[H:, :], rcfg).astype(jnp.float32)
                 return h + p
 
-            new = newrows0 + 1e-12 * jax.vmap(one)(feats)
+            new = (
+                newrows0.astype(jnp.float32) + 1e-12 * jax.vmap(one)(feats)
+            ).astype(hist_dt)
             return jnp.concatenate([feats[:, B:, :], new], axis=1)
 
         legs["median"] = scan_slope_ms(median_leg, f0, n1, n2) * 1e3

@@ -80,9 +80,10 @@ class HPRConfig:
     # bound, docs/PERFORMANCE.md round 4); 'bf16' halves the carry
     # traffic at the cost of quantizing the median/mask features to
     # bf16 (a quality knob in the dft_bf16 tradition — outputs shift
-    # by feature-quantization noise, masks stay well-behaved). Only
-    # the time-median tap history is affected; all mask/synthesis math
-    # stays f32.
+    # by feature-quantization noise, masks stay well-behaved). Both
+    # median directions run natively on the quantized features (the
+    # median is selection, so bf16 kernels pick exactly the elements
+    # f32 would); all mask/synthesis math stays f32.
 
     def __post_init__(self):
         if self.hop <= 0 or (self.hop & (self.hop - 1)) != 0:
