@@ -104,6 +104,8 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=512,
                     help="block steps per device dispatch")
     ap.add_argument("--dispatches", type=int, default=20)
+    ap.add_argument("--stream-state", default="f32", choices=("f32", "bf16"),
+                    help="serving-state precision (the wide-fleet bf16 knob)")
     args = ap.parse_args()
     if args.dispatches < 1:
         ap.error("--dispatches must be >= 1")
@@ -115,7 +117,8 @@ def main() -> int:
 
     enable_compilation_cache()
     cfg = HPRConfig(
-        fs=args.fs, hop=args.hop, causal=True, outputs=OUTPUT_ALL
+        fs=args.fs, hop=args.hop, causal=True, outputs=OUTPUT_ALL,
+        stream_state=args.stream_state,
     )
     run, init_carry = build_soak_run(
         cfg, args.streams, args.block_hops, args.steps

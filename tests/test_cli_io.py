@@ -457,6 +457,19 @@ def test_impl_seam_constructor_kwargs():
     ms = MultiStreamHPR(4, 8000.0, 64, fft_impl="dft_bf16")
     assert ms.cfg.fft_impl == "dft_bf16"  # resolver must not override
 
+    # the serving-state precision knob reaches every driver too
+    rt = HPRRealtime(8000.0, 64, stream_state="bf16")
+    assert rt.cfg.stream_state == "bf16"
+    import jax.numpy as jnp
+
+    from zen_tpu.drivers.realtime import init_state
+
+    assert init_state(rt.cfg).feat_hist.dtype == jnp.bfloat16
+    ms = MultiStreamHPR(4, 8000.0, 64, stream_state="bf16")
+    assert ms.cfg.stream_state == "bf16"
+    sep = HPRIOffline(8000.0, 64, 32, stream_state="bf16")
+    assert sep.cfg_h.stream_state == "bf16"  # accepted, inert offline
+
 
 @pytest.mark.slow
 def test_cli_offline_tp_mesh(tmp_path):
