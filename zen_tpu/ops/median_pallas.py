@@ -771,6 +771,15 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
         and t * f_pad * esize <= (2 << 20)  # whole-extent block stays tiny
     ):
         return _time_impl_piped(xc, offsets, fill, start).reshape(lead + (t_out, f))
+    # Mosaic requires DMA row offsets divisible by the sublane tiling
+    # when the (small) input gets VMEM-placed: realign `base` down and
+    # fold the residue into the in-slab tap shift (start > back calls
+    # — e.g. a deep `start` into a short history — otherwise fail to
+    # compile on hardware; caught by the r04 axon run of the piped
+    # parity test's odd-shape case)
+    delta = base % sub
+    base -= delta
+    back += delta
     rows = _align(tb + back + fwd, sub)  # aligned slab rows
     need_rows = base + (n_t - 1) * tb + rows
     bottom_pad = max(0, need_rows - (top_pad + t))
