@@ -10,9 +10,13 @@
 // wrap-defined helpers in zenopus.h.  Validated int16-exact against a
 // test-time-compiled libopus oracle (tests/test_opus.py).
 //
-// PLC/CNG are deliberately absent: this decoder consumes complete
-// streams from files, where no packet is ever lost; both reference
-// subsystems only alter output after a lost packet.
+// PLC/CNG are implemented (SilkChannel::{decode_frame_lost,plc_update,
+// plc_glue,cng_run} below): the file-decode front door never loses packets, but
+// DTX streams and mode transitions route through the concealment path
+// (opus_decoder.c:306,448 semantics), and the concealment output is
+// validated bit-exact against the libopus oracle like every other mode
+// (tests/test_opus.py::test_dtx_plc_cng_bit_exact and the transition
+// tests).
 
 #include "zenopus.h"
 #include "zenopus_tables.h"
