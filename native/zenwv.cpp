@@ -1033,77 +1033,94 @@ void enc_write_elias(BitWriter& bw, uint32_t v) {
   for (int k = 0; k < cbits - 1; ++k) bw.putbit((v >> k) & 1);
 }
 
-void enc_put_words(const std::vector<int32_t>& values, uint32_t med[3],
-                   BitWriter& bw) {
+// Entropy-encode a residual block (mirror of get_words). Mono when
+// med1 == nullptr; stereo when given — `values` is the interleaved
+// L/R flat stream and symbol i uses the (i & 1) channel's medians,
+// exactly the decoder's channel walk. holding_one/holding_zero and
+// the zero-run mode are stream-wide (zen_tpu/io/wavpack.py _put_words
+// is the pinned byte-identical reference).
+void enc_put_words(const std::vector<int32_t>& values, uint32_t med0[3],
+                   uint32_t* med1, BitWriter& bw) {
   size_t n = values.size();
-  auto bucket = [&](uint32_t vi) -> uint32_t {
-    uint32_t m0 = (med[0] >> 4) + 1;
-    if (vi < m0) return 0;
-    uint32_t m1 = (med[1] >> 4) + 1;
-    if (vi < m0 + m1) return 1;
-    uint32_t m2 = (med[2] >> 4) + 1;
-    return 2 + (vi - m0 - m1) / m2;
+  const bool stereo = med1 != nullptr;
+  uint32_t quiet[3] = {0, 0, 0};
+  uint32_t* m1 = stereo ? med1 : quiet;
+  auto bucket = [](const uint32_t* c, uint32_t vi) -> uint32_t {
+    uint32_t b0 = (c[0] >> 4) + 1;
+    if (vi < b0) return 0;
+    uint32_t b1 = (c[1] >> 4) + 1;
+    if (vi < b0 + b1) return 1;
+    uint32_t b2 = (c[2] >> 4) + 1;
+    return 2 + (vi - b0 - b1) / b2;
+  };
+  auto chan = [&](size_t idx) -> uint32_t* {
+    return (stereo && (idx & 1)) ? m1 : med0;
   };
 
   int h1 = 0, h0 = 0;
   size_t i = 0;
   while (i < n) {
+    uint32_t* c = chan(i);
     if (h0) {
       h0 = 0;
       int32_t v = values[i];
       uint32_t vi = static_cast<uint32_t>(v < 0 ? ~v : v);
-      uint32_t high = med[0] >> 4;
-      med[0] -= ((med[0] + 126) / 128) * 2;
+      uint32_t high = c[0] >> 4;
+      c[0] -= ((c[0] + 126) / 128) * 2;
       enc_write_code(bw, vi, high);
       bw.putbit(v < 0 ? 1 : 0);
       if (++i == n) break;
+      c = chan(i);
     }
 
-    if (med[0] < 2 && !h1) {
+    if (med0[0] < 2 && m1[0] < 2 && !h1) {
       size_t z = 0;
       while (i + z < n && values[i + z] == 0) ++z;
       enc_write_elias(bw, static_cast<uint32_t>(z));
       if (z) {
-        med[0] = med[1] = med[2] = 0;
+        med0[0] = med0[1] = med0[2] = 0;
+        m1[0] = m1[1] = m1[2] = 0;
         i += z;
         if (i >= n) break;
+        c = chan(i);
       }
     }
 
     int32_t v = values[i];
     uint32_t vi = static_cast<uint32_t>(v < 0 ? ~v : v);
-    uint32_t b = bucket(vi);
+    uint32_t b = bucket(c, vi);
     uint32_t low, high;
     if (b == 0) {
       low = 0;
-      high = med[0] >> 4;
-      med[0] -= ((med[0] + 126) / 128) * 2;
+      high = c[0] >> 4;
+      c[0] -= ((c[0] + 126) / 128) * 2;
     } else {
-      low = (med[0] >> 4) + 1;
-      med[0] += ((med[0] + 128) / 128) * 5;
+      low = (c[0] >> 4) + 1;
+      c[0] += ((c[0] + 128) / 128) * 5;
       if (b == 1) {
-        high = low + (med[1] >> 4);
-        med[1] -= ((med[1] + 62) / 64) * 2;
+        high = low + (c[1] >> 4);
+        c[1] -= ((c[1] + 62) / 64) * 2;
       } else {
-        low += (med[1] >> 4) + 1;
-        med[1] += ((med[1] + 64) / 64) * 5;
-        uint32_t med2 = (med[2] >> 4) + 1;
+        low += (c[1] >> 4) + 1;
+        c[1] += ((c[1] + 64) / 64) * 5;
+        uint32_t med2 = (c[2] >> 4) + 1;
         if (b == 2) {
           high = low + med2 - 1;
-          med[2] -= ((med[2] + 30) / 32) * 2;
+          c[2] -= ((c[2] + 30) / 32) * 2;
         } else {
           low += (b - 2) * med2;
           high = low + med2 - 1;
-          med[2] += ((med[2] + 32) / 32) * 5;
+          c[2] += ((c[2] + 32) / 32) * 5;
         }
       }
     }
 
     int p = 0;
     if (i + 1 < n) {
+      const uint32_t* nc = chan(i + 1);
       int32_t nv = values[i + 1];
       uint32_t nvi = static_cast<uint32_t>(nv < 0 ? ~nv : nv);
-      p = nvi > (med[0] >> 4) ? 1 : 0;
+      p = nvi > (nc[0] >> 4) ? 1 : 0;
     }
     uint32_t u = 2 * (b - h1) + static_cast<uint32_t>(p);
     if (u < static_cast<uint32_t>(kLimitOnes)) {
@@ -1156,25 +1173,27 @@ void wr32(std::vector<uint8_t>& o, uint32_t v) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Encode mono float [-1,1] as lossless WavPack, byte-identical to the
-// Python encoder (zen_tpu/io/wavpack.py write_wavpack) on the same
-// input.  Returns 0 on success.
-int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
-                       uint64_t nsamples, int32_t bits,
-                       int32_t block_samples) {
+// Shared lossless encode path: mono [n] or plain L/R stereo [n, 2]
+// (interleaved input), byte-identical to the Python encoder
+// (zen_tpu/io/wavpack.py write_wavpack) on the same input.
+int wv_encode_impl(const char* path, int32_t fs, const float* x,
+                   uint64_t nframes, int channels, int32_t bits,
+                   int32_t block_samples) {
   if (bits != 8 && bits != 16 && bits != 24) return 20;
   if (block_samples <= 0) return 21;
+  if (channels != 1 && channels != 2) return 22;
+  const bool stereo = channels == 2;
   try {
     float full_m1 = static_cast<float>((1u << (bits - 1)) - 1);
-    std::vector<int32_t> q(nsamples);
+    std::vector<int32_t> q(nframes * channels);
     // match the Python encoder bit-for-bit: numpy keeps the product in
     // float32 (weak promotion) and np.round is half-even == nearbyintf
     // under FE_TONEAREST; pin the mode against ambient FP state
     const int prev_round = std::fegetround();
     std::fesetround(FE_TONEAREST);
-    for (uint64_t i = 0; i < nsamples; ++i) {
+    for (uint64_t i = 0; i < nframes * channels; ++i) {
       float v = x[i];
       if (v > 1.0f) v = 1.0f;
       if (v < -1.0f) v = -1.0f;
@@ -1191,24 +1210,50 @@ int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
 
     std::vector<uint8_t> out;
     uint64_t n_blocks =
-        nsamples ? (nsamples + block_samples - 1) / block_samples : 1;
+        nframes ? (nframes + block_samples - 1) / block_samples : 1;
     for (uint64_t bi = 0; bi < n_blocks; ++bi) {
       uint64_t start = bi * block_samples;
       uint64_t end = start + block_samples;
-      if (end > nsamples) end = nsamples;
-      std::vector<int32_t> seg(q.begin() + start, q.begin() + end);
+      if (end > nframes) end = nframes;
+      uint64_t n = end - start;
 
       uint32_t crc = 0xFFFFFFFFu;
-      for (int32_t v : seg) crc = crc * 3 + static_cast<uint32_t>(v);
+      std::vector<int32_t> res;
+      std::vector<int32_t> seg;  // all samples of the block (MAG field)
+      if (stereo) {
+        std::vector<int32_t> left(n), right(n);
+        for (uint64_t i = 0; i < n; ++i) {
+          left[i] = q[2 * (start + i)];
+          right[i] = q[2 * (start + i) + 1];
+          // non-joint stereo CRC: crc*9 + 3*L + R per frame (the
+          // decoder's exact recurrence)
+          crc = crc * 9 + 3 * static_cast<uint32_t>(left[i]) +
+                static_cast<uint32_t>(right[i]);
+        }
+        seg = left;
+        seg.insert(seg.end(), right.begin(), right.end());
+        enc_decorr_pass(kEncTerms[1], left);
+        enc_decorr_pass(kEncTerms[0], left);
+        enc_decorr_pass(kEncTerms[1], right);
+        enc_decorr_pass(kEncTerms[0], right);
+        res.resize(2 * n);
+        for (uint64_t i = 0; i < n; ++i) {
+          res[2 * i] = left[i];
+          res[2 * i + 1] = right[i];
+        }
+      } else {
+        seg.assign(q.begin() + start, q.begin() + end);
+        for (int32_t v : seg) crc = crc * 3 + static_cast<uint32_t>(v);
+        res = seg;
+        enc_decorr_pass(kEncTerms[1], res);
+        enc_decorr_pass(kEncTerms[0], res);
+      }
 
-      std::vector<int32_t> res = seg;
-      enc_decorr_pass(kEncTerms[1], res);
-      enc_decorr_pass(kEncTerms[0], res);
-
-      uint32_t med[3];
+      uint32_t med[3], med_b[3];
       med[0] = med[1] = med[2] = static_cast<uint32_t>(exp2s(seed));
+      med_b[0] = med_b[1] = med_b[2] = static_cast<uint32_t>(exp2s(seed));
       BitWriter bw;
-      enc_put_words(res, med, bw);
+      enc_put_words(res, med, stereo ? med_b : nullptr, bw);
       bw.done();
       if (bw.buf.size() & 1) bw.buf.push_back(0);
 
@@ -1241,12 +1286,13 @@ int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
       put_meta(kIdDecorrTerms, terms, 2);
       put_meta(kIdDecorrWeights, nullptr, 0);
       put_meta(kIdDecorrSamples, nullptr, 0);
-      uint8_t ev[6];
-      for (int k = 0; k < 3; ++k) {
+      uint8_t ev[12];
+      int n_seeds = stereo ? 6 : 3;
+      for (int k = 0; k < n_seeds; ++k) {
         ev[2 * k] = seed & 0xFF;
         ev[2 * k + 1] = (seed >> 8) & 0xFF;
       }
-      put_meta(kIdEntropyVars, ev, 6);
+      put_meta(kIdEntropyVars, ev, 2 * n_seeds);
       if (srate_idx == 15) {
         uint8_t sr[3] = {static_cast<uint8_t>(fs & 0xFF),
                          static_cast<uint8_t>((fs >> 8) & 0xFF),
@@ -1261,8 +1307,9 @@ int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
         int bl = av ? 32 - __builtin_clz(av) : 0;
         if (bl > mag) mag = bl;
       }
-      uint32_t flags = static_cast<uint32_t>(bits / 8 - 1) | kMonoFlag |
-                       kInitialBlock | kFinalBlock |
+      uint32_t flags = static_cast<uint32_t>(bits / 8 - 1) |
+                       (stereo ? 0u : kMonoFlag) | kInitialBlock |
+                       kFinalBlock |
                        (static_cast<uint32_t>(mag) << 18) |  // MAG_LSB
                        (static_cast<uint32_t>(srate_idx) << kSrateLsb);
 
@@ -1272,7 +1319,7 @@ int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
       out.push_back(0x04);  // version 0x407
       out.push_back(0);
       out.push_back(0);
-      wr32(out, static_cast<uint32_t>(nsamples));
+      wr32(out, static_cast<uint32_t>(nframes));
       wr32(out, static_cast<uint32_t>(start));
       wr32(out, static_cast<uint32_t>(end - start));
       wr32(out, flags);
@@ -1288,6 +1335,28 @@ int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
   } catch (const std::bad_alloc&) {
     return 3;
   }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode mono float [-1,1] as lossless WavPack, byte-identical to the
+// Python encoder (zen_tpu/io/wavpack.py write_wavpack) on the same
+// input.  Returns 0 on success.
+int zen_wv_encode_mono(const char* path, int32_t fs, const float* x,
+                       uint64_t nsamples, int32_t bits,
+                       int32_t block_samples) {
+  return wv_encode_impl(path, fs, x, nsamples, 1, bits, block_samples);
+}
+
+// General entry: interleaved float frames, 1 (mono) or 2 (plain L/R
+// stereo) channels; byte-identical to write_wavpack on the same input.
+int zen_wv_encode(const char* path, int32_t fs, const float* x,
+                  uint64_t nframes, int32_t channels, int32_t bits,
+                  int32_t block_samples) {
+  return wv_encode_impl(path, fs, x, nframes, channels, bits,
+                        block_samples);
 }
 
 }  // extern "C"

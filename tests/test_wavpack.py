@@ -385,3 +385,105 @@ def test_stem_writer_routes_wv(tmp_path):
     q = np.round(np.clip(x, -1, 1) * np.float32(32767)) / np.float32(32768)
     assert fs == 22050
     np.testing.assert_allclose(y, q.astype(np.float32), atol=0)
+
+
+# ---- stereo encoder (round 5: the last encoder-envelope asymmetry) ----------
+
+
+def _stereo_signals(rng, fs):
+    for kind in range(4):
+        n = int(rng.integers(2, 50000))
+        t = np.arange(n) / fs
+        if kind == 0:  # independent tones per channel
+            x = np.stack(
+                [np.sin(2 * np.pi * 220 * t) * 0.6,
+                 np.sin(2 * np.pi * 331 * t) * 0.4], 1)
+        elif kind == 1:  # uncorrelated noise
+            x = rng.standard_normal((n, 2)) * 0.3
+        elif kind == 2:  # silence + burst: the stereo zero-run mode
+            x = np.zeros((n, 2))
+            if n > 100:
+                x[n // 3 : n // 2] = rng.standard_normal(
+                    (n // 2 - n // 3, 2)) * 0.2
+        else:  # highly correlated channels
+            base = np.sin(2 * np.pi * 440 * t) * 0.5
+            x = np.stack([base, base + rng.standard_normal(n) * 1e-3], 1)
+        yield x.astype(np.float32)
+
+
+def test_stereo_encoder_roundtrip_and_native_byte_identical(tmp_path):
+    """Stereo write_wavpack -> strict read_wavpack reproduces the
+    quantized input exactly (CRC-gated); the native encoder is
+    byte-identical across the full bits x signal matrix."""
+    from zen_tpu.io.wavpack import write_wavpack
+    from zen_tpu.runtime import native
+
+    rng = np.random.default_rng(21)
+    fs = 44100
+    has_native = native.available() and getattr(
+        native._load(), "_has_wv_enc_wide", False)
+    for bits in (8, 16, 24):
+        for x in _stereo_signals(rng, fs):
+            pp = tmp_path / "p.wv"
+            write_wavpack(str(pp), fs, x, bits=bits)
+            fs2, y = read_wavpack(str(pp))
+            full = float(1 << (bits - 1))
+            q = np.round(np.clip(x, -1, 1) * np.float32(full - 1)) / full
+            assert fs2 == fs and y.shape == x.shape
+            np.testing.assert_array_equal(y, q)
+            if has_native:
+                pn = tmp_path / "n.wv"
+                native.wv_write(str(pn), fs, x, bits=bits)
+                assert pn.read_bytes() == pp.read_bytes()
+
+
+def test_stereo_encoder_decodes_with_libwavpack(tmp_path):
+    """Conformance: test-time-compiled libwavpack decodes our stereo
+    encode sample-exactly with zero errors."""
+    import subprocess
+
+    from zen_tpu.io.wavpack import write_wavpack
+
+    if not os.path.isdir(_WAVPACK_SRC):
+        pytest.skip("vendored libwavpack absent")
+    src = tmp_path / "oracle.c"
+    src.write_text(_WV_ORACLE_MAIN)
+    exe = tmp_path / "oracle"
+    cmd = (
+        ["gcc", "-O2", "-fcommon", f"-I{_WAVPACK_SRC}/include",
+         f"-I{_WAVPACK_SRC}/src", str(src)]
+        + [f"{_WAVPACK_SRC}/src/{u}" for u in _WV_ORACLE_UNITS]
+        + ["-o", str(exe), "-lm"]
+    )
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"oracle build failed: {r.stderr[-200:]}")
+
+    rng = np.random.default_rng(22)
+    fs = 44100
+    for x in _stereo_signals(rng, fs):
+        p = tmp_path / "e.wv"
+        raw = tmp_path / "e.raw"
+        write_wavpack(str(p), fs, x)
+        rr = subprocess.run(
+            [str(exe), str(p), str(raw)], capture_output=True, text=True
+        )
+        assert rr.returncode == 0, rr.stderr
+        y = np.fromfile(raw, np.int32).reshape(-1, 2)
+        q = np.round(np.clip(x, -1, 1) * np.float32(32767)).astype(np.int64)
+        np.testing.assert_array_equal(y, q)
+
+
+def test_stem_writer_routes_stereo_wv(tmp_path):
+    """write_audio_pcm16('.wv') accepts [n, 2] stereo and the strict
+    decoder reproduces both channels exactly."""
+    from zen_tpu.io.audio import write_audio_pcm16
+
+    rng = np.random.default_rng(23)
+    x = (rng.standard_normal((15000, 2)) * 0.5).astype(np.float32)
+    p = tmp_path / "stereo.wv"
+    write_audio_pcm16(str(p), 48000, x)
+    fs, y = read_wavpack(str(p))
+    q = np.round(np.clip(x, -1, 1) * np.float32(32767)) / 32768.0
+    assert fs == 48000
+    np.testing.assert_array_equal(y, q)

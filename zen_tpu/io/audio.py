@@ -184,14 +184,14 @@ def write_audio_pcm16(path: str, fs: int, x: np.ndarray) -> None:
     :func:`read_audio_mono`'s magic sniffing."""
     if path.lower().endswith(".wv"):
         x = np.asarray(x, np.float32)
-        if x.ndim != 1:
-            raise ValueError("mono audio expected")
+        if x.ndim not in (1, 2) or (x.ndim == 2 and x.shape[1] > 2):
+            raise ValueError("audio must be [n] mono or [n, 2] stereo")
         try:
             from ..runtime import native
 
             # byte-identical to the Python encoder (pinned by test),
-            # ~90x faster
-            native.wv_write_mono(path, int(fs), x)
+            # ~2 orders faster; handles mono and stereo
+            native.wv_write(path, int(fs), x)
             return
         except (RuntimeError, OSError, ValueError):
             pass  # not built: the Python encoder below is exact too
@@ -201,12 +201,12 @@ def write_audio_pcm16(path: str, fs: int, x: np.ndarray) -> None:
         return
     if path.lower().endswith(".flac"):
         x = np.asarray(x, np.float32)
-        if x.ndim == 1:
+        if x.ndim in (1, 2):
             try:
                 from ..runtime import native
 
                 # byte-identical to the Python encoder (pinned by
-                # test), ~3.4x faster — mono 16-bit is the stem shape
+                # test); handles mono and stereo
                 native.flac_write(path, int(fs), x, bits=16)
                 return
             except (RuntimeError, OSError, ValueError):

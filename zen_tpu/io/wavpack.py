@@ -1031,25 +1031,34 @@ def _write_elias(bw: _BitWriter, v: int) -> None:
         bw.putbit((v >> k) & 1)
 
 
-def _put_words(values, med, bw: _BitWriter) -> None:
-    """Entropy-encode a mono residual block (mirror of _get_words);
-    `med` evolves in place through the decoder's exact recurrences."""
-    n = len(values)
+def _put_words(values, med, bw: _BitWriter, med_b=None) -> None:
+    """Entropy-encode a residual block (mirror of _get_words); the
+    medians evolve in place through the decoder's exact recurrences.
 
-    def bucket(vi: int) -> int:
-        m0 = (med[0] >> 4) + 1
-        if vi < m0:
+    Mono when ``med_b`` is None; stereo when given — ``values`` is then
+    the interleaved L/R flat stream and symbol i uses the (i & 1)
+    channel's medians, exactly the decoder's channel walk.  The
+    holding_one/holding_zero carry and the zero-run mode are
+    stream-wide (shared across channels), as in _get_words."""
+    n = len(values)
+    stereo = med_b is not None
+    m1 = med_b if stereo else [0, 0, 0]
+
+    def bucket(c, vi: int) -> int:
+        b0 = (c[0] >> 4) + 1
+        if vi < b0:
             return 0
-        m1 = (med[1] >> 4) + 1
-        if vi < m0 + m1:
+        b1 = (c[1] >> 4) + 1
+        if vi < b0 + b1:
             return 1
-        m2 = (med[2] >> 4) + 1
-        return 2 + (vi - m0 - m1) // m2
+        b2 = (c[2] >> 4) + 1
+        return 2 + (vi - b0 - b1) // b2
 
     h1 = 0
     h0 = 0
     i = 0
     while i < n:
+        c = m1 if (stereo and (i & 1)) else med
         if h0:
             # forced ones_count==0 slot announced by the previous
             # symbol's even count (its value fits median-0 by choice
@@ -1057,64 +1066,68 @@ def _put_words(values, med, bw: _BitWriter) -> None:
             h0 = 0
             v = values[i]
             vi = ~v if v < 0 else v
-            high = med[0] >> 4
-            med[0] = (med[0] - ((med[0] + 126) // 128) * 2) & 0xFFFFFFFF
+            high = c[0] >> 4
+            c[0] = (c[0] - ((c[0] + 126) // 128) * 2) & 0xFFFFFFFF
             _write_code(bw, vi, high)
             bw.putbit(1 if v < 0 else 0)
             i += 1
             if i == n:
                 break
+            c = m1 if (stereo and (i & 1)) else med
 
-        if med[0] < 2 and not h1:
+        if med[0] < 2 and m1[0] < 2 and not h1:
             # quiescent: the zero-run code (mono keeps the decoder's
             # channel-1 medians at zero, so its condition reduces to
-            # ours)
+            # channel 0; stereo requires both quiescent, _get_words:246)
             z = 0
             while i + z < n and values[i + z] == 0:
                 z += 1
             _write_elias(bw, z)
             if z:
                 med[0] = med[1] = med[2] = 0
+                m1[0] = m1[1] = m1[2] = 0
                 i += z
                 if i >= n:
                     break
+                c = m1 if (stereo and (i & 1)) else med
             # the symbol at the new i is encoded via the unary path
             # with no second zero-run check (decoder falls through)
 
         v = values[i]
         vi = ~v if v < 0 else v
-        b = bucket(vi)
+        b = bucket(c, vi)
 
         if b == 0:
             low = 0
-            high = med[0] >> 4
-            med[0] = (med[0] - ((med[0] + 126) // 128) * 2) & 0xFFFFFFFF
+            high = c[0] >> 4
+            c[0] = (c[0] - ((c[0] + 126) // 128) * 2) & 0xFFFFFFFF
         else:
-            low = (med[0] >> 4) + 1
-            med[0] = (med[0] + ((med[0] + 128) // 128) * 5) & 0xFFFFFFFF
+            low = (c[0] >> 4) + 1
+            c[0] = (c[0] + ((c[0] + 128) // 128) * 5) & 0xFFFFFFFF
             if b == 1:
-                high = low + (med[1] >> 4)
-                med[1] = (med[1] - ((med[1] + 62) // 64) * 2) & 0xFFFFFFFF
+                high = low + (c[1] >> 4)
+                c[1] = (c[1] - ((c[1] + 62) // 64) * 2) & 0xFFFFFFFF
             else:
-                low += (med[1] >> 4) + 1
-                med[1] = (med[1] + ((med[1] + 64) // 64) * 5) & 0xFFFFFFFF
-                med2 = (med[2] >> 4) + 1
+                low += (c[1] >> 4) + 1
+                c[1] = (c[1] + ((c[1] + 64) // 64) * 5) & 0xFFFFFFFF
+                med2 = (c[2] >> 4) + 1
                 if b == 2:
                     high = low + med2 - 1
-                    med[2] = (med[2] - ((med[2] + 30) // 32) * 2) & 0xFFFFFFFF
+                    c[2] = (c[2] - ((c[2] + 30) // 32) * 2) & 0xFFFFFFFF
                 else:
                     low += (b - 2) * med2
                     high = low + med2 - 1
-                    med[2] = (med[2] + ((med[2] + 32) // 32) * 5) & 0xFFFFFFFF
+                    c[2] = (c[2] + ((c[2] + 32) // 32) * 5) & 0xFFFFFFFF
 
         # the count's parity announces whether the NEXT symbol's
-        # bucket (under the just-updated medians) is zero — that is
-        # exactly the decoder's holding_one/holding_zero contract
+        # bucket (under its own channel's just-updated medians) is
+        # zero — the decoder's holding_one/holding_zero contract
         p = 0
         if i + 1 < n:
+            nc = m1 if (stereo and ((i + 1) & 1)) else med
             nv = values[i + 1]
             nvi = ~nv if nv < 0 else nv
-            p = 1 if nvi > (med[0] >> 4) else 0
+            p = 1 if nvi > (nc[0] >> 4) else 0
         u = 2 * (b - h1) + p
         if u < _LIMIT_ONES:
             for _ in range(u):
@@ -1170,19 +1183,23 @@ def _median_seed(target: int) -> int:
 
 def write_wavpack(path: str, fs: int, audio, *, bits: int = 16,
                   block_samples: int = 22050) -> None:
-    """Encode mono audio as lossless WavPack (the stem-writing path).
+    """Encode lossless WavPack (the stem-writing path).
 
     `audio` is float in [-1, 1] (quantized like the PCM16 wav writer:
     round-half-away via np.round) or an integer array already at the
-    target depth.  Every emitted block carries the stored CRC, so
-    `read_wavpack(path)` (or libwavpack) re-verifies the encode
-    bit-for-bit.  Mono only — stems are mono (zen/offline.h:106-113).
+    target depth; shape [n] mono or [n, 2] stereo (plain L/R stereo —
+    independent per-channel decorrelation, interleaved entropy walk).
+    Every emitted block carries the stored CRC, so `read_wavpack(path)`
+    (or libwavpack) re-verifies the encode bit-for-bit.
     """
     if bits not in (8, 16, 24):
         raise WavpackError("bits must be 8, 16, or 24")
     x = np.asarray(audio)
-    if x.ndim != 1:
-        raise WavpackError("mono audio expected")
+    if x.ndim == 2 and x.shape[1] == 1:
+        x = x[:, 0]
+    if x.ndim not in (1, 2) or (x.ndim == 2 and x.shape[1] != 2):
+        raise WavpackError("audio must be [n] mono or [n, 2] stereo")
+    stereo = x.ndim == 2
     if np.issubdtype(x.dtype, np.floating):
         full = float(1 << (bits - 1))
         q = np.round(np.clip(x, -1.0, 1.0) * (full - 1)).astype(np.int64)
@@ -1208,19 +1225,36 @@ def write_wavpack(path: str, fs: int, audio, *, bits: int = 16,
     for bi in range(n_blocks):
         seg = q[bi * block_samples : (bi + 1) * block_samples]
         n = len(seg)
-        samples = [int(v) for v in seg]
 
-        crc = 0xFFFFFFFF
-        for v in samples:
-            crc = (crc * 3 + v) & 0xFFFFFFFF
-
-        res = list(samples)
-        for term in reversed(_ENC_TERMS):
-            res = _decorr_encode_pass(term, res)
+        if stereo:
+            left = [int(v) for v in seg[:, 0]]
+            right = [int(v) for v in seg[:, 1]]
+            # non-joint stereo CRC: crc*9 + 3*L + R per frame
+            # (the decoder's exact recurrence, _get_words caller:675)
+            crc = 0xFFFFFFFF
+            for lv, rv in zip(left, right):
+                crc = (crc * 9 + 3 * lv + rv) & 0xFFFFFFFF
+            res_l, res_r = list(left), list(right)
+            for term in reversed(_ENC_TERMS):
+                res_l = _decorr_encode_pass(term, res_l)
+                res_r = _decorr_encode_pass(term, res_r)
+            res = [0] * (2 * n)
+            res[0::2] = res_l
+            res[1::2] = res_r
+            samples = left + right  # for the MAG field below
+        else:
+            samples = [int(v) for v in seg]
+            crc = 0xFFFFFFFF
+            for v in samples:
+                crc = (crc * 3 + v) & 0xFFFFFFFF
+            res = list(samples)
+            for term in reversed(_ENC_TERMS):
+                res = _decorr_encode_pass(term, res)
 
         med = [_exp2s(seed) & 0xFFFFFFFF] * 3
+        med_b = [_exp2s(seed) & 0xFFFFFFFF] * 3 if stereo else None
         bw = _BitWriter()
-        _put_words(res, med, bw)
+        _put_words(res, med, bw, med_b)
         stream = bw.done()
         if len(stream) & 1:
             stream += b"\x00"
@@ -1248,9 +1282,12 @@ def write_wavpack(path: str, fs: int, audio, *, bits: int = 16,
             ((t + 5) & 0x1F) | (_ENC_DELTA << 5) for t in reversed(_ENC_TERMS)
         )
         put_meta(_ID_DECORR_TERMS, term_bytes)
-        put_meta(_ID_DECORR_WEIGHTS, b"")   # zero weights
-        put_meta(_ID_DECORR_SAMPLES, b"")   # zero history
-        put_meta(_ID_ENTROPY_VARS, struct.pack("<3h", seed, seed, seed))
+        put_meta(_ID_DECORR_WEIGHTS, b"")   # zero weights (both channels)
+        put_meta(_ID_DECORR_SAMPLES, b"")   # zero history (both channels)
+        n_seeds = 6 if stereo else 3
+        put_meta(
+            _ID_ENTROPY_VARS, struct.pack("<%dh" % n_seeds, *([seed] * n_seeds))
+        )
         if srate_idx == 15:
             put_meta(_ID_SAMPLE_RATE, struct.pack("<I", int(fs))[:3])
         put_meta(_ID_WV_BITSTREAM, stream)
@@ -1258,7 +1295,7 @@ def write_wavpack(path: str, fs: int, audio, *, bits: int = 16,
         mag = max((abs(v).bit_length() for v in samples), default=0)
         flags = (
             (bits // 8 - 1)
-            | _MONO_FLAG
+            | (0 if stereo else _MONO_FLAG)
             | _INITIAL_BLOCK
             | _FINAL_BLOCK
             | (mag << _MAG_LSB)

@@ -154,6 +154,20 @@ def _load():
         lib._has_wv_enc = True
     except AttributeError:
         lib._has_wv_enc = False
+    try:  # general (mono/stereo) wv encoder: absent from older builds
+        lib.zen_wv_encode.restype = ctypes.c_int
+        lib.zen_wv_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_uint64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib._has_wv_enc_wide = True
+    except AttributeError:
+        lib._has_wv_enc_wide = False
     # one registration per from-scratch codec decoder; each gets its
     # own capability flag so a stale pre-codec .so degrades gracefully
     for prefix, flag in (
@@ -492,6 +506,36 @@ def wv_write_mono(path: str, fs: int, audio: np.ndarray, bits: int = 16,
     )
     if rc != 0:
         raise ValueError(f"zen_wv_encode_mono failed: {rc}")
+
+
+def wv_write(path: str, fs: int, audio: np.ndarray, bits: int = 16,
+             block_samples: int = 22050) -> None:
+    """Native WavPack encode of float mono [n] or plain L/R stereo
+    [n, 2] at 8/16/24 bits — byte-identical to
+    zen_tpu.io.wavpack.write_wavpack on the same input (pinned by
+    tests/test_wavpack.py), ~2 orders faster than the Python encoder.
+    Raises on unavailability; callers fall back."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_wv_enc_wide", False):
+        raise RuntimeError("native wavpack encoder unavailable")
+    x = np.ascontiguousarray(audio, np.float32)
+    if x.ndim == 1:
+        channels = 1
+    elif x.ndim == 2 and x.shape[1] in (1, 2):
+        channels = x.shape[1]
+    else:
+        raise ValueError("audio must be [n] mono or [n, 2] stereo")
+    rc = lib.zen_wv_encode(
+        path.encode(),
+        int(fs),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[0],
+        channels,
+        int(bits),
+        int(block_samples),
+    )
+    if rc != 0:
+        raise ValueError(f"zen_wv_encode failed: {rc}")
 
 
 def wav_write_pcm16(path: str, fs: int, audio: np.ndarray) -> None:
