@@ -24,6 +24,8 @@ former and penalizes the latter equally for stem and mixture.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -170,3 +172,39 @@ def test_sse_quality(mixture):
     assert si_snr(harm[: n - hop], outs[0][hop:n]) > 9.0
     perc_base = si_snr(perc[: n - hop], mix[: n - hop])
     assert si_snr(perc[: n - hop], outs[1][hop:n]) > perc_base + 1.0
+
+
+def test_bf16_serving_ladder_vs_f32(mixture):
+    """The serving precision ladder the docs recommend for wide fleets
+    (docs/PERFORMANCE.md): stream_state='bf16' and the full
+    dft_bf16+bf16 ladder must stay in their documented vs-f32 SNR
+    class on every stem that carries signal. Floors shared with
+    benches/quality.py (LADDER_FLOORS_DB); on CPU the dft_bf16 matmul
+    precision is a no-op (f32 compute), so the full-bf16 floor only
+    bites on hardware — the row still runs here to pin the plumbing.
+
+    Round-5 verdict #2: the bf16 modes must be under the quality gate,
+    not just quoted from ad-hoc probes."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    )
+    from benches.quality import LADDER, LADDER_FLOORS_DB
+
+    harm, perc, mix = mixture
+    hop = 256
+    base = np.asarray(
+        HPRRealtime(FS, hop, 2.0).process_stream(mix, block_hops=32)
+    )
+    for mode, kw in LADDER:
+        y = np.asarray(
+            HPRRealtime(FS, hop, 2.0, **kw).process_stream(
+                mix, block_hops=32
+            )
+        )
+        floor = LADDER_FLOORS_DB[mode]
+        for si, name in ((0, "harm"), (1, "perc")):
+            got = si_snr(base[si], y[si])
+            assert got > floor, (mode, name, got, floor)
