@@ -45,7 +45,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_PROCS = 2
+# process count is env-tunable (ZEN_MH_NPROCS) so the same smoke
+# exercises 2- and 3-process fleets (round-5 verdict #6); workers
+# inherit the env, so golden and multi-process modes agree on the
+# global mesh shape
+N_PROCS = int(os.environ.get("ZEN_MH_NPROCS", "2"))
 DEVS_PER_PROC = 2
 FS = 8000
 HOP_H, HOP_P = 256, 64
@@ -129,7 +133,7 @@ def worker_main(args) -> int:
     # the GLOBAL mesh shape must be identical in the golden
     # (single-process) and multi-process modes — derive from the
     # global device count, not nprocs
-    mesh = make_mesh({"dp": 2, "sp": (N_PROCS * DEVS_PER_PROC) // 2})
+    mesh = make_mesh({"dp": N_PROCS, "sp": DEVS_PER_PROC})
 
     if args.nprocs > 1:
         # topology assertion (3): every sp ring within one process

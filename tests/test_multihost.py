@@ -25,8 +25,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SMOKE = os.path.join(REPO, "scripts", "multihost_smoke.py")
 
 
-def _run_smoke(*extra, retries=1):
+def _run_smoke(*extra, retries=1, env_extra=None):
     env = dict(os.environ)
+    env.update(env_extra or {})
     # the smoke script manages its own XLA_FLAGS / platform pins in
     # the workers; scrub this test process's forced-device settings
     env.pop("XLA_FLAGS", None)
@@ -75,3 +76,15 @@ def test_multihost_cli_surface():
     r = _run_smoke("--cli")
     assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
     assert "byte-match the single-process CLI run" in r.stdout, r.stdout
+
+
+@pytest.mark.multihost
+def test_multihost_three_process_corpus():
+    """3-process fleet (dp=3 x sp=2 over 6 virtual devices): stems
+    byte-match the single-process run of the same global mesh, and
+    every sp (halo) ring stays inside one process. Round-5 verdict #6:
+    the 2-process smoke alone under-constrains the mesh construction
+    (any bug symmetric in the two processes is invisible)."""
+    r = _run_smoke("--quick", env_extra={"ZEN_MH_NPROCS": "3"})
+    assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
+    assert "byte-match the" in r.stdout, r.stdout
