@@ -106,6 +106,11 @@ def main() -> int:
     ap.add_argument("--dispatches", type=int, default=20)
     ap.add_argument("--stream-state", default="f32", choices=("f32", "bf16"),
                     help="serving-state precision (the wide-fleet bf16 knob)")
+    ap.add_argument("--fft-impl", default="auto",
+                    choices=("auto", "xla", "dft", "dft_bf16", "dft_f32"),
+                    help="transform seam: soak the full max-throughput "
+                    "ladder with --fft-impl dft_bf16 --stream-state bf16 "
+                    "(the >256-stream recommendation, round-5 verdict #7)")
     args = ap.parse_args()
     if args.dispatches < 1:
         ap.error("--dispatches must be >= 1")
@@ -118,7 +123,7 @@ def main() -> int:
     enable_compilation_cache()
     cfg = HPRConfig(
         fs=args.fs, hop=args.hop, causal=True, outputs=OUTPUT_ALL,
-        stream_state=args.stream_state,
+        stream_state=args.stream_state, fft_impl=args.fft_impl,
     )
     run, init_carry = build_soak_run(
         cfg, args.streams, args.block_hops, args.steps
