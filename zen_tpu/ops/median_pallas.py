@@ -262,6 +262,41 @@ def _pick_tb(n_pad: int, fb: int, t: int, esize: int = 4, sub: int = 8) -> int:
     return max(sub, min(256, _align(t, sub), tb // sub * sub))
 
 
+def _pick_tiles(
+    n_pad: int, t_out: int, f_pad: int, halo: int, esize: int, sub: int
+):
+    """Joint (tb, fb) pick minimizing estimated HBM traffic under the
+    VMEM wire budget (n_pad live wires of one [tb, fb] tile).
+
+    Each row chunk DMAs align(tb + halo, sub) slab rows to produce tb
+    output rows, so read amplification is halo-dominated at small tb.
+    The fb-first policy this replaces maximized fb and was left with
+    tb=8 against the transposed freq route's 12-row halo — a 3x read
+    amplification that dominated the 512-stream median leg
+    (serving_bound_r04.json; fixed in the round-5 serving hunt).
+    Estimated bytes = chunks x (slab rows read + padded rows written)
+    x padded lane width; ties prefer wider lane tiles (longer
+    contiguous DMA runs), then taller row tiles."""
+    best = None
+    tb_cap = min(256, _align(t_out, sub))
+    tb = sub
+    while tb <= tb_cap:
+        fb = min(
+            f_pad, (_NET_BUDGET_BYTES // (esize * n_pad * tb)) // 128 * 128
+        )
+        if fb >= 128:
+            n_t = -(-t_out // tb)
+            rows = _align(tb + halo, sub)
+            width = -(-f_pad // fb) * fb
+            key = (n_t * (rows + tb) * width, -fb, -tb)
+            if best is None or key < best[0]:
+                best = (key, tb, fb)
+        tb *= 2
+    if best is None:
+        return sub, 128
+    return best[1], best[2]
+
+
 def _fold_batch(x):
     """[..., T, F] -> ([C, T, F], lead_shape)."""
     lead = x.shape[:-2]
@@ -629,6 +664,28 @@ def _time_impl_piped(
     fwd = max(0, max(offsets))
     top_pad = max(0, back - start)
     base = start - back + top_pad
+    k = len(offsets)
+    if top_pad == 0 and start + t_out + fwd <= t:
+        # every tap of every output row is in-bounds (the serving block
+        # step's shape: the carried history IS the boundary), so the
+        # jnp.pad existed only for tile alignment — which Mosaic
+        # handles internally for whole-array blocks. Skipping it
+        # removes a full HBM read+write of the feature slab per step
+        # (~129 MB at 512 streams), the single biggest term of the
+        # round-4 "residency" gap (docs/PERFORMANCE.md round 5).
+        return pl.pallas_call(
+            functools.partial(
+                _time_kernel_piped,
+                offsets=tuple(offsets),
+                first_tap=start,
+                half=(k - 1) // 2,
+                tb=t_out,
+            ),
+            out_shape=jax.ShapeDtypeStruct((c, t_out, f), xc.dtype),
+            grid=(c,),
+            in_specs=[pl.BlockSpec((1, t, f), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((1, t_out, f), lambda i: (i, 0, 0)),
+        )(xc)
     f_pad = _align(f, 128)
     tb = t_out
     need = base + back + fwd + tb
@@ -638,7 +695,6 @@ def _time_impl_piped(
         ((0, 0), (top_pad, t_pad - top_pad - t), (0, f_pad - f)),
         constant_values=fill,
     )
-    k = len(offsets)
     out = pl.pallas_call(
         functools.partial(
             _time_kernel_piped,
@@ -749,18 +805,13 @@ def _time_impl(x: jnp.ndarray, offsets: tuple, fill: float, start: int, cse: boo
     base = start - back + top_pad  # first padded row a slab reads
     f_pad = _align(f, 128)
     n_pad = _pow2_at_least(len(offsets))
-    # lane tiling keeps the network's live wires inside the VMEM
-    # budget for ANY caller: the minimum tile height is one sublane
-    # group, so n_pad wires of [sub, fb] must fit (wide-f big-k calls
-    # — e.g. nfft=16384 feature matrices or the transposed freq route
-    # — would otherwise OOM the 16 MB VMEM; caught by the r02 sweep)
-    fb = min(
-        f_pad,
-        max(128, (_NET_BUDGET_BYTES // (esize * sub * n_pad)) // 128 * 128),
-    )
+    # joint (tb, fb) pick under the VMEM wire budget: keeps wide-f
+    # big-k calls from OOMing the 16 MB VMEM (the r02 sweep's K=187
+    # case) while minimizing halo read amplification (the r05 serving
+    # hunt's 512-stream fix — see _pick_tiles)
+    tb, fb = _pick_tiles(n_pad, t_out, f_pad, back + fwd, esize, sub)
     n_f = -(-f_pad // fb)
     f_pad = n_f * fb
-    tb = _pick_tb(n_pad, fb, t_out, esize, sub)
     n_t = -(-t_out // tb)
     t_pad_out = n_t * tb
     if (
