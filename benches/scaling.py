@@ -129,6 +129,22 @@ def sp_leg(n_dev: int, n_frames: int, hop: int, fs: float):
     return length / per_step
 
 
+def _chain_lengths(samples_per_step: int):
+    """Chain lengths (n1, n2) for the slope timer, scaled so the LONG
+    chain carries enough device work to dominate the readback-sync
+    jitter. The old two-bucket policy left S=1 at n2=512 (~8 ms of
+    device work against a ~26 ms variable sync constant): one round-5
+    interleaved session measured 4.77 Gs/s on one pass of the 1-stream
+    leg and 0.53 Gs/s on the other — pure noise, and the bogus peak
+    poisoned every retention ratio in the pass. Scaling n2 inversely
+    with per-step work keeps ~>=100 ms in the long chain at any S."""
+    if samples_per_step < (1 << 17):
+        return 256, 2048
+    if samples_per_step < (1 << 20):
+        return 64, 512
+    return 16, 128
+
+
 def chip_stream_curve_interleaved(stream_counts, hop: int, block_hops: int,
                                   fs: float, stream_state: str = "f32",
                                   passes: int = 2):
@@ -151,7 +167,7 @@ def chip_stream_curve_interleaved(stream_counts, hop: int, block_hops: int,
     for pi in range(passes):
         curve = {}
         for s in stream_counts:
-            n1, n2 = (64, 512) if s * block_hops * hop < (1 << 20) else (16, 128)
+            n1, n2 = _chain_lengths(s * block_hops * hop)
             curve[s] = bench_mod.time_multistream(cfg, s, block_hops, n1, n2)
             print(
                 f"chip[pass {pi + 1}/{passes}]: {s:4d} streams: "
@@ -197,9 +213,7 @@ def chip_stream_curve(stream_counts, hop: int, block_hops: int, fs: float,
     )
     curve = {}
     for s in stream_counts:
-        # smaller stream counts do less work per step: longer chains
-        # keep the slope's signal above the readback noise
-        n1, n2 = (64, 512) if s * block_hops * hop < (1 << 20) else (16, 128)
+        n1, n2 = _chain_lengths(s * block_hops * hop)
         curve[s] = bench_mod.time_multistream(cfg, s, block_hops, n1, n2)
         print(
             f"chip: {s:4d} streams: {curve[s]/1e6:9.2f} Msamples/s "
