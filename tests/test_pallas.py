@@ -196,6 +196,55 @@ def test_time_kernel_piped_bf16_parity():
 
 
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize(
+    "c,h,b,f,offsets",
+    [
+        # the production serving shape (B >= H, split causal taps)
+        (8, 21, 32, 513, (-21, -20, -19, -18, -17, -5, -4, -3, -2, -1, 0)),
+        (3, 5, 8, 130, tuple(range(-5, 1))),
+        (1, 7, 7, 64, (-7, -3, 0)),
+    ],
+)
+def test_time_pair_kernel_matches_concat(c, h, b, f, offsets, dtype):
+    """The two-input (hist, fresh) serving kernel — which assembles
+    the tap slab in VMEM so the per-step history concat never hits
+    HBM — is bit-identical to the materialized-concat path, f32 and
+    bf16, including under vmap (the production multi-stream form)."""
+    from zen_tpu.ops import median_pallas as mp
+
+    rng = np.random.default_rng(17)
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    hist = jnp.asarray(rng.standard_normal((c, h, f)).astype(np.float32), dt)
+    fresh = jnp.asarray(rng.standard_normal((c, b, f)).astype(np.float32), dt)
+    pair = np.asarray(
+        mp.tap_median_time_pair_pallas(hist, fresh, offsets).astype(
+            jnp.float32
+        )
+    )
+    feats = jnp.concatenate([hist, fresh], axis=-2)
+    ref = np.asarray(
+        mp.tap_median_time_pallas(feats, offsets, 0.0, h).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(pair, ref)
+    vm = np.asarray(
+        jax.vmap(
+            lambda hh, xx: mp.tap_median_time_pair_pallas(hh, xx, offsets)
+        )(hist, fresh).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(vm, ref)
+
+
+def test_time_pair_kernel_rejects_out_of_range_taps():
+    from zen_tpu.ops import median_pallas as mp
+
+    x = jnp.zeros((2, 4, 64))
+    with pytest.raises(ValueError):
+        mp.tap_median_time_pair_pallas(x, x, (-5, 0))  # reaches past hist
+    with pytest.raises(ValueError):
+        mp.tap_median_time_pair_pallas(x, x, (-1, 1))  # anticausal tap
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_time_kernel_pipelined_chunks_parity(dtype):
     """t_out > tb routes through the double-buffered grid kernel
     (_time_kernel_pipelined); must match the XLA sort path exactly —

@@ -37,6 +37,7 @@ from ..engine.spectral import (
     num_bins,
     synthesize,
     time_filtered_tail,
+    time_filtered_tail_pair,
 )
 from ..errors import ZenError
 
@@ -87,13 +88,22 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     # at wide fleets) in half precision; the fresh frames are quantized
     # to match so every tap sees one consistent precision
     featq = feat.astype(state.feat_hist.dtype)
-    feats = jnp.concatenate([state.feat_hist, featq], axis=0)  # [H+B, bins]
 
     h_len = cfg.time_history
     # time filter: only the B newest rows; their taps reach at most
-    # h_len frames back, all inside `feats` (earlier stream = prefill
-    # feature values, already baked into the initial feat_hist)
-    h_rows = time_filtered_tail(feats, cfg, h_len)
+    # h_len frames back, all inside [hist ++ fresh] (earlier stream =
+    # prefill feature values, already baked into the initial
+    # feat_hist). When the block covers the history (B >= H, the
+    # serving shape) the pair kernel takes (hist, fresh) separately
+    # and the next history is a pure slice of the fresh rows — the
+    # concatenated slab never hits HBM (round-5 serving bound hunt).
+    if b >= h_len:
+        h_rows = time_filtered_tail_pair(state.feat_hist, featq, cfg)
+        new_hist = featq[b - h_len :]
+    else:
+        feats = jnp.concatenate([state.feat_hist, featq], axis=0)
+        h_rows = time_filtered_tail(feats, cfg, h_len)
+        new_hist = feats[feats.shape[0] - h_len :]
     # the freq features see the same quantization as the time taps so
     # the h-vs-p mask comparison stays consistent; the median itself
     # runs natively on the quantized dtype (selection — bf16-exact,
@@ -123,7 +133,7 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
 
     new_state = StreamState(
         ring=samples[-cfg.nwin :],
-        feat_hist=feats[feats.shape[0] - h_len :],
+        feat_hist=new_hist,
         ola_tail=jnp.stack(tails),
     )
     return new_state, jnp.stack(outs)

@@ -205,6 +205,37 @@ def time_filtered_tail(
     return out.astype(jnp.float32)
 
 
+def time_filtered_tail_pair(
+    hist: jnp.ndarray, fresh: jnp.ndarray, cfg: HPRConfig
+) -> jnp.ndarray:
+    """time_filtered_tail over the VIRTUAL concat [hist ++ fresh]
+    with start = hist rows, for the serving block step where every
+    tap is in-bounds (B >= time_history, causal offsets). The Pallas
+    pair kernel assembles the tap slab in VMEM, so the 2x-slab-sized
+    HBM concat the materialized path pays per step never exists
+    (~111 MB/step at 512 streams — the round-5 serving bound hunt's
+    largest removable term, benches/hbm_pattern.py). Non-Pallas /
+    SSE configs fall back to the materialized form; callers that need
+    the concat for other reasons (B < history) use time_filtered_tail
+    directly."""
+    h_len = hist.shape[-2]
+    if (
+        cfg.lag_row_written
+        and not cfg.use_sse
+        and _use_pallas(cfg)
+        and -min(cfg.time_offsets) <= h_len
+        and max(cfg.time_offsets) <= 0
+    ):
+        from ..ops.median_pallas import tap_median_time_pair_pallas
+
+        out = tap_median_time_pair_pallas(
+            hist, fresh, tuple(cfg.time_offsets)
+        )
+        return out.astype(jnp.float32)
+    feats = jnp.concatenate([hist, fresh.astype(hist.dtype)], axis=-2)
+    return time_filtered_tail(feats, cfg, h_len)
+
+
 def freq_filtered(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     """Frequency-direction filter along the last axis (per frame)."""
     fboundary = "reflect" if cfg.fast_rfft else cfg.freq_boundary

@@ -711,6 +711,87 @@ def _time_impl_piped(
     return out[:, :, :f]
 
 
+def _time_kernel_pair(h_ref, x_ref, out_ref, *, offsets, start, half, tb):
+    """Virtual-concat variant of _time_kernel_piped: the tap slab is
+    [hist ++ fresh] assembled IN VMEM from two whole-extent input
+    blocks, so the caller never materializes the concatenated history
+    in HBM. At 512 streams the serving block step's
+    concat(feat_hist, fresh) was ~111 MB of pure HBM copy per step —
+    the largest single removable term of the round-5 bound hunt
+    (benches/hbm_pattern.py; docs/PERFORMANCE.md round 5)."""
+    slab = jnp.concatenate([h_ref[0], x_ref[0]], axis=0)
+    shifted = tuple(start + o for o in offsets)
+    out_ref[0] = _median_network_cse(slab, shifted, half, 0, tb)
+
+
+def _time_pair_impl(hist: jnp.ndarray, fresh: jnp.ndarray, offsets: tuple):
+    hc, lead = _fold_batch(hist)
+    xc, lead2 = _fold_batch(fresh)
+    assert lead == lead2, (lead, lead2)
+    if xc.dtype not in (jnp.float32, jnp.bfloat16):
+        xc = xc.astype(jnp.float32)
+    hc = hc.astype(xc.dtype)
+    c, h, f = hc.shape
+    b = xc.shape[1]
+    k = len(offsets)
+    out = pl.pallas_call(
+        functools.partial(
+            _time_kernel_pair,
+            offsets=tuple(offsets),
+            start=h,
+            half=(k - 1) // 2,
+            tb=b,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, b, f), xc.dtype),
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, h, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, b, f), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, b, f), lambda i: (i, 0, 0)),
+    )(hc, xc)
+    return out.reshape(lead + (b, f))
+
+
+@functools.lru_cache(maxsize=None)
+def _time_pair_entry(offsets: tuple):
+    @jax.custom_batching.custom_vmap
+    def f(hist, fresh):
+        return _time_pair_impl(hist, fresh, offsets)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, hist, fresh):  # noqa: ANN001
+        assert all(in_batched), "pair kernel: both operands are state"
+        return f(hist, fresh), True
+
+    return f
+
+
+def tap_median_time_pair_pallas(
+    hist: jnp.ndarray, fresh: jnp.ndarray, offsets: tuple
+):
+    """Causal tail tap-median over the VIRTUAL concat [hist ++ fresh]
+    along the row axis, producing one output row per fresh row:
+    out[..., i, :] = median over concat[..., H + i + o, :] for o in
+    offsets, H = hist rows. Requires every tap in-bounds (causal
+    serving shape): -min(offsets) <= H and max(offsets) <= 0.
+
+    Bit-identical to
+    tap_median_time_pallas(concat([hist, fresh], -2), offsets,
+    start=H) without writing the concat to HBM (tested in
+    tests/test_pallas.py). f32/bf16 native like the other entries;
+    hist is cast to fresh's dtype (they share the stream-state dtype
+    in production)."""
+    k = len(offsets)
+    h = hist.shape[-2]
+    if not (0 < k and -min(offsets) <= h and max(offsets) <= 0):
+        raise ValueError(
+            f"pair kernel needs causal in-bounds taps: offsets={offsets}, "
+            f"hist rows={h}"
+        )
+    return _time_pair_entry(tuple(offsets))(hist, fresh)
+
+
 def _time_kernel_pipelined(
     x_hbm, out_hbm, slabs, outbufs, in_sems, out_sems,
     *, offsets, back, tb: int, rows: int, base: int, fb: int,
