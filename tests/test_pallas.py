@@ -46,6 +46,61 @@ def test_freq_kernel_matches_reference(t, f, k):
     np.testing.assert_allclose(got, want)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("mode", ["reflect", "wrap", "edge"])
+@pytest.mark.parametrize("shape,k", [((4, 32, 513), 13), ((256, 130), 5)])
+def test_freq_fused_matches_padded(shape, k, mode, dtype):
+    """The boundary-fused kernel (pad + transposes in VMEM) is
+    bit-identical to jnp.pad + the padded kernel, f32 and bf16,
+    including under vmap (the serving multi-stream form)."""
+    from zen_tpu.ops import median_pallas as mp
+
+    rng = np.random.default_rng(7)
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dt)
+    assert mp.fused_freq_supported(x.shape, k, x.dtype)
+    fused = np.asarray(
+        mp.sliding_median_last_axis_fused(x, k, mode).astype(jnp.float32)
+    )
+    fm = (k - 1) // 2
+    pad = [(0, 0)] * (x.ndim - 1) + [(fm, fm)]
+    ref = np.asarray(
+        mp.sliding_median_last_axis_pallas(
+            jnp.pad(x, pad, mode=mode), k
+        ).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(fused, ref)
+    # the routed entry picks the fused path for this shape
+    routed = np.asarray(
+        mp.sliding_median_boundary_pallas(x, k, mode).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(routed, ref)
+    if x.ndim == 3:
+        vm = np.asarray(
+            jax.vmap(
+                lambda xx: mp.sliding_median_boundary_pallas(xx, k, mode)
+            )(x).astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(vm, ref)
+
+
+def test_freq_boundary_falls_back_when_rows_dont_tile():
+    """Odd folded row counts can't take the fused route; the boundary
+    entry must still produce the padded kernel's result."""
+    from zen_tpu.ops import median_pallas as mp
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((37, 200)).astype(np.float32))
+    assert not mp.fused_freq_supported(x.shape, 5, x.dtype)
+    got = np.asarray(mp.sliding_median_boundary_pallas(x, 5, "reflect"))
+    ref = np.asarray(
+        mp.sliding_median_last_axis_pallas(
+            jnp.pad(x, ((0, 0), (2, 2)), mode="reflect"), 5
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize(
     "offsets",
     [tuple(range(-5, 6)), tuple(range(-11, 0)), (-3, -2, -1, 0, 0, 0, 0)],
@@ -232,6 +287,23 @@ def test_time_pair_kernel_matches_concat(c, h, b, f, offsets, dtype):
         )(hist, fresh).astype(jnp.float32)
     )
     np.testing.assert_array_equal(vm, ref)
+
+
+def test_time_pair_kernel_wide_batch_fallback(monkeypatch):
+    """Above _PAIR_MAX_BATCH the entry materializes the concat and
+    routes to the one-input kernel — same bits either way."""
+    from zen_tpu.ops import median_pallas as mp
+
+    rng = np.random.default_rng(23)
+    offsets = (-5, -3, -1, 0)
+    hist = jnp.asarray(rng.standard_normal((6, 5, 130)).astype(np.float32))
+    fresh = jnp.asarray(rng.standard_normal((6, 8, 130)).astype(np.float32))
+    wide = np.asarray(mp.tap_median_time_pair_pallas(hist, fresh, offsets))
+    monkeypatch.setattr(mp, "_PAIR_MAX_BATCH", 4)
+    mp._time_pair_entry.cache_clear()
+    narrow = np.asarray(mp.tap_median_time_pair_pallas(hist, fresh, offsets))
+    mp._time_pair_entry.cache_clear()
+    np.testing.assert_array_equal(wide, narrow)
 
 
 def test_time_pair_kernel_rejects_out_of_range_taps():

@@ -136,10 +136,12 @@ def _last_axis_pad(x: jnp.ndarray, lo: int, hi: int, **kw) -> jnp.ndarray:
 
 
 def _pallas_freq_median(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
-    from ..ops.median_pallas import sliding_median_last_axis_pallas
+    from ..ops.median_pallas import (
+        sliding_median_boundary_pallas,
+        sliding_median_last_axis_pallas,
+    )
 
     k = cfg.freq_filter_len
-    fm = k // 2
     fboundary = "reflect" if cfg.fast_rfft else cfg.freq_boundary
     if cfg.border == VALID:
         xp = _last_axis_pad(feats, 0, k - 1)
@@ -148,8 +150,9 @@ def _pallas_freq_median(feats: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
         keep = jnp.arange(nb) <= nb - k - 1
         return jnp.where(keep, p, 0.0)
     mode = {"reflect": "reflect", "wrap": "wrap", "clamp": "edge"}[fboundary]
-    xp = _last_axis_pad(feats, fm, fm, mode=mode)
-    return sliding_median_last_axis_pallas(xp, k)
+    # boundary + transposes fuse into the kernel when the folded rows
+    # qualify (the serving fast path — see _freq_kernel_fused)
+    return sliding_median_boundary_pallas(feats, k, mode)
 
 
 def prefill_value(cfg: HPRConfig) -> float:

@@ -600,6 +600,187 @@ def sliding_median_last_axis_pallas(
     return _freq_entry(int(k), bool(cse), layout, bool(fold))(x_padded)
 
 
+def _freq_kernel_fused(x_ref, o_ref, *, k: int, f: int, mode: str, cse: bool):
+    """One [tr, F] row tile of the boundary-fused frequency median:
+    transpose to put bins on sublanes, build the boundary rows IN
+    VMEM (row shifts/concats on sublanes are near-free, unlike lane
+    ops), run the row-tap network, transpose back.
+
+    This removes every HBM copy the padded path pays around the
+    kernel — the jnp.pad boundary slab, the two whole-array
+    transposes of the sublane route, and the output un-pad slice —
+    which together measured ~300 us of the 646 us production freq leg
+    at 512 streams (benches/hbm_pattern.py: kernel 345 us vs
+    freq_prod 646 us). HBM traffic becomes exactly read-once +
+    write-once of the unpadded array."""
+    fm = (k - 1) // 2
+    xt = jnp.swapaxes(x_ref[:], 0, 1)  # [f, tr] — in-VMEM transpose
+    if mode == "reflect":
+        # lax.rev has no Mosaic lowering; fm is tiny, so build the
+        # reversed boundary rows from single-row slices
+        top = jnp.concatenate(
+            [xt[i : i + 1] for i in range(fm, 0, -1)], axis=0
+        )
+        bot = jnp.concatenate(
+            [xt[f - 2 - i : f - 1 - i] for i in range(fm)], axis=0
+        )
+    elif mode == "wrap":
+        top = xt[f - fm :]
+        bot = xt[:fm]
+    else:  # edge (clamp)
+        top = jnp.broadcast_to(xt[:1], (fm,) + xt.shape[1:])
+        bot = jnp.broadcast_to(xt[f - 1 :], (fm,) + xt.shape[1:])
+    xp = jnp.concatenate([top, xt, bot], axis=0)  # [f + k - 1, tr]
+    if cse:
+        y = _median_network_cse(xp, range(k), fm, 0, f)
+    else:
+        taps = [xp[t : t + f] for t in range(k)]
+        y = _median_network(taps, fm)
+    o_ref[:] = jnp.swapaxes(y, 0, 1)
+
+
+def _freq_fused_tile(r: int, f: int, k: int, esize: int, sub: int):
+    """Row-tile height for the fused freq kernel, or None when the
+    shape doesn't qualify. The tile must divide the folded row count
+    (the kernel uses exact whole-extent BlockSpec blocks — no row pad,
+    that's the point), keep the transposed lane extent a full-vreg
+    multiple, and fit the network's live wires + double-buffered
+    in/out blocks in VMEM."""
+    if k % 2 == 0 or f <= k:
+        return None
+    for tr in (256, 128):
+        if tr % sub or r % tr:
+            continue
+        wires = _pow2_at_least(k) * (f + k - 1) * tr * esize
+        bufs = 4 * tr * _align(f, 128) * esize  # in+out, double-buffered
+        if wires + bufs <= (12 << 20):
+            return tr
+    return None
+
+
+def _freq_fused_impl(x: jnp.ndarray, k: int, mode: str, cse: bool):
+    xc, lead = _fold_rows(x)  # [1, R, F]
+    if xc.dtype not in (jnp.float32, jnp.bfloat16):
+        xc = xc.astype(jnp.float32)
+    dt = xc.dtype
+    r, f = xc.shape[1], xc.shape[2]
+    sub = 16 if dt == jnp.bfloat16 else 8
+    tr = _freq_fused_tile(r, f, k, jnp.dtype(dt).itemsize, sub)
+    assert tr is not None, "caller must check fused_freq_supported"
+    xr = xc.reshape(r, f)
+    out = pl.pallas_call(
+        functools.partial(_freq_kernel_fused, k=k, f=f, mode=mode, cse=cse),
+        out_shape=jax.ShapeDtypeStruct((r, f), dt),
+        grid=(r // tr,),
+        in_specs=[pl.BlockSpec((tr, f), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((tr, f), lambda i: (i, 0)),
+    )(xr)
+    return out.reshape(lead + (f,))
+
+
+@functools.lru_cache(maxsize=None)
+def _freq_fused_entry(k: int, mode: str, cse: bool):
+    @jax.custom_batching.custom_vmap
+    def f(x):
+        return _freq_fused_impl(x, k, mode, cse)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x):  # noqa: ANN001
+        # stacked batch folds into the row axis like every other dim
+        return f(x), True
+
+    return f
+
+
+def fused_freq_supported(shape: tuple, k: int, dtype) -> bool:
+    """True when sliding_median_last_axis_fused can run this problem:
+    odd k, folded rows divisible by a viable tile, f32/bf16. Shape is
+    the UNPADDED [..., T, F] shape (vmap callers pass the stacked
+    shape — the row fold sees every leading dim)."""
+    import numpy as _np
+
+    dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    esize = jnp.dtype(dt).itemsize
+    sub = 16 if dt == jnp.bfloat16 else 8
+    r = int(_np.prod(shape[:-1])) if len(shape) > 1 else 1
+    return _freq_fused_tile(r, int(shape[-1]), int(k), esize, sub) is not None
+
+
+def sliding_median_last_axis_fused(
+    x: jnp.ndarray, k: int, mode: str, cse: bool | None = None
+):
+    """Boundary-fused sliding median along the last axis on the
+    UNPADDED input: out[..., t, j] = median over x[..., t, r(j + o)]
+    for o in [-(k-1)//2, (k-1)//2], with r() the ``mode`` boundary
+    rule ('reflect' | 'wrap' | 'edge' — jnp.pad semantics).
+
+    Bit-identical to jnp.pad(mode) + sliding_median_last_axis_pallas
+    (tested in tests/test_pallas.py) with the pad, both transposes,
+    and the un-pad slice fused into the kernel's VMEM tiles. Callers
+    gate on fused_freq_supported (row-divisibility, odd k, dtype)."""
+    if mode not in ("reflect", "wrap", "edge"):
+        raise ValueError(f"unknown boundary mode: {mode}")
+    if not fused_freq_supported(x.shape, k, x.dtype):
+        raise ValueError(
+            f"shape {x.shape} k={k} not viable for the fused freq kernel"
+        )
+    if cse is None:
+        cse = _DEFAULT_CSE
+    return _freq_fused_entry(int(k), mode, bool(cse))(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _freq_boundary_entry(
+    k: int, mode: str, cse: bool, layout: str, allow_fused: bool
+):
+    @jax.custom_batching.custom_vmap
+    def f(x):
+        # fused-vs-padded is decided HERE, inside the custom_vmap
+        # body, for the same reason _freq_entry resolves 'auto' here:
+        # under jax.vmap the rule below re-enters with the STACKED
+        # array, so the row-divisibility gate sees the true folded row
+        # count (a vmapped serving block is [S, 32, 513] — 32 rows
+        # alone never qualify, S*32 usually do)
+        if allow_fused and fused_freq_supported(x.shape, k, x.dtype):
+            return _freq_fused_impl(x, k, mode, cse)
+        fm = (k - 1) // 2
+        pad = [(0, 0)] * (x.ndim - 1) + [(fm, fm)]
+        return _freq_entry(k, cse, layout, True)(jnp.pad(x, pad, mode=mode))
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x):  # noqa: ANN001
+        return f(x), True
+
+    return f
+
+
+def sliding_median_boundary_pallas(
+    x: jnp.ndarray,
+    k: int,
+    mode: str,
+    cse: bool | None = None,
+    layout: str | None = None,
+):
+    """Sliding median along the last axis with the ``mode`` boundary
+    ('reflect' | 'wrap' | 'edge'), on the UNPADDED input. Routes to
+    the boundary-fused kernel when the folded shape qualifies
+    (fused_freq_supported), else to jnp.pad +
+    sliding_median_last_axis_pallas — bit-identical either way.
+    ZEN_TPU_FREQ_FUSED=0 pins the padded route for A/B."""
+    import os
+
+    if mode not in ("reflect", "wrap", "edge"):
+        raise ValueError(f"unknown boundary mode: {mode}")
+    if cse is None:
+        cse = _DEFAULT_CSE
+    if layout is None:
+        layout = os.environ.get("ZEN_TPU_MEDIAN_LAYOUT", "auto")
+    allow_fused = os.environ.get("ZEN_TPU_FREQ_FUSED", "1") != "0"
+    return _freq_boundary_entry(
+        int(k), mode, bool(cse), layout, allow_fused
+    )(x)
+
+
 # ---------------- time-direction tap median ----------------
 
 
@@ -718,10 +899,33 @@ def _time_kernel_pair(h_ref, x_ref, out_ref, *, offsets, start, half, tb):
     in HBM. At 512 streams the serving block step's
     concat(feat_hist, fresh) was ~111 MB of pure HBM copy per step —
     the largest single removable term of the round-5 bound hunt
-    (benches/hbm_pattern.py; docs/PERFORMANCE.md round 5)."""
-    slab = jnp.concatenate([h_ref[0], x_ref[0]], axis=0)
+    (benches/hbm_pattern.py; docs/PERFORMANCE.md round 5).
+
+    Blocks carry a GROUP of streams (leading dim): one stream per
+    program leaves ~0.5 us of compute against per-program grid/DMA
+    overhead, which capped the one-stream-per-program form at ~12%
+    VPU efficiency (the round-5 hunt's in-step kernel numbers);
+    grouping amortizes it the way the fused freq kernel's row tiles
+    do."""
+    slab = jnp.concatenate([h_ref[:], x_ref[:]], axis=1)
     shifted = tuple(start + o for o in offsets)
-    out_ref[0] = _median_network_cse(slab, shifted, half, 0, tb)
+    out_ref[:] = _median_network_cse(slab, shifted, half, 1, tb)
+
+
+def _pick_group(c: int, h: int, b: int, f: int, k: int, esize: int) -> int:
+    """Streams per program for the pair kernel: largest group whose
+    network wires + double-buffered in/out blocks fit the VMEM
+    budget."""
+    fa = _align(f, 128)
+    n_pad = _pow2_at_least(k)
+    for g in (8, 4, 2, 1):
+        if c % g:
+            continue
+        wires = n_pad * g * (h + b) * fa * esize
+        bufs = 2 * g * (2 * (h + b) + 2 * b) * fa * esize
+        if wires + bufs <= (12 << 20):
+            return g
+    return 1
 
 
 def _time_pair_impl(hist: jnp.ndarray, fresh: jnp.ndarray, offsets: tuple):
@@ -734,6 +938,7 @@ def _time_pair_impl(hist: jnp.ndarray, fresh: jnp.ndarray, offsets: tuple):
     c, h, f = hc.shape
     b = xc.shape[1]
     k = len(offsets)
+    g = _pick_group(c, h, b, f, k, jnp.dtype(xc.dtype).itemsize)
     out = pl.pallas_call(
         functools.partial(
             _time_kernel_pair,
@@ -743,20 +948,39 @@ def _time_pair_impl(hist: jnp.ndarray, fresh: jnp.ndarray, offsets: tuple):
             tb=b,
         ),
         out_shape=jax.ShapeDtypeStruct((c, b, f), xc.dtype),
-        grid=(c,),
+        grid=(c // g,),
         in_specs=[
-            pl.BlockSpec((1, h, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, b, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, h, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, b, f), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, b, f), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((g, b, f), lambda i: (i, 0, 0)),
     )(hc, xc)
     return out.reshape(lead + (b, f))
+
+
+# Widest batch the pair kernel runs at: measured in-step on the v5e
+# (benches/pair_ab_r05.json, 2 interleaved passes), the VMEM-assembled
+# pair beats the materialized concat at 256 streams (1.064x) but LOSES
+# at 512 (0.861x) even though kernel-isolated it wins at both (398 vs
+# 518 us at c=512): in the spilled regime XLA runs the concat as an
+# async copy hidden under the MXU transform leg, while the pair
+# route's operand-layout copies sit on the critical path. Above the
+# threshold the entry materializes the concat itself — callers keep
+# one code path.
+_PAIR_MAX_BATCH = 256
 
 
 @functools.lru_cache(maxsize=None)
 def _time_pair_entry(offsets: tuple):
     @jax.custom_batching.custom_vmap
     def f(hist, fresh):
+        c = math.prod(hist.shape[:-2]) if hist.ndim > 2 else 1
+        if c > _PAIR_MAX_BATCH:
+            h = hist.shape[-2]
+            feats = jnp.concatenate(
+                [hist, fresh.astype(hist.dtype)], axis=-2
+            )
+            return _time_entry(offsets, 0.0, h, _DEFAULT_CSE)(feats)
         return _time_pair_impl(hist, fresh, offsets)
 
     @f.def_vmap
