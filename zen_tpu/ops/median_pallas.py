@@ -958,16 +958,17 @@ def _time_pair_impl(hist: jnp.ndarray, fresh: jnp.ndarray, offsets: tuple):
     return out.reshape(lead + (b, f))
 
 
-# Widest batch the pair kernel runs at: measured in-step on the v5e
-# (benches/pair_ab_r05.json, 2 interleaved passes), the VMEM-assembled
-# pair beats the materialized concat at 256 streams (1.064x) but LOSES
-# at 512 (0.861x) even though kernel-isolated it wins at both (398 vs
-# 518 us at c=512): in the spilled regime XLA runs the concat as an
-# async copy hidden under the MXU transform leg, while the pair
-# route's operand-layout copies sit on the critical path. Above the
-# threshold the entry materializes the concat itself — callers keep
-# one code path.
-_PAIR_MAX_BATCH = 256
+# Widest batch the pair kernel runs at; above it the entry
+# materializes the concat and takes the one-input kernel. The
+# ONE-stream-per-program pair form lost to the materialized path at
+# 512 streams in-step (0.861x, benches/pair_ab_r05.json: XLA hides
+# the concat as an async copy under the MXU leg, while the pair
+# route's operand-layout copies sat on the critical path) despite
+# winning kernel-isolated; with grouped blocks the in-step order
+# flips decisively — 1890 vs 2280 us full-step at S=512 (g=2 best of
+# {2,4,8}, two interleaved passes) — so the gate now only guards the
+# unmeasured far tail.
+_PAIR_MAX_BATCH = 4096
 
 
 @functools.lru_cache(maxsize=None)
