@@ -96,8 +96,13 @@ def slope_time(make_run, make_carry, n1, n2, repeats=6):
 
 
 def stream_run_factory(cfg, block_hops):
-    from zen_tpu.drivers.realtime import _block_step_body, init_state
+    from zen_tpu.drivers.realtime import (
+        _block_step_body,
+        enabled_stems,
+        init_state,
+    )
 
+    n_rows = len(enabled_stems(cfg))
     rng = np.random.default_rng(0)
     base = jnp.asarray(
         rng.standard_normal((block_hops, cfg.hop)).astype(np.float32)
@@ -108,7 +113,7 @@ def stream_run_factory(cfg, block_hops):
         def run(state, prev):
             def step(carry, _):
                 state, prev = carry
-                block = base + 1e-12 * prev[1].reshape(
+                block = base + 1e-12 * prev[-1].reshape(
                     block_hops, cfg.hop
                 )
                 return _block_step_body(cfg, state, block), None
@@ -120,7 +125,7 @@ def stream_run_factory(cfg, block_hops):
     def make_carry():
         return (
             init_state(cfg),
-            jnp.zeros((3, block_hops * cfg.hop), jnp.float32),
+            jnp.zeros((n_rows, block_hops * cfg.hop), jnp.float32),
         )
 
     return make_run, make_carry
@@ -140,11 +145,13 @@ def time_multistream(cfg, n_streams, block_hops, n1=16, n2=128):
     production path)."""
     from zen_tpu.drivers.realtime import (
         _block_step_body,
+        enabled_stems,
         init_state,
         resolve_multistream_fft_impl,
     )
 
     cfg = resolve_multistream_fft_impl(cfg, n_streams)
+    n_rows = len(enabled_stems(cfg))
 
     rng = np.random.default_rng(0)
     base = jnp.asarray(
@@ -158,7 +165,7 @@ def time_multistream(cfg, n_streams, block_hops, n1=16, n2=128):
         def run(state, prev):
             def step(carry, _):
                 state, prev = carry
-                blocks = base + 1e-12 * prev[:, 1, :].reshape(
+                blocks = base + 1e-12 * prev[:, -1, :].reshape(
                     n_streams, block_hops, cfg.hop
                 )
                 state, outs = jax.vmap(
@@ -173,7 +180,7 @@ def time_multistream(cfg, n_streams, block_hops, n1=16, n2=128):
     def make_carry():
         return (
             jax.vmap(lambda _: init_state(cfg))(jnp.arange(n_streams)),
-            jnp.zeros((n_streams, 3, block_hops * cfg.hop), jnp.float32),
+            jnp.zeros((n_streams, n_rows, block_hops * cfg.hop), jnp.float32),
         )
 
     per_iter = slope_time(make_run, make_carry, n1, n2)

@@ -142,7 +142,11 @@ def main():
         legs = {}
 
         # -- full: the production vmapped block step ------------------
-        from zen_tpu.drivers.realtime import _block_step_body, init_state
+        from zen_tpu.drivers.realtime import (
+            _block_step_body,
+            enabled_stems,
+            init_state,
+        )
 
         blocks0 = jnp.asarray(
             rng.standard_normal((S, B, hop)).astype(np.float32)
@@ -151,13 +155,15 @@ def main():
 
         def full_leg(carry):
             state, prev = carry
-            blk = blocks0 + 1e-12 * prev[:, 1, :].reshape(S, B, hop)
+            blk = blocks0 + 1e-12 * prev[:, -1, :].reshape(S, B, hop)
             state, outs = jax.vmap(
                 lambda s, b: _block_step_body(rcfg, s, b)
             )(state, blk)
             return (state, outs)
 
-        prev0 = jnp.zeros((S, 3, B * hop), jnp.float32)
+        prev0 = jnp.zeros(
+            (S, len(enabled_stems(rcfg)), B * hop), jnp.float32
+        )
         legs["full"] = scan_slope_ms(
             full_leg, (state0, prev0), n1, n2
         ) * 1e3

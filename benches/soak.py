@@ -55,6 +55,7 @@ def build_soak_run(cfg, n_streams, block_hops, steps):
 
     from zen_tpu.drivers.realtime import (
         _block_step_body,
+        enabled_stems,
         init_state,
         resolve_multistream_fft_impl,
     )
@@ -71,7 +72,7 @@ def build_soak_run(cfg, n_streams, block_hops, steps):
     def run(state, prev, stats):
         def step(carry, _):
             state, prev, (mx, bad) = carry
-            blocks = base + 1e-12 * prev[:, 1, :].reshape(
+            blocks = base + 1e-12 * prev[:, -1, :].reshape(
                 n_streams, block_hops, cfg.hop
             )
             state, outs = jax.vmap(
@@ -88,7 +89,11 @@ def build_soak_run(cfg, n_streams, block_hops, steps):
     def init_carry():
         return (
             jax.vmap(lambda _: init_state(cfg))(jnp.arange(n_streams)),
-            jnp.zeros((n_streams, 3, block_hops * cfg.hop), jnp.float32),
+            jnp.zeros(
+                (n_streams, len(enabled_stems(cfg)),
+                 block_hops * cfg.hop),
+                jnp.float32,
+            ),
             (jnp.float32(0.0), jnp.int32(0)),
         )
 

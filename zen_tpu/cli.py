@@ -551,8 +551,8 @@ def cmd_stream(args) -> int:
             blocks = np.ascontiguousarray(
                 samples.reshape(-1, n_streams).T
             ).reshape(n_streams, args.block_hops, args.hop)
-            outs = ms.process_block(blocks)  # [S, 3, B*hop]
-            chunk = np.asarray(outs)[:, idx, :n]  # [S, n]
+            outs = ms.process_block(blocks)  # [S, E, B*hop] compact
+            chunk = np.asarray(outs)[:, ms.stem_rows[args.stem], :n]
             out_frames = np.ascontiguousarray(chunk.T)  # re-interleave
         else:
             outs = rt.process_block(samples.reshape(-1, args.hop))

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..engine.config import HPRConfig
 from ..engine.spectral import (
-    analyze,
+    analyze_hop_slices,
     compute_masks,
     feature_transform,
     finalize_features,
@@ -66,8 +66,23 @@ def init_state(cfg: HPRConfig) -> StreamState:
     )
 
 
+def enabled_stems(cfg: HPRConfig) -> tuple:
+    """Indices into _STEMS of the stems the block step emits — the
+    cfg's output flags. (An enabled residual under soft/SSE masks has
+    no mask definition and yields a zero row, the reference's
+    unwritten-buffer behavior, hps.cu:562-567 — the row stays so the
+    flags alone decide the output shape.)"""
+    return tuple(
+        i
+        for i, name in enumerate(_STEMS)
+        if getattr(cfg, f"output_{name}")
+    )
+
+
 def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
-    """Process B hops: block [B, hop] -> (new_state, outs [3, B*hop]).
+    """Process B hops: block [B, hop] -> (new_state, outs [E, B*hop])
+    with one row per ENABLED stem (E = len(enabled_stems(cfg)), rows
+    in harmonic/percussive/residual order filtered to enabled).
 
     Equivalent to B successive process_next_hop calls of the reference
     causal engine (hps.cu:429-486) with the per-output copy_* reads
@@ -76,12 +91,13 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     if not cfg.causal:
         raise ZenError("streaming drivers are causal-only")
     b, hop = block.shape
-    # frames i = samples[(i+1)*hop : (i+3)*hop] over ring ++ block
+    # frames i = samples[(i+1)*hop : (i+3)*hop] over ring ++ block;
+    # the DFT path contracts the hop slices directly (the frame
+    # concat never hits HBM — spectral.analyze_hop_slices)
     samples = jnp.concatenate([state.ring, block.reshape(b * hop)])
     blocks = samples.reshape(b + 2, hop)
-    frames = jnp.concatenate([blocks[1 : b + 1], blocks[2 : b + 2]], axis=-1)
 
-    s = analyze(frames, cfg)  # [B, bins]
+    s = analyze_hop_slices(blocks, cfg)  # [B, bins]
     mag = jnp.abs(s)
     feat = feature_transform(mag, cfg)
     # stream_state='bf16' carries the tap history (the HBM-bound term
@@ -115,11 +131,20 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     pm, hm, rm = compute_masks(h_rows, p_rows, cfg)
 
     masks = {"harmonic": hm, "percussive": pm, "residual": rm}
+    # only enabled stems are synthesized AND materialized: the step's
+    # output carries one row per enabled stem (enabled_stems order) —
+    # a percussive-only 512-stream serving step was writing ~33 MB of
+    # zero rows per dispatch for the disabled stems (round-5 'rest'
+    # decomposition). The public single-stream API re-expands to the
+    # reference's 3-row form on the host (zeros for disabled stems).
     outs = []
     tails = []
+    en = enabled_stems(cfg)
     for i, name in enumerate(_STEMS):
-        enabled = getattr(cfg, f"output_{name}") and masks[name] is not None
-        if not enabled:
+        if i not in en:
+            tails.append(state.ola_tail[i])
+            continue
+        if masks[name] is None:  # enabled residual, soft/SSE masks
             outs.append(jnp.zeros((b * hop,), jnp.float32))
             tails.append(state.ola_tail[i])
             continue
@@ -151,7 +176,8 @@ def block_step(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
 )
 def block_step_multi(cfg: HPRConfig, state: StreamState, blocks: jnp.ndarray):
     """Multi-channel streaming: state with leading channel dim, blocks
-    [C, B, hop] -> (state, outs [C, 3, B*hop]). The BASELINE
+    [C, B, hop] -> (state, outs [C, E, B*hop], one row per enabled
+    stem — see _block_step_body). The BASELINE
     'batched multi-channel fakert' config — C independent causal
     streams in one device program (channel data parallelism; shard the
     C axis over a mesh for multi-chip)."""
@@ -251,17 +277,28 @@ class HPRRealtime:
         jax.block_until_ready(self.state.ring)
         self.reset_buffers()
 
+    def _expand(self, outs):
+        """Compact step rows -> the reference's 3-row (h, p, r) form,
+        zeros for disabled stems (host-side: the device step never
+        materializes them)."""
+        en = enabled_stems(self.cfg)
+        if len(en) == 3:
+            return outs
+        full = np.zeros((3, outs.shape[-1]), np.float32)
+        full[list(en)] = np.asarray(outs)
+        return full
+
     def process_next_hop(self, hop_samples):
         block = jnp.asarray(hop_samples, jnp.float32).reshape(1, self.cfg.hop)
         self.state, outs = block_step(self.cfg, self.state, block)
-        self._last = outs
+        self._last = outs = self._expand(outs)
         return outs
 
     def process_block(self, block):
         """block: [B, hop] or [B*hop] -> outs [3, B*hop] (h, p, r)."""
         block = jnp.asarray(block, jnp.float32).reshape(-1, self.cfg.hop)
         self.state, outs = block_step(self.cfg, self.state, block)
-        self._last = outs
+        self._last = outs = self._expand(outs)
         return outs
 
     def process_stream(self, audio, block_hops: int = 64):
@@ -364,8 +401,22 @@ class MultiStreamHPR:
         jax.block_until_ready(out)
         self.state = state0
 
+    @property
+    def stem_rows(self) -> dict:
+        """Stem name -> row in process_block's output (None when the
+        stem is disabled): the multi-stream step emits COMPACT rows —
+        one per enabled stem — so a percussive-only serving fleet
+        never materializes zero rows (see _block_step_body)."""
+        en = enabled_stems(self.cfg)
+        return {
+            name: (en.index(i) if i in en else None)
+            for i, name in enumerate(_STEMS)
+        }
+
     def process_block(self, blocks):
-        """blocks: [C, B, hop] -> outs [C, 3, B*hop]."""
+        """blocks: [C, B, hop] -> outs [C, E, B*hop], one row per
+        ENABLED stem (row order per ``stem_rows``; E=3 with the
+        default OUTPUT_ALL)."""
         blocks = jnp.asarray(blocks, jnp.float32)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
