@@ -119,6 +119,24 @@ def main() -> int:
         best_of(lambda: write_wavpack(wv_p, fs, x), repeats=1),
         "io/wavpack.py fallback",
     )
+    # stereo stem configs (round-5: both native encoders cover the
+    # full CLI stem envelope — 8/16/24-bit x mono/stereo; rate rows
+    # here pin the stereo legs the r04 artifact lacked)
+    x2 = np.stack([x, -0.5 * x], axis=1)
+    if native.flac_available():
+        f2 = os.path.join(tmp, "t2.flac")
+        record(
+            "flac_encode_native_stereo",
+            best_of(lambda: native.flac_write(f2, fs, x2, bits=16)),
+            "zenflac_enc.cpp stereo16",
+        )
+    if native.available() and native._load()._has_wv_enc:
+        w2 = os.path.join(tmp, "t2.wv")
+        record(
+            "wv_encode_native_stereo",
+            best_of(lambda: native.wv_write(w2, fs, x2, bits=16)),
+            "zenwv.cpp stereo16",
+        )
     record("wav_write_pcm16", best_of(lambda: write_wav_pcm16(wav_p, fs, x)))
     record("wav_read", best_of(lambda: read_wav_mono(wav_p)))
 
@@ -169,10 +187,9 @@ def main() -> int:
                 indent=1,
             )
         print(f"wrote {args.json}")
-    for p in (flac_p, wav_p, wv_p):
-        if os.path.exists(p):
-            os.unlink(p)
-    os.rmdir(tmp)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return 0
 
 
