@@ -29,7 +29,7 @@ import numpy as np
 
 from ..engine.config import HPRConfig
 from ..engine.spectral import (
-    analyze_hop_slices,
+    analyze,
     compute_masks,
     feature_transform,
     finalize_features,
@@ -91,13 +91,19 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     if not cfg.causal:
         raise ZenError("streaming drivers are causal-only")
     b, hop = block.shape
-    # frames i = samples[(i+1)*hop : (i+3)*hop] over ring ++ block;
-    # the DFT path contracts the hop slices directly (the frame
-    # concat never hits HBM — spectral.analyze_hop_slices)
+    # frames i = samples[(i+1)*hop : (i+3)*hop] over ring ++ block.
+    # The concat IS the right form: a round-5 A/B replaced it with
+    # K-split DFT matmuls over the two hop slices (no materialized
+    # frames) and LOST ~190 us/step at 512 streams — halving the
+    # contraction depth makes the MXU revisit the f32 [rows, 2*bins]
+    # output (partial-sum write+read ~134 MB/step), far more than the
+    # ~34 MB concat it saved, and XLA hides the concat as an async
+    # copy under compute anyway (docs/PERFORMANCE.md round 5).
     samples = jnp.concatenate([state.ring, block.reshape(b * hop)])
     blocks = samples.reshape(b + 2, hop)
+    frames = jnp.concatenate([blocks[1 : b + 1], blocks[2 : b + 2]], axis=-1)
 
-    s = analyze_hop_slices(blocks, cfg)  # [B, bins]
+    s = analyze(frames, cfg)  # [B, bins]
     mag = jnp.abs(s)
     feat = feature_transform(mag, cfg)
     # stream_state='bf16' carries the tap history (the HBM-bound term

@@ -101,51 +101,6 @@ def analyze(frames: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     return zfft.fft_forward(xw.astype(jnp.complex64), cfg.nfft)
 
 
-def analyze_hop_slices(blocks: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
-    """analyze() for the streaming layout WITHOUT materializing the
-    concatenated frames: blocks [..., B+r, hop] are consecutive hops
-    (r = nwin//hop), frame i = blocks[i+1] ++ .. ++ blocks[i+r]
-    (drivers/realtime._block_step_body's geometry). Returns complex
-    spectra [..., B, bins].
-
-    On the DFT-matmul path the frame concat is never built: the
-    contraction splits over the frame's r hops,
-    S = sum_j (blocks[1+j : 1+B+j] * win_j) @ W_j, where each operand
-    is a contiguous row-slice of `blocks` that fuses into its
-    windowing multiply — at 512 streams the [S, 32, 512] frames
-    buffer was ~34 MB of pure HBM copy per serving step (round-5
-    'rest' decomposition, benches/serving_bound.py). Per-frame values
-    and per-frame accumulation order are independent of B, so
-    block-size invariance is preserved exactly; the grouping of the
-    K-dim sum differs from the one-matmul form by float accumulation
-    only (the DFT path's documented ~3e-5 class). Non-DFT paths fall
-    back to the materialized concat + analyze()."""
-    nwin, hop = cfg.nwin, cfg.hop
-    r = nwin // hop
-    b = blocks.shape[-2] - r
-    # gate on the FRAME count (like analyze sees), not the b+r hop
-    # rows, so 'auto' resolves identically to the materialized path
-    prec = _dft_precision(
-        cfg, int(np.prod(blocks.shape[:-2], dtype=np.int64)) * b
-    )
-    if not (cfg.fast_rfft and nwin == r * hop and prec is not None):
-        frames = jnp.concatenate(
-            [blocks[..., 1 + j : 1 + b + j, :] for j in range(r)], axis=-1
-        )
-        return analyze(frames, cfg)
-    win = jnp.asarray(cfg.window)
-    w = zfft.dft_forward_matrix(nwin, cfg.nfft)
-    packed = None
-    for j in range(r):
-        xj = blocks[..., 1 + j : 1 + b + j, :].astype(jnp.float32) * win[
-            j * hop : (j + 1) * hop
-        ]
-        pj = jnp.matmul(xj, w[j * hop : (j + 1) * hop], precision=prec)
-        packed = pj if packed is None else packed + pj
-    bins = cfg.nfft // 2 + 1
-    return jax.lax.complex(packed[..., :bins], packed[..., bins:])
-
-
 def feature_transform(mag: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     """The quantity the directional filters run on: |S| for the median
     path (hps.cu:492-493), 1/|S|^2 for the SSE path (hps.cu:586-592)."""

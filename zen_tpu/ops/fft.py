@@ -91,16 +91,6 @@ def _dft_mats(nwin: int, nfft: int):
     return w.astype(_np.float32), wi.astype(_np.float32)
 
 
-def dft_forward_matrix(nwin: int, nfft: int) -> _np.ndarray:
-    """The packed forward half-spectrum DFT matrix [nwin, 2*bins]
-    (re | im columns) — exposed so callers can contract against ROW
-    SLICES of it (the streaming engine splits the frame concat into
-    per-hop matmuls against W's hop-row bands, engine/spectral.
-    analyze_hop_slices). Trace-time numpy constant, same cache as
-    rfft_forward_dft."""
-    return _dft_mats(nwin, nfft)[0]
-
-
 def rfft_forward_dft(
     xw: jnp.ndarray, nfft: int, precision
 ) -> jnp.ndarray:
