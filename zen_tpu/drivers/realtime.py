@@ -30,12 +30,15 @@ import numpy as np
 from ..engine.config import HPRConfig
 from ..engine.spectral import (
     analyze,
+    analyze_packed,
     compute_masks,
     feature_transform,
     finalize_features,
     freq_filtered,
+    magnitude_packed,
     num_bins,
     synthesize,
+    synthesize_packed,
     time_filtered_tail,
     time_filtered_tail_pair,
 )
@@ -103,8 +106,24 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
     blocks = samples.reshape(b + 2, hop)
     frames = jnp.concatenate([blocks[1 : b + 1], blocks[2 : b + 2]], axis=-1)
 
-    s = analyze(frames, cfg)  # [B, bins]
-    mag = jnp.abs(s)
+    # DFT-matmul configs run the PACKED real pipeline (no complex
+    # intermediate, no re/im split + repack around the mask —
+    # spectral.analyze_packed); the XLA-FFT path keeps complex form
+    packed = analyze_packed(frames, cfg)
+    if packed is not None:
+        sp, prec = packed
+        mag = magnitude_packed(sp, cfg)
+
+        def synth(mask):
+            return synthesize_packed(sp, mask, cfg, prec)
+
+    else:
+        s = analyze(frames, cfg)  # [B, bins]
+        mag = jnp.abs(s)
+
+        def synth(mask):
+            return synthesize(s, mask, cfg)
+
     feat = feature_transform(mag, cfg)
     # stream_state='bf16' carries the tap history (the HBM-bound term
     # at wide fleets) in half precision; the fresh frames are quantized
@@ -154,7 +173,7 @@ def _block_step_body(cfg: HPRConfig, state: StreamState, block: jnp.ndarray):
             outs.append(jnp.zeros((b * hop,), jnp.float32))
             tails.append(state.ola_tail[i])
             continue
-        y = synthesize(s, masks[name], cfg)  # [B, nwin]
+        y = synth(masks[name])  # [B, nwin]
         prev_tails = jnp.concatenate(
             [state.ola_tail[i][None], y[:-1, hop:]], axis=0
         )

@@ -101,6 +101,46 @@ def analyze(frames: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     return zfft.fft_forward(xw.astype(jnp.complex64), cfg.nfft)
 
 
+def analyze_packed(frames: jnp.ndarray, cfg: HPRConfig):
+    """analyze() in PACKED REAL form for the DFT-matmul path:
+    window + forward matmul -> ([..., T, 2*bins], precision), or None
+    when the config resolves to the XLA FFT (caller falls back to the
+    complex pipeline). The packed form feeds magnitude_packed /
+    synthesize_packed so the complex intermediate and its re/im
+    split + repack never materialize (the serving step's
+    transform-leg glue — docs/PERFORMANCE.md round 5)."""
+    if not cfg.fast_rfft:
+        return None
+    prec = _dft_precision(cfg, int(np.prod(frames.shape[:-1])))
+    if prec is None:
+        return None
+    win = jnp.asarray(cfg.window)
+    xw = frames.astype(jnp.float32) * win
+    return zfft.rfft_forward_dft_packed(xw, cfg.nfft, prec), prec
+
+
+def magnitude_packed(packed: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
+    """|S| from the packed re|im halves. (sqrt(re^2+im^2), same as
+    the XLA lowering of abs(complex) up to float rounding — the DFT
+    path is tolerance-validated, not bit-pinned, vs the FFT.)"""
+    bins = cfg.nfft // 2 + 1
+    re = packed[..., :bins]
+    im = packed[..., bins:]
+    return jnp.sqrt(re * re + im * im)
+
+
+def synthesize_packed(
+    packed: jnp.ndarray, mask: jnp.ndarray, cfg: HPRConfig, prec
+) -> jnp.ndarray:
+    """synthesize() on a packed spectrum: mask applied to both
+    halves, inverse matmul directly on the packed rows."""
+    scale = jnp.float32(cfg.synth_scale)
+    masked = packed * jnp.concatenate([mask, mask], axis=-1)
+    return (
+        zfft.irfft_head_dft_packed(masked, cfg.nfft, cfg.nwin, prec) * scale
+    )
+
+
 def feature_transform(mag: jnp.ndarray, cfg: HPRConfig) -> jnp.ndarray:
     """The quantity the directional filters run on: |S| for the median
     path (hps.cu:492-493), 1/|S|^2 for the SSE path (hps.cu:586-592)."""

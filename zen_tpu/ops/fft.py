@@ -96,11 +96,34 @@ def rfft_forward_dft(
 ) -> jnp.ndarray:
     """Forward half-spectrum DFT of zero-padded frames via one MXU
     matmul: xw [..., nwin] real -> complex [..., nfft//2+1]."""
-    nwin = xw.shape[-1]
-    w, _ = _dft_mats(nwin, nfft)
-    packed = jnp.matmul(xw, w, precision=precision)  # [.., 2b] (re|im)
+    packed = rfft_forward_dft_packed(xw, nfft, precision)
     bins = nfft // 2 + 1
     return jax.lax.complex(packed[..., :bins], packed[..., bins:])
+
+
+def rfft_forward_dft_packed(
+    xw: jnp.ndarray, nfft: int, precision
+) -> jnp.ndarray:
+    """rfft_forward_dft WITHOUT the complex assembly: the raw packed
+    matmul output [..., 2*bins] (re | im column halves). The serving
+    block step stays in this form end-to-end — magnitude from the
+    halves, mask applied to both halves, inverse matmul directly on
+    the packed rows — so the complex intermediate (67 MB at 512
+    streams) and its re/im split + repack concats never exist
+    (round-5 transform-leg hunt, docs/PERFORMANCE.md)."""
+    nwin = xw.shape[-1]
+    w, _ = _dft_mats(nwin, nfft)
+    return jnp.matmul(xw, w, precision=precision)
+
+
+def irfft_head_dft_packed(
+    packed: jnp.ndarray, nfft: int, nwin: int, precision
+) -> jnp.ndarray:
+    """irfft_head_dft on an already-packed [..., 2*bins] spectrum
+    (normalized inverse, first nwin samples) — one matmul, no
+    re/im concat."""
+    _, wi = _dft_mats(nwin, nfft)
+    return jnp.matmul(packed, wi, precision=precision)
 
 
 def irfft_head_dft(
